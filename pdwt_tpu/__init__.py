@@ -1,0 +1,29 @@
+"""pdwt-tpu: a TPU-native discrete wavelet transform framework.
+
+Capabilities (re-designed TPU-first, not ported) of pierrepaleo/PDWT:
+multi-level 1D/2D DWT and stationary (undecimated) SWT, forward and
+inverse, separable and non-separable, periodic boundary extension on
+arbitrary (including odd) sizes, a 72-wavelet filter bank plus custom
+filters, batched 1D transforms, thresholding / proximal operators, norms,
+cycle spinning, and multi-chip sharded execution over a
+``jax.sharding.Mesh``.
+"""
+from . import core, filters, ops
+from .api import Wavelets, WaveletSpec
+from .filters import (
+    Wavelet,
+    get_wavelet,
+    list_wavelets,
+    make_custom_wavelet,
+    quad_filters,
+    register_wavelet,
+)
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "Wavelets", "WaveletSpec", "Wavelet",
+    "get_wavelet", "list_wavelets", "make_custom_wavelet",
+    "register_wavelet", "quad_filters",
+    "core", "filters", "ops",
+]

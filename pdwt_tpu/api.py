@@ -1,0 +1,562 @@
+"""Stateful ``Wavelets`` facade — API parity with the reference class.
+
+Mirrors the reference public surface (reference: src/wt.h:20-76 and
+src/wt.cu) on top of the purely functional core:
+
+* the reference class owns raw device buffers and mutates them in place;
+  here the "state" is a coefficient pytree and an image array — both
+  ordinary JAX arrays living on the accelerator, with transforms jitted
+  per configuration.
+* configuration errors raise ``ValueError`` instead of setting
+  ``W_CREATION_ERROR`` and printing (reference: src/wt.cu:148-152,
+  174-183); recoverable misuse (e.g. thresholding after inverse) warns and
+  no-ops exactly like the reference (src/wt.cu:311-314).
+* the 8-state machine (reference: src/wt.h:8-17) is kept as
+  :class:`WState` for introspection and to guard the same sequences.
+"""
+from __future__ import annotations
+
+import dataclasses
+import enum
+import math
+import warnings
+from functools import partial
+from typing import Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import ops
+from .core import haar as haar_core
+from .core import nonseparable as ns_core
+from .core import separable as sep_core
+from .core.separable import Coeffs1D, Coeffs2D
+from .core.shapes import coeff_shapes_1d, coeff_shapes_2d, div2, max_level
+from .filters import (
+    MAX_FILTER_WIDTH,
+    Wavelet,
+    get_wavelet,
+    make_custom_wavelet,
+    quad_filters,
+)
+
+
+class WState(enum.Enum):
+    """Reference: src/wt.h:8-17."""
+
+    INIT = "W_INIT"
+    FORWARD = "W_FORWARD"
+    INVERSE = "W_INVERSE"
+    THRESHOLD = "W_THRESHOLD"
+    CREATION_ERROR = "W_CREATION_ERROR"
+    FORWARD_ERROR = "W_FORWARD_ERROR"
+    INVERSE_ERROR = "W_INVERSE_ERROR"
+    THRESHOLD_ERROR = "W_THRESHOLD_ERROR"
+
+
+@dataclasses.dataclass(frozen=True)
+class WaveletSpec:
+    """Static transform configuration (the reference's ``w_info`` +
+    constructor flags, src/utils.h:9-19, src/wt.h:42)."""
+
+    wname: str
+    nr: int
+    nc: int
+    nlevels: int
+    ndim: int = 2
+    do_swt: bool = False
+    do_separable: bool = True
+    do_cycle_spinning: bool = False
+    dtype: str = "float32"
+    hlen: int = 2
+
+    @property
+    def shape(self) -> Tuple[int, int]:
+        return (self.nr, self.nc)
+
+
+class Wavelets:
+    """Stateful wavelet transform bound to one image geometry.
+
+    Parameters mirror the reference constructor (reference: src/wt.h:42):
+
+    >>> W = Wavelets(img, wname="db7", levels=5)
+    >>> W.forward(); W.soft_threshold(10.0); img_dn = W.inverse()
+    """
+
+    def __init__(
+        self,
+        img=None,
+        nr: Optional[int] = None,
+        nc: Optional[int] = None,
+        wname: str = "haar",
+        levels: int = 1,
+        do_separable: bool = True,
+        do_cycle_spinning: bool = False,
+        do_swt: bool = False,
+        ndim: int = 2,
+        dtype=jnp.float32,
+        seed: int = 0,
+        backend: Optional[str] = None,
+    ):
+        if img is not None:
+            img = jnp.asarray(img, dtype=dtype)
+            if img.ndim == 1:
+                img = img[None, :]
+                ndim = 1
+            if img.ndim != 2:
+                raise ValueError(
+                    f"expected a 1D or 2D array, got shape {img.shape}; use the "
+                    "functional core (pdwt_tpu.core) for extra batch dims"
+                )
+            nr, nc = img.shape
+        elif nr is None or nc is None:
+            raise ValueError("provide either an image or (nr, nc)")
+
+        if levels < 1:
+            warnings.warn(
+                "cannot initialize wavelet coefficients with nlevels < 1; "
+                "forcing nlevels = 1"  # reference: src/wt.cu:111-114
+            )
+            levels = 1
+        if nr == 1:  # 1D data (reference: src/wt.cu:133-136)
+            ndim = 1
+        if ndim == 1 and not do_separable:
+            warnings.warn(
+                "1D DWT is incompatible with non-separable transform; "
+                "ignoring do_separable"  # reference: src/wt.cu:138-142
+            )
+            do_separable = True
+        if ndim not in (1, 2):
+            raise ValueError(f"ndim={ndim} is not implemented")
+        if do_cycle_spinning and do_swt:
+            warnings.warn(
+                "makes little sense to use cycle spinning with stationary "
+                "wavelet transform"  # reference: src/wt.cu:177
+            )
+        if do_cycle_spinning and ndim == 1:
+            # reference: src/wt.cu:179-183 (creation error)
+            raise ValueError(
+                "cycle spinning is not implemented for 1D; use SWT instead"
+            )
+
+        self._wavelet: Optional[Wavelet] = get_wavelet(wname)
+        hlen = self._wavelet.hlen
+        self._quads_fwd = None
+        self._quads_inv = None
+        if not do_separable:
+            self._quads_fwd = quad_filters(self._wavelet.dec_lo, self._wavelet.dec_hi)
+            self._quads_inv = quad_filters(self._wavelet.rec_lo, self._wavelet.rec_hi)
+
+        # Max achievable level (reference: src/wt.cu:155-165).
+        n_min = min(nr, nc) if ndim == 2 else nc
+        wmax = max_level(n_min, hlen)
+        if levels > wmax:
+            warnings.warn(
+                f"required level ({levels}) is greater than the maximum possible "
+                f"level for {wname} ({wmax}) on a {nc}x{nr} image; forcing "
+                f"nlevels = {wmax}"
+            )
+            levels = wmax
+
+        self.spec = WaveletSpec(
+            wname=wname, nr=nr, nc=nc, nlevels=levels, ndim=ndim,
+            do_swt=do_swt, do_separable=do_separable,
+            do_cycle_spinning=do_cycle_spinning,
+            dtype=jnp.dtype(dtype).name, hlen=hlen,
+        )
+        self._dtype = jnp.dtype(dtype)
+        self._backend = backend
+        self.state = WState.INIT
+        self.current_shift_r = 0
+        self.current_shift_c = 0
+        self._rng = np.random.default_rng(seed)
+
+        if img is None:
+            img = jnp.zeros((nr, nc), dtype=self._dtype)
+        self.d_image = img if ndim == 2 else img.reshape(nr, nc)
+        self._coeffs = self._zero_coeffs()
+
+    # ------------------------------------------------------------------
+    # properties / bookkeeping
+    # ------------------------------------------------------------------
+
+    @property
+    def wname(self) -> str:
+        return self.spec.wname
+
+    @property
+    def coeffs(self):
+        """The coefficient pytree (Coeffs1D / Coeffs2D)."""
+        return self._coeffs
+
+    @coeffs.setter
+    def coeffs(self, value):
+        self._coeffs = value
+        self.state = WState.FORWARD
+
+    def _zero_coeffs(self):
+        s = self.spec
+        z = partial(jnp.zeros, dtype=self._dtype)
+        if s.ndim == 2:
+            a_shape, det_shapes = coeff_shapes_2d(s.nr, s.nc, s.nlevels, s.do_swt)
+            return Coeffs2D(
+                z(a_shape),
+                tuple((z(d), z(d), z(d)) for d in det_shapes),
+            )
+        a_len, det_lens = coeff_shapes_1d(s.nc, s.nlevels, s.do_swt)
+        return Coeffs1D(
+            z((s.nr, a_len)), tuple(z((s.nr, d)) for d in det_lens)
+        )
+
+    def _check_not_inverse(self, action: str) -> bool:
+        if self.state == WState.INVERSE:
+            warnings.warn(
+                f"cannot {action}, as the coefficients were modified by "
+                "inverse()"  # reference: src/wt.cu:311-314
+            )
+            return False
+        return True
+
+    # ------------------------------------------------------------------
+    # transforms
+    # ------------------------------------------------------------------
+
+    def _fwd_wavelet(self) -> Wavelet:
+        if self._wavelet is None:
+            raise ValueError("no forward filters set")
+        return self._wavelet
+
+    def forward(self):
+        """Compute the coefficient pytree from the current image
+        (reference: src/wt.cu:236-271)."""
+        s = self.spec
+        img = self.d_image
+        if s.do_cycle_spinning:
+            # host-side draw like the reference's rand() (src/wt.cu:243-244),
+            # but from a seeded generator; shift itself runs on device.
+            self.current_shift_r = int(self._rng.integers(0, s.nr))
+            self.current_shift_c = int(self._rng.integers(0, s.nc))
+            img = ops.circshift2d(img, self.current_shift_r, self.current_shift_c)
+
+        w = self._fwd_wavelet()
+        be = self._backend
+        if s.ndim == 1:
+            if s.hlen == 2 and not s.do_swt:
+                self._coeffs = haar_core.haar_dwt1d(img, s.nlevels)
+            elif not s.do_swt:
+                self._coeffs = sep_core.dwt1d(img, w, s.nlevels, backend=be)
+            else:
+                self._coeffs = sep_core.swt1d(img, w, s.nlevels, backend=be)
+        else:
+            if s.hlen == 2 and not s.do_swt and s.do_separable:
+                self._coeffs = haar_core.haar_dwt2d(img, s.nlevels)
+            elif s.do_separable:
+                if not s.do_swt:
+                    self._coeffs = sep_core.dwt2d(img, w, s.nlevels, backend=be)
+                else:
+                    self._coeffs = sep_core.swt2d(img, w, s.nlevels, backend=be)
+            else:
+                if self._quads_fwd is None:
+                    raise ValueError("no forward quad filters set")
+                if not s.do_swt:
+                    self._coeffs = ns_core.dwt2d_ns(img, self._quads_fwd, s.nlevels)
+                else:
+                    self._coeffs = ns_core.swt2d_ns(img, self._quads_fwd, s.nlevels)
+        self.state = WState.FORWARD
+        return self._coeffs
+
+    def inverse(self):
+        """Reconstruct the image from the coefficients
+        (reference: src/wt.cu:273-307)."""
+        if self.state == WState.INVERSE:
+            warnings.warn(
+                "inverse() has already been run; result available via "
+                "get_image()"  # reference: src/wt.cu:274-277
+            )
+            return self.d_image
+        if self.state in (WState.FORWARD_ERROR, WState.THRESHOLD_ERROR):
+            warnings.warn("inverse transform not computed due to earlier error")
+            return None
+
+        s = self.spec
+        w = self._wavelet
+        be = self._backend
+        c = self._coeffs
+        if s.ndim == 1:
+            if s.hlen == 2 and not s.do_swt:
+                img = haar_core.haar_idwt1d(c, s.nc)
+            elif not s.do_swt:
+                img = sep_core.idwt1d(c, w, s.nc, backend=be)
+            else:
+                img = sep_core.iswt1d(c, w, backend=be)
+        else:
+            if s.hlen == 2 and not s.do_swt and s.do_separable:
+                img = haar_core.haar_idwt2d(c, s.shape)
+            elif s.do_separable:
+                if not s.do_swt:
+                    img = sep_core.idwt2d(c, w, s.shape, backend=be)
+                else:
+                    img = sep_core.iswt2d(c, w, backend=be)
+            else:
+                if self._quads_inv is None:
+                    raise ValueError("no inverse quad filters set")
+                if not s.do_swt:
+                    img = ns_core.idwt2d_ns(c, self._quads_inv, s.shape)
+                else:
+                    img = ns_core.iswt2d_ns(c, self._quads_inv)
+        if s.do_cycle_spinning:
+            img = ops.circshift2d(img, -self.current_shift_r, -self.current_shift_c)
+        self.d_image = img
+        self.state = WState.INVERSE
+        return img
+
+    # ------------------------------------------------------------------
+    # thresholding / proximal operators
+    # ------------------------------------------------------------------
+
+    def soft_threshold(self, beta, do_thresh_appcoeffs: bool = False,
+                       normalize: bool = False):
+        if not self._check_not_inverse("threshold coefficients"):
+            return
+        self._coeffs = ops.soft_threshold(
+            self._coeffs, beta, do_thresh_appcoeffs=do_thresh_appcoeffs,
+            normalize=normalize)
+        self.state = WState.THRESHOLD
+
+    def hard_threshold(self, beta, do_thresh_appcoeffs: bool = False,
+                       normalize: bool = False):
+        if not self._check_not_inverse("threshold coefficients"):
+            return
+        self._coeffs = ops.hard_threshold(
+            self._coeffs, beta, do_thresh_appcoeffs=do_thresh_appcoeffs,
+            normalize=normalize)
+        self.state = WState.THRESHOLD
+
+    def group_soft_threshold(self, beta, do_thresh_appcoeffs: bool = False,
+                             normalize: bool = False):
+        if not self._check_not_inverse("threshold coefficients"):
+            return
+        self._coeffs = ops.group_soft_threshold(
+            self._coeffs, beta, do_thresh_appcoeffs=do_thresh_appcoeffs,
+            normalize=normalize)
+        self.state = WState.THRESHOLD
+
+    def shrink(self, beta, do_thresh_appcoeffs: bool = True):
+        if not self._check_not_inverse("shrink coefficients"):
+            return
+        self._coeffs = ops.shrink(
+            self._coeffs, beta, do_thresh_appcoeffs=do_thresh_appcoeffs)
+        self.state = WState.THRESHOLD
+
+    def proj_linf(self, beta, do_thresh_appcoeffs: bool = True):
+        if not self._check_not_inverse("project coefficients"):
+            return
+        self._coeffs = ops.proj_linf(
+            self._coeffs, beta, do_thresh_appcoeffs=do_thresh_appcoeffs)
+        self.state = WState.THRESHOLD
+
+    # ------------------------------------------------------------------
+    # norms / algebra / shifting
+    # ------------------------------------------------------------------
+
+    def norm1(self) -> float:
+        return float(ops.norm1(self._coeffs))
+
+    def norm2sq(self) -> float:
+        return float(ops.norm2sq(self._coeffs))
+
+    def circshift(self, sr: int, sc: int):
+        """Circular shift of the image in place (reference: src/wt.cu:366-368)."""
+        if self.spec.ndim == 1:
+            self.d_image = ops.circshift1d(self.d_image, sc)
+        else:
+            self.d_image = ops.circshift2d(self.d_image, sr, sc)
+
+    def add_wavelet(self, other: "Wavelets", alpha=1.0):
+        """In-place coefficient axpy: self += alpha * other
+        (reference: src/wt.cu:624-657)."""
+        if (self.spec.nlevels != other.spec.nlevels
+                or self.spec.wname.lower() != other.spec.wname.lower()):
+            raise ValueError(
+                "add_wavelet(): right operand is not the same transform "
+                "(wname, level)")
+        if self.state == WState.INVERSE or other.state == WState.INVERSE:
+            warnings.warn(
+                "add_wavelet(): this operation makes no sense when wavelet "
+                "has just been inverted")
+            return 1
+        if (self.spec.nr, self.spec.nc, self.spec.ndim) != (
+                other.spec.nr, other.spec.nc, other.spec.ndim):
+            raise ValueError("add_wavelet(): operands do not have the same geometry")
+        if self.spec.do_swt != other.spec.do_swt:
+            raise ValueError("add_wavelet(): operands should both use SWT or DWT")
+        if (self.spec.do_cycle_spinning and other.spec.do_cycle_spinning
+                and (self.current_shift_r, self.current_shift_c)
+                != (other.current_shift_r, other.current_shift_c)):
+            raise ValueError("add_wavelet(): operands do not have the same "
+                             "current shift")
+        self._coeffs = ops.add_coeffs(self._coeffs, other._coeffs, alpha)
+        return 0
+
+    # ------------------------------------------------------------------
+    # data movement (get/set) — reference: src/wt.cu:421-508
+    # ------------------------------------------------------------------
+
+    def get_image(self) -> np.ndarray:
+        return np.asarray(self.d_image)
+
+    def set_image(self, img):
+        img = jnp.asarray(img, dtype=self._dtype).reshape(self.spec.nr, self.spec.nc)
+        self.d_image = img
+        self.state = WState.INIT
+
+    def _coeff_ref(self, num: int):
+        """Map the reference's flat coefficient numbering to the pytree.
+
+        2D: 0=A, then H1,V1,D1=1,2,3, H2,V2,D2=4,5,6, ...
+        1D: 0=A, then D1..Dn  (reference: src/wt.cu:442-465).
+        """
+        s = self.spec
+        if num == 0:
+            return ("a",)
+        if s.ndim == 2:
+            level = (num - 1) // 3      # 0-based
+            band = (num - 1) % 3
+            if level >= s.nlevels:
+                raise IndexError(f"coefficient {num} out of range")
+            return ("d2", level, band)
+        if num > s.nlevels:
+            raise IndexError(f"coefficient {num} out of range")
+        return ("d1", num - 1)
+
+    def get_coeff(self, num: int) -> Optional[np.ndarray]:
+        if self.state == WState.INVERSE:
+            warnings.warn(
+                "get_coeff(): inverse() has been performed, the coefficients "
+                "do not make sense anymore")  # reference: src/wt.cu:476-479
+            return None
+        ref = self._coeff_ref(num)
+        if ref[0] == "a":
+            return np.asarray(self._coeffs.approx)
+        if ref[0] == "d2":
+            return np.asarray(self._coeffs.details[ref[1]][ref[2]])
+        return np.asarray(self._coeffs.details[ref[1]])
+
+    def set_coeff(self, coeff, num: int):
+        ref = self._coeff_ref(num)
+        if ref[0] == "a":
+            coeff = jnp.asarray(coeff, self._dtype).reshape(self._coeffs.approx.shape)
+            self._coeffs = type(self._coeffs)(coeff, self._coeffs.details)
+            return
+        details = list(self._coeffs.details)
+        if ref[0] == "d2":
+            level = list(details[ref[1]])
+            coeff = jnp.asarray(coeff, self._dtype).reshape(level[ref[2]].shape)
+            level[ref[2]] = coeff
+            details[ref[1]] = tuple(level)
+        else:
+            coeff = jnp.asarray(coeff, self._dtype).reshape(details[ref[1]].shape)
+            details[ref[1]] = coeff
+        self._coeffs = type(self._coeffs)(self._coeffs.approx, tuple(details))
+
+    # ------------------------------------------------------------------
+    # custom filters — reference: src/wt.cu:560-602
+    # ------------------------------------------------------------------
+
+    def set_filters_forward(self, filtername: str, filter1, filter2,
+                            filter3=None, filter4=None):
+        n = len(np.atleast_1d(np.asarray(filter1)))
+        if self.spec.do_separable:
+            w_old = self._wavelet
+            self._wavelet = make_custom_wavelet(
+                filtername, filter1, filter2,
+                w_old.rec_lo if (w_old is not None and w_old.hlen == n)
+                else np.zeros(n),
+                w_old.rec_hi if (w_old is not None and w_old.hlen == n)
+                else np.zeros(n),
+            )
+        else:
+            if filter3 is None or filter4 is None:
+                raise ValueError(
+                    "set_filters_forward(): expected 4 filters for "
+                    "non-separable filtering")
+            q = np.stack([np.asarray(f, np.float64) for f in
+                          (filter1, filter2, filter3, filter4)])
+            if q.shape[-1] > MAX_FILTER_WIDTH:
+                raise ValueError(
+                    f"filter length ({q.shape[-1]}) exceeds the maximum size "
+                    f"({MAX_FILTER_WIDTH})")
+            self._quads_fwd = q
+            n = q.shape[-1]
+        self.spec = dataclasses.replace(self.spec, wname=filtername, hlen=n)
+        return 0
+
+    def set_filters_inverse(self, filter1, filter2, filter3=None, filter4=None):
+        if self.spec.do_separable:
+            w = self._wavelet
+            self._wavelet = make_custom_wavelet(
+                self.spec.wname, w.dec_lo, w.dec_hi, filter1, filter2)
+        else:
+            if filter3 is None or filter4 is None:
+                raise ValueError(
+                    "set_filters_inverse(): expected 4 filters for "
+                    "non-separable filtering")
+            self._quads_inv = np.stack([np.asarray(f, np.float64) for f in
+                                        (filter1, filter2, filter3, filter4)])
+        return 0
+
+    # ------------------------------------------------------------------
+    # introspection — reference: src/wt.cu:513-552
+    # ------------------------------------------------------------------
+
+    def info(self) -> dict:
+        s = self.spec
+        if not s.do_swt:
+            mem = 5 * s.nr * s.nc * self._dtype.itemsize
+        elif s.ndim == 2:
+            mem = (3 * s.nlevels + 4) * s.nr * s.nc * self._dtype.itemsize
+        else:
+            mem = (s.nlevels + 4) * s.nr * s.nc * self._dtype.itemsize
+        dev = jax.devices()[0]
+        return {
+            "dims": (s.nr, s.nc) if s.ndim == 2 else s.nc,
+            "batched_1d": s.ndim == 1 and s.nr > 1,
+            "wavelet": s.wname,
+            "levels": s.nlevels,
+            "stationary": s.do_swt,
+            "cycle_spinning": s.do_cycle_spinning,
+            "separable": s.do_separable,
+            "dtype": s.dtype,
+            "estimated_memory_mb": mem / 1e6,
+            "device": f"{dev.platform}:{dev.device_kind}",
+            "state": self.state.value,
+        }
+
+    def print_informations(self):
+        i = self.info()
+        print("------------- Wavelet transform infos ------------")
+        if self.spec.ndim == 2:
+            print(f"Data dimensions : {i['dims']}")
+        elif i["batched_1d"]:
+            print(f"Data dimensions : ({self.spec.nr}, {self.spec.nc}) "
+                  "[batched 1D transform]")
+        else:
+            print(f"Data dimensions : {self.spec.nc}")
+        yn = {False: "no", True: "yes"}
+        print(f"Wavelet name : {i['wavelet']}")
+        print(f"Number of levels : {i['levels']}")
+        print(f"Stationary WT : {yn[i['stationary']]}")
+        print(f"Cycle spinning : {yn[i['cycle_spinning']]}")
+        print(f"Separable transform : {yn[i['separable']]}")
+        print(f"Estimated memory footprint : {i['estimated_memory_mb']:.2f} MB")
+        print(f"Running on device : {i['device']}")
+        print("--------------------------------------------------")
+
+    def __repr__(self):
+        s = self.spec
+        return (f"Wavelets({s.wname!r}, shape=({s.nr}, {s.nc}), ndim={s.ndim}, "
+                f"levels={s.nlevels}, swt={s.do_swt}, separable={s.do_separable}, "
+                f"cycle_spinning={s.do_cycle_spinning}, dtype={s.dtype}, "
+                f"state={self.state.value})")

@@ -1,0 +1,164 @@
+"""Non-separable 2D DWT / SWT: one true-2D filter per subband.
+
+Functional equivalents of the reference non-separable engine
+(reference: src/nonseparable.cu):
+
+* ``dwt2d_ns`` — w_kern_forward (src/nonseparable.cu:114-170): a single
+  2D periodic convolution with the four quad filters + 2x2 decimation.
+* ``idwt2d_ns`` — w_kern_inverse (src/nonseparable.cu:176-225): the 2D
+  polyphase reconstruction, expressed here as zero-stuffing both axes and
+  correlating with the reversed quads at the per-axis synthesis shift
+  (same algebra as the separable inverse, applied along both axes).
+* ``swt2d_ns`` / ``iswt2d_ns`` — w_kern_forward_swt / w_kern_inverse_swt
+  (src/nonseparable.cu:304-354, 360-401); the inverse carries the 1/4
+  factor (src/nonseparable.cu:393-396).
+
+Quads may be arbitrary user 2D filters (reference:
+w_set_filters_forward_nonseparable, src/nonseparable.cu:86-106); for a
+named wavelet they are the separable outer products built by
+``pdwt_tpu.filters.quad_filters`` (reference: src/nonseparable.cu:32-83).
+Unlike the reference — which reloads the inverse quads into the *same*
+constant-memory symbols at every inverse() (src/wt.cu:298, a documented
+wart, TODO.txt:7) — forward and inverse quads here are independent
+constants baked into the jitted program.
+
+Subband convention: by default the quads from ``quad_filters`` follow the
+separable engine's (H = highpass along rows); the reference non-separable
+engine's swapped H/V can be reproduced via
+``quad_filters(..., transpose_detail_convention=True)``.
+"""
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from . import conv
+from .separable import Coeffs2D, _from_nchw, _to_nchw
+from .shapes import level_sizes
+
+
+def _accum(dtype):
+    return jnp.float32 if dtype in (jnp.bfloat16, jnp.float16) else dtype
+
+
+def _conv2d(x, kernel, *, strides=(1, 1), dilation=(1, 1), fgc=1):
+    dtype = x.dtype
+    out = lax.conv_general_dilated(
+        x,
+        jnp.asarray(kernel, dtype=_accum(dtype)),
+        window_strides=strides,
+        padding="VALID",
+        rhs_dilation=dilation,
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        feature_group_count=fgc,
+        precision=(lax.Precision.HIGHEST if dtype == jnp.float32 else None),
+        preferred_element_type=_accum(dtype),
+    )
+    return out.astype(dtype)
+
+
+def _check_quads(quads) -> np.ndarray:
+    q = np.asarray(quads, dtype=np.float64)
+    if q.ndim != 3 or q.shape[0] != 4 or q.shape[1] != q.shape[2]:
+        raise ValueError(f"quads must have shape (4, hlen, hlen), got {q.shape}")
+    return q
+
+
+def _fwd_level(x, quads):
+    """x: (B,1,H,W); quads: (4,hlen,hlen) forward-convention filters."""
+    hlen = quads.shape[-1]
+    c = conv.fwd_center(hlen)
+    x = conv.odd_extend(conv.odd_extend(x, -1), -2)
+    xp = conv.wrap_pad(x, -2, c, hlen - 1 - c)
+    xp = conv.wrap_pad(xp, -1, c, hlen - 1 - c)
+    kern = quads[:, None, ::-1, ::-1]  # (O=4, I=1, kh, kw), reversed taps
+    return _conv2d(xp, kern, strides=(2, 2))
+
+
+def _inv_level(z, quads, out_shape):
+    """z: (B,4,mr,mc) subbands (A,H,V,D); quads: inverse-convention filters."""
+    hlen = quads.shape[-1]
+    s = conv.inv_shift(hlen)
+    u = conv.zero_stuff(conv.zero_stuff(z, -1), -2)
+    u = conv.wrap_pad(u, -2, s, hlen - 1 - s)
+    u = conv.wrap_pad(u, -1, s, hlen - 1 - s)
+    kern = quads[None, :, ::-1, ::-1]  # (O=1, I=4, kh, kw): sum the 4 bands
+    out = _conv2d(u, kern)
+    out = lax.slice_in_dim(out, 0, out_shape[0], axis=-2)
+    out = lax.slice_in_dim(out, 0, out_shape[1], axis=-1)
+    return out
+
+
+def dwt2d_ns(x: jnp.ndarray, quads, levels: int) -> Coeffs2D:
+    q = _check_quads(quads)
+    arr, batch = _to_nchw(x, 2)
+    details: List[Tuple[jnp.ndarray, ...]] = []
+    a = arr
+    for _ in range(levels):
+        z = _fwd_level(a, q)
+        a = z[:, 0:1]
+        details.append(tuple(
+            _from_nchw(z[:, k:k + 1], batch, 2) for k in (1, 2, 3)
+        ))
+    return Coeffs2D(_from_nchw(a, batch, 2), tuple(details))
+
+
+def idwt2d_ns(coeffs: Coeffs2D, quads_inv, shape: Tuple[int, int]) -> jnp.ndarray:
+    q = _check_quads(quads_inv)
+    levels = coeffs.levels
+    rows = level_sizes(shape[0], levels)
+    cols = level_sizes(shape[1], levels)
+    a, batch = _to_nchw(coeffs.approx, 2)
+    for i in range(levels - 1, -1, -1):
+        h, v, d = (_to_nchw(c, 2)[0] for c in coeffs.details[i])
+        z = jnp.concatenate([a, h, v, d], axis=1)
+        a = _inv_level(z, q, (rows[i], cols[i]))
+    return _from_nchw(a, batch, 2)
+
+
+def _fwd_swt_level(x, quads, factor):
+    hlen = quads.shape[-1]
+    c = conv.fwd_center(hlen) * factor
+    span = (quads.shape[-1] - 1) * factor
+    xp = conv.wrap_pad(x, -2, c, span - c)
+    xp = conv.wrap_pad(xp, -1, c, span - c)
+    kern = quads[:, None, ::-1, ::-1]
+    return _conv2d(xp, kern, dilation=(factor, factor))
+
+
+def _inv_swt_level(z, quads, factor):
+    hlen = quads.shape[-1]
+    c = conv.swt_inv_center(hlen) * factor
+    span = (hlen - 1) * factor
+    u = conv.wrap_pad(z, -2, c, span - c)
+    u = conv.wrap_pad(u, -1, c, span - c)
+    # 1/4 normalization (reference: src/nonseparable.cu:393-396).
+    kern = quads[None, :, ::-1, ::-1] * 0.25
+    return _conv2d(u, kern, dilation=(factor, factor))
+
+
+def swt2d_ns(x: jnp.ndarray, quads, levels: int) -> Coeffs2D:
+    q = _check_quads(quads)
+    arr, batch = _to_nchw(x, 2)
+    details: List[Tuple[jnp.ndarray, ...]] = []
+    a = arr
+    for lvl in range(1, levels + 1):
+        z = _fwd_swt_level(a, q, 1 << (lvl - 1))
+        a = z[:, 0:1]
+        details.append(tuple(
+            _from_nchw(z[:, k:k + 1], batch, 2) for k in (1, 2, 3)
+        ))
+    return Coeffs2D(_from_nchw(a, batch, 2), tuple(details))
+
+
+def iswt2d_ns(coeffs: Coeffs2D, quads_inv) -> jnp.ndarray:
+    q = _check_quads(quads_inv)
+    a, batch = _to_nchw(coeffs.approx, 2)
+    for i in range(coeffs.levels - 1, -1, -1):
+        h, v, d = (_to_nchw(c, 2)[0] for c in coeffs.details[i])
+        z = jnp.concatenate([a, h, v, d], axis=1)
+        a = _inv_swt_level(z, q, 1 << i)
+    return _from_nchw(a, batch, 2)

@@ -1,0 +1,184 @@
+"""Wavelet filter bank.
+
+A TPU-native re-design of the reference filter machinery:
+
+* the reference stores 288 hard-coded C arrays and a 72-entry registry
+  (reference: src/filters.h:635-645, src/filters.cpp:5919-6002) and pushes
+  the selected filters into CUDA ``__constant__`` memory
+  (reference: src/separable.cu:48-51).  Here the public coefficient tables
+  live in ``_data.npz`` and filters are plain numpy arrays that jitted
+  functions close over — XLA embeds them as compile-time constants, the TPU
+  equivalent of constant memory.
+
+* name lookup is case-insensitive (reference: src/separable.cu:32-41 uses
+  strcasecmp) and the haar aliases db1 / bior1.1 / rbio1.1 / rbior1.1 are
+  honored for every transform (the reference only honors them on the
+  non-SWT fast path, src/separable.cu:24-28, and errors out for db1+SWT;
+  we resolve the alias everywhere).
+
+* custom filters: the reference caps user filters at 40 taps because of the
+  constant-memory buffer (reference: src/common.h:15, src/wt.cu:562-565).
+  We keep the same constant as a sanity bound for API parity, though nothing
+  in the TPU design actually requires it.
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+# API-parity bound, reference: src/common.h:15 (MAX_FILTER_WIDTH).
+MAX_FILTER_WIDTH = 40
+
+_DATA_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "_data.npz")
+
+# Aliases resolving to haar (reference: src/separable.cu:24-28).
+_HAAR_ALIASES = ("db1", "bior1.1", "rbio1.1", "rbior1.1")
+
+
+@dataclasses.dataclass(frozen=True)
+class Wavelet:
+    """A 1D biorthogonal filter bank.
+
+    Attributes
+    ----------
+    name:    canonical lower-case wavelet name.
+    dec_lo:  forward (analysis) lowpass filter, float64, shape (hlen,).
+    dec_hi:  forward (analysis) highpass filter.
+    rec_lo:  inverse (synthesis) lowpass filter.
+    rec_hi:  inverse (synthesis) highpass filter.
+
+    Conventions match the reference registry fields f_l/f_h/i_l/i_h
+    (reference: src/filters.h:640-644), which are pywt's
+    dec_lo/dec_hi/rec_lo/rec_hi.
+    """
+
+    name: str
+    dec_lo: np.ndarray
+    dec_hi: np.ndarray
+    rec_lo: np.ndarray
+    rec_hi: np.ndarray
+
+    def __post_init__(self):
+        for f in ("dec_lo", "dec_hi", "rec_lo", "rec_hi"):
+            arr = np.ascontiguousarray(np.asarray(getattr(self, f), dtype=np.float64))
+            if arr.ndim != 1:
+                raise ValueError(f"{f} must be 1D, got shape {arr.shape}")
+            object.__setattr__(self, f, arr)
+        hl = len(self.dec_lo)
+        if not (len(self.dec_hi) == len(self.rec_lo) == len(self.rec_hi) == hl):
+            raise ValueError("all four filters must have the same length")
+        if hl < 2:
+            raise ValueError("filter length must be >= 2")
+
+    @property
+    def hlen(self) -> int:
+        return len(self.dec_lo)
+
+    @property
+    def is_haar_like(self) -> bool:
+        """hlen==2 filters take the dedicated haar fast path when not SWT
+        (reference: src/wt.cu:248,255 dispatch on hlen==2 && !do_swt)."""
+        return self.hlen == 2
+
+    def __hash__(self):
+        return hash(
+            (self.name, self.dec_lo.tobytes(), self.dec_hi.tobytes(),
+             self.rec_lo.tobytes(), self.rec_hi.tobytes())
+        )
+
+    def __eq__(self, other):
+        if not isinstance(other, Wavelet):
+            return NotImplemented
+        return (
+            self.name == other.name
+            and np.array_equal(self.dec_lo, other.dec_lo)
+            and np.array_equal(self.dec_hi, other.dec_hi)
+            and np.array_equal(self.rec_lo, other.rec_lo)
+            and np.array_equal(self.rec_hi, other.rec_hi)
+        )
+
+
+_BUILTIN: Dict[str, Wavelet] = {}
+_USER: Dict[str, Wavelet] = {}
+
+
+def _load_builtin() -> None:
+    if _BUILTIN:
+        return
+    with np.load(_DATA_PATH) as data:
+        for name in data.files:
+            bank = data[name]
+            _BUILTIN[name] = Wavelet(name, bank[0], bank[1], bank[2], bank[3])
+
+
+def list_wavelets() -> Tuple[str, ...]:
+    """All known wavelet names (72 built-ins + aliases + user-registered)."""
+    _load_builtin()
+    return tuple(sorted(set(_BUILTIN) | set(_HAAR_ALIASES) | set(_USER)))
+
+
+def get_wavelet(name: str) -> Wavelet:
+    """Case-insensitive lookup (reference: src/separable.cu:32-41)."""
+    _load_builtin()
+    key = name.lower()
+    if key in _USER:
+        return _USER[key]
+    if key in _HAAR_ALIASES:
+        key = "haar"
+    try:
+        return _BUILTIN[key]
+    except KeyError:
+        raise ValueError(
+            f"unknown wavelet {name!r}; available: {', '.join(list_wavelets())}"
+        ) from None
+
+
+def make_custom_wavelet(
+    name: str,
+    dec_lo,
+    dec_hi,
+    rec_lo,
+    rec_hi,
+) -> Wavelet:
+    """Build a custom filter bank (reference: Wavelets::set_filters_forward /
+    set_filters_inverse, src/wt.cu:560-602).  The 40-tap bound is kept for
+    parity with the reference's constant-memory limit."""
+    w = Wavelet(name.lower(), dec_lo, dec_hi, rec_lo, rec_hi)
+    if w.hlen > MAX_FILTER_WIDTH:
+        raise ValueError(
+            f"filter length ({w.hlen}) exceeds the maximum size ({MAX_FILTER_WIDTH})"
+        )
+    return w
+
+
+def register_wavelet(w: Wavelet) -> None:
+    """Register a custom wavelet under its (lower-cased) name for lookup."""
+    _load_builtin()
+    _USER[w.name.lower()] = w
+
+
+def quad_filters(
+    lo: np.ndarray, hi: np.ndarray, transpose_detail_convention: bool = False
+) -> np.ndarray:
+    """Outer-product 2D filter quad (LL, LH, HL, HH), shape (4, hlen, hlen).
+
+    Reference: src/nonseparable.cu:16-24 (w_outer) and 70-74.  Note the
+    reference pairs the H subband with outer(lo, hi) — lowpass along rows,
+    highpass along columns — which is the *transpose* of what its own
+    separable engine computes for H (highpass along rows: pass2 applies the
+    highpass vertically, src/separable.cu:166).  Both are self-consistent
+    (PR holds either way), but we default to the separable convention so the
+    two engines produce identical subbands; pass
+    ``transpose_detail_convention=True`` to reproduce the reference
+    non-separable layout (src/nonseparable.cu:71-74).
+    """
+    ll = np.outer(lo, lo)
+    lh = np.outer(hi, lo)  # H: highpass rows (y), lowpass cols (x)
+    hl = np.outer(lo, hi)  # V: lowpass rows, highpass cols
+    hh = np.outer(hi, hi)
+    if transpose_detail_convention:
+        lh, hl = hl, lh
+    return np.stack([ll, lh, hl, hh])

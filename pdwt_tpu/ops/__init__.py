@@ -1,0 +1,16 @@
+from .threshold import (
+    group_soft_threshold,
+    hard_threshold,
+    proj_linf,
+    shrink,
+    soft_threshold,
+)
+from .norms import add_coeffs, norm1, norm2sq
+from .shift import circshift1d, circshift2d, random_shift
+
+__all__ = [
+    "soft_threshold", "hard_threshold", "group_soft_threshold",
+    "proj_linf", "shrink",
+    "norm1", "norm2sq", "add_coeffs",
+    "circshift1d", "circshift2d", "random_shift",
+]

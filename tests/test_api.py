@@ -1,0 +1,234 @@
+"""Stateful Wavelets facade: construction rules, state machine, get/set,
+custom filters, cycle spinning — API parity with the reference class."""
+import warnings
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pdwt_tpu import Wavelets
+from pdwt_tpu.api import WState
+from pdwt_tpu.filters import get_wavelet
+
+
+def _image(rng, shape=(64, 64)):
+    return rng.uniform(0, 255, shape)
+
+
+def test_forward_inverse_roundtrip(rng):
+    img = _image(rng)
+    W = Wavelets(img, wname="db7", levels=3, dtype=jnp.float64)
+    W.forward()
+    assert W.state == WState.FORWARD
+    # overwrite the image to prove inverse() reads only the coefficients
+    # (the reference demo's zeroed-image trick, src/demo.cpp:208-214)
+    W.set_image(np.zeros_like(img))
+    out = W.inverse()
+    assert W.state == WState.INVERSE
+    assert np.abs(np.asarray(out) - img).max() < 1e-9
+
+
+def test_denoise_scenario(rng):
+    """Demo scenario 3: forward + soft_threshold + inverse
+    (reference: src/demo.cpp:201-205)."""
+    img = _image(rng)
+    W = Wavelets(img, wname="db7", levels=3)
+    W.forward()
+    n1_before = W.norm1()
+    W.soft_threshold(90.0)
+    assert W.norm1() < n1_before
+    out = W.inverse()
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_levels_clamped(rng):
+    with pytest.warns(UserWarning, match="maximum possible level"):
+        W = Wavelets(_image(rng, (64, 64)), wname="db7", levels=99)
+    # wmaxlev = ilog2(64 / 13) = 2 (reference: src/wt.cu:159)
+    assert W.spec.nlevels == 2
+
+
+def test_levels_lt_1_forced(rng):
+    with pytest.warns(UserWarning, match="nlevels"):
+        W = Wavelets(_image(rng), wname="haar", levels=0)
+    assert W.spec.nlevels == 1
+
+
+def test_1d_autodetect(rng):
+    W = Wavelets(rng.standard_normal(128), wname="db3", levels=2)
+    assert W.spec.ndim == 1
+    W.forward()
+    out = W.inverse()
+    assert out.shape == (1, 128)
+
+
+def test_batched_1d(rng):
+    x = rng.standard_normal((16, 256))
+    W = Wavelets(x, wname="sym8", levels=3, ndim=1)
+    W.forward()
+    assert W.coeffs.approx.shape == (16, 32)
+    out = np.asarray(W.inverse())
+    assert np.abs(out - x).max() < 1e-4
+
+
+def test_1d_nonseparable_forced_separable(rng):
+    with pytest.warns(UserWarning, match="non-separable"):
+        W = Wavelets(rng.standard_normal((1, 64)), wname="db2", levels=2,
+                     do_separable=False, ndim=1)
+    assert W.spec.do_separable
+
+
+def test_cycle_spinning_1d_rejected(rng):
+    with pytest.raises(ValueError, match="cycle spinning"):
+        Wavelets(rng.standard_normal((1, 64)), wname="db2", levels=1,
+                 do_cycle_spinning=True, ndim=1)
+
+
+def test_cycle_spinning_roundtrip(rng):
+    img = _image(rng)
+    W = Wavelets(img, wname="db4", levels=2, do_cycle_spinning=True,
+                 dtype=jnp.float64, seed=7)
+    W.forward()
+    assert (W.current_shift_r, W.current_shift_c) != (0, 0)
+    out = np.asarray(W.inverse())
+    assert np.abs(out - img).max() < 1e-9
+
+
+def test_cycle_spinning_swt_warns(rng):
+    with pytest.warns(UserWarning, match="Cycle spinning|cycle spinning"):
+        Wavelets(_image(rng), wname="db2", levels=1, do_swt=True,
+                 do_cycle_spinning=True)
+
+
+def test_unknown_wavelet_raises(rng):
+    with pytest.raises(ValueError, match="unknown wavelet"):
+        Wavelets(_image(rng), wname="nosuch", levels=1)
+
+
+def test_threshold_after_inverse_warns(rng):
+    W = Wavelets(_image(rng), wname="db2", levels=2)
+    W.forward()
+    W.inverse()
+    with pytest.warns(UserWarning, match="modified by"):
+        W.soft_threshold(1.0)
+
+
+def test_inverse_twice_warns(rng):
+    W = Wavelets(_image(rng), wname="db2", levels=2)
+    W.forward()
+    W.inverse()
+    with pytest.warns(UserWarning, match="already been run"):
+        W.inverse()
+
+
+def test_get_coeff_numbering(rng):
+    """2D numbering: 0=A, (H1,V1,D1)=1,2,3, (H2,V2,D2)=4,5,6
+    (reference: src/wt.cu:442-449)."""
+    W = Wavelets(_image(rng, (64, 48)), wname="db2", levels=2)
+    W.forward()
+    assert W.get_coeff(0).shape == (16, 12)
+    assert W.get_coeff(1).shape == (32, 24)
+    assert W.get_coeff(4).shape == (16, 12)
+    assert np.array_equal(W.get_coeff(0), np.asarray(W.coeffs.approx))
+    assert np.array_equal(W.get_coeff(5), np.asarray(W.coeffs.details[1][1]))
+    with pytest.raises(IndexError):
+        W.get_coeff(7)
+
+
+def test_get_coeff_after_inverse_warns(rng):
+    W = Wavelets(_image(rng), wname="db2", levels=1)
+    W.forward()
+    W.inverse()
+    with pytest.warns(UserWarning, match="get_coeff"):
+        assert W.get_coeff(0) is None
+
+
+def test_set_coeff_roundtrip(rng):
+    W = Wavelets(_image(rng), wname="db3", levels=2, dtype=jnp.float64)
+    W.forward()
+    a = W.get_coeff(0)
+    W.set_coeff(np.zeros_like(a), 0)
+    assert np.abs(W.get_coeff(0)).max() == 0
+    W.set_coeff(a, 0)
+    np.testing.assert_array_equal(W.get_coeff(0), a)
+
+
+def test_set_get_image(rng):
+    img = _image(rng)
+    W = Wavelets(nr=64, nc=64, wname="haar", levels=1)
+    W.set_image(img)
+    np.testing.assert_allclose(W.get_image(), img, atol=1e-4)
+    assert W.state == WState.INIT
+
+
+def test_add_wavelet(rng):
+    img = _image(rng)
+    W1 = Wavelets(img, wname="db2", levels=2, dtype=jnp.float64)
+    W2 = Wavelets(img, wname="db2", levels=2, dtype=jnp.float64)
+    W1.forward()
+    W2.forward()
+    W1.add_wavelet(W2, alpha=1.0)  # coefficients doubled
+    out = np.asarray(W1.inverse())
+    assert np.abs(out - 2 * img).max() < 1e-8
+
+
+def test_add_wavelet_mismatch(rng):
+    W1 = Wavelets(_image(rng), wname="db2", levels=2)
+    W2 = Wavelets(_image(rng), wname="db3", levels=2)
+    with pytest.raises(ValueError, match="same transform"):
+        W1.add_wavelet(W2)
+
+
+def test_custom_filters_legall53(rng):
+    """LeGall 5/3 as a custom biorthogonal bank (the reference demo's
+    worked example, src/demo.cpp:141-179)."""
+    dec_lo = np.array([0.0, -1 / 8, 2 / 8, 6 / 8, 2 / 8, -1 / 8])
+    dec_hi = np.array([0.0, -0.5, 1.0, -0.5, 0.0, 0.0])
+    rec_lo = np.array([0.0, 0.5, 1.0, 0.5, 0.0, 0.0])
+    rec_hi = np.array([0.0, -1 / 8, -2 / 8, 6 / 8, -2 / 8, -1 / 8])
+    img = _image(rng)
+    W = Wavelets(img, wname="db2", levels=2, dtype=jnp.float64)
+    W.set_filters_forward("LeGall 5/3", dec_lo, dec_hi)
+    W.set_filters_inverse(rec_lo, rec_hi)
+    assert W.spec.hlen == 6
+    W.forward()
+    out = np.asarray(W.inverse())
+    assert np.abs(out - img).max() < 1e-9
+
+
+def test_custom_filters_too_long(rng):
+    W = Wavelets(_image(rng), wname="db2", levels=1)
+    with pytest.raises(ValueError, match="maximum size"):
+        W.set_filters_forward("big", np.ones(41), np.ones(41))
+
+
+def test_nonseparable_custom_quads(rng):
+    w = get_wavelet("db3")
+    img = _image(rng)
+    W = Wavelets(img, wname="db3", levels=2, do_separable=False,
+                 dtype=jnp.float64)
+    W.forward()
+    out = np.asarray(W.inverse())
+    assert np.abs(out - img).max() < 1e-7  # [0,255] data, table-limited
+
+
+def test_info_and_repr(rng):
+    W = Wavelets(_image(rng), wname="db7", levels=2, do_swt=True)
+    i = W.info()
+    assert i["wavelet"] == "db7"
+    assert i["stationary"]
+    # SWT 2D memory estimate: (3n+4) * Nr * Nc * itemsize
+    # (reference: src/wt.cu:535-539)
+    assert i["estimated_memory_mb"] == pytest.approx(
+        (3 * 2 + 4) * 64 * 64 * 4 / 1e6)
+    assert "db7" in repr(W)
+    W.print_informations()
+
+
+def test_swt_api_roundtrip(rng):
+    img = _image(rng)
+    W = Wavelets(img, wname="sym4", levels=3, do_swt=True, dtype=jnp.float64)
+    W.forward()
+    assert W.get_coeff(1).shape == (64, 64)  # undecimated
+    out = np.asarray(W.inverse())
+    assert np.abs(out - img).max() < 1e-9

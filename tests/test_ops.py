@@ -1,0 +1,155 @@
+"""Thresholding / norms / shift operators vs plain numpy."""
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pdwt_tpu import ops
+from pdwt_tpu.core import separable as S
+from pdwt_tpu.filters import get_wavelet
+
+SQRT2 = math.sqrt(2.0)
+
+
+@pytest.fixture
+def coeffs2d(rng):
+    w = get_wavelet("db3")
+    x = jnp.asarray(rng.standard_normal((32, 32)))
+    return S.dwt2d(x, w, 3)
+
+
+@pytest.fixture
+def coeffs1d(rng):
+    w = get_wavelet("db3")
+    x = jnp.asarray(rng.standard_normal((4, 64)))
+    return S.dwt1d(x, w, 3)
+
+
+def _np_soft(x, b):
+    return np.sign(x) * np.maximum(np.abs(x) - b, 0)
+
+
+def test_soft_threshold_values(coeffs2d):
+    beta = 0.5
+    out = ops.soft_threshold(coeffs2d, beta)
+    for lvl in range(3):
+        for band in range(3):
+            np.testing.assert_allclose(
+                np.asarray(out.details[lvl][band]),
+                _np_soft(np.asarray(coeffs2d.details[lvl][band]), beta),
+                atol=1e-12)
+    # approx untouched by default
+    np.testing.assert_array_equal(np.asarray(out.approx),
+                                  np.asarray(coeffs2d.approx))
+
+
+def test_soft_threshold_appcoeffs_and_normalize(coeffs2d):
+    beta = 0.8
+    out = ops.soft_threshold(coeffs2d, beta, do_thresh_appcoeffs=True,
+                             normalize=True)
+    # level i (1-based) uses beta / sqrt(2)^i (reference: src/common.cu:244)
+    for lvl in range(3):
+        np.testing.assert_allclose(
+            np.asarray(out.details[lvl][0]),
+            _np_soft(np.asarray(coeffs2d.details[lvl][0]),
+                     beta / SQRT2 ** (lvl + 1)),
+            atol=1e-12)
+    # approx uses beta / sqrt(2)^nlevels (reference: src/common.cu:231-234)
+    np.testing.assert_allclose(
+        np.asarray(out.approx),
+        _np_soft(np.asarray(coeffs2d.approx), beta / SQRT2 ** 3),
+        atol=1e-12)
+
+
+def test_hard_threshold(coeffs1d):
+    beta = 0.7
+    out = ops.hard_threshold(coeffs1d, beta)
+    for lvl in range(3):
+        ref = np.asarray(coeffs1d.details[lvl])
+        np.testing.assert_allclose(
+            np.asarray(out.details[lvl]), np.where(np.abs(ref) > beta, ref, 0),
+            atol=1e-12)
+
+
+def test_proj_linf(coeffs2d):
+    beta = 0.3
+    out = ops.proj_linf(coeffs2d, beta)
+    for leaf in jax.tree_util.tree_leaves(out):
+        assert float(jnp.abs(leaf).max()) <= beta + 1e-12
+    # sign preserved
+    h0 = np.asarray(coeffs2d.details[0][0])
+    h0_out = np.asarray(out.details[0][0])
+    mask = np.abs(h0) > 1e-9
+    assert np.all(np.sign(h0[mask]) == np.sign(h0_out[mask]))
+
+
+def test_group_soft_threshold(coeffs2d):
+    beta = 0.4
+    out = ops.group_soft_threshold(coeffs2d, beta, do_thresh_appcoeffs=True)
+    h, v, d = (np.asarray(t) for t in coeffs2d.details[1])
+    norm = np.sqrt(h * h + v * v + d * d)
+    fac = np.where(norm > 0, np.maximum(1 - beta / norm, 0), 0)
+    np.testing.assert_allclose(np.asarray(out.details[1][0]), h * fac,
+                               atol=1e-12)
+    # approx joins the group only at the coarsest level
+    h, v, d = (np.asarray(t) for t in coeffs2d.details[2])
+    a = np.asarray(coeffs2d.approx)
+    norm = np.sqrt(h * h + v * v + d * d + a * a)
+    fac = np.where(norm > 0, np.maximum(1 - beta / norm, 0), 0)
+    np.testing.assert_allclose(np.asarray(out.approx), a * fac, atol=1e-12)
+
+
+def test_shrink(coeffs2d):
+    beta = 1.5
+    out = ops.shrink(coeffs2d, beta)
+    for a, b in zip(jax.tree_util.tree_leaves(out),
+                    jax.tree_util.tree_leaves(coeffs2d)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b) / 2.5,
+                                   atol=1e-12)
+
+
+def test_norms(coeffs2d):
+    leaves = [np.asarray(l) for l in jax.tree_util.tree_leaves(coeffs2d)]
+    n1 = sum(np.abs(l).sum() for l in leaves)
+    n2 = sum((l ** 2).sum() for l in leaves)
+    assert abs(float(ops.norm1(coeffs2d)) - n1) < 1e-8
+    assert abs(float(ops.norm2sq(coeffs2d)) - n2) < 1e-8
+
+
+def test_add_coeffs(coeffs2d):
+    out = ops.add_coeffs(coeffs2d, coeffs2d, alpha=-1.0)
+    for leaf in jax.tree_util.tree_leaves(out):
+        assert float(jnp.abs(leaf).max()) == 0.0
+    out = ops.add_coeffs(coeffs2d, coeffs2d, alpha=2.0)
+    np.testing.assert_allclose(np.asarray(out.approx),
+                               3 * np.asarray(coeffs2d.approx), atol=1e-12)
+
+
+def test_circshift(rng):
+    x = np.arange(12, dtype=np.float64).reshape(3, 4)
+    out = np.asarray(ops.circshift2d(jnp.asarray(x), 1, 2))
+    # out[y,x] = in[(y-1) mod 3, (x-2) mod 4] (reference: src/common.cu:202-211)
+    ref = np.empty_like(x)
+    for y in range(3):
+        for xx in range(4):
+            ref[y, xx] = x[(y - 1) % 3, (xx - 2) % 4]
+    np.testing.assert_array_equal(out, ref)
+    # inverse shift restores
+    back = np.asarray(ops.circshift2d(jnp.asarray(out), -1, -2))
+    np.testing.assert_array_equal(back, x)
+
+
+def test_threshold_norm_pipeline_jits(coeffs2d):
+    """The regularization inner loop (threshold + norm1) as one jitted
+    program — the reference needs 3*levels cublas calls with host syncs
+    (src/wt.cu:398-418); here it is a single device program."""
+
+    @jax.jit
+    def step(c, beta):
+        c = ops.soft_threshold(c, beta)
+        return c, ops.norm1(c)
+
+    c, n = step(coeffs2d, 0.1)
+    assert np.isfinite(float(n))

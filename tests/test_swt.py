@@ -1,0 +1,77 @@
+"""Stationary (undecimated) wavelet transform tests."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import np_oracle as oracle
+from pdwt_tpu.core import separable as S
+from pdwt_tpu.filters import get_wavelet
+
+
+def test_swt2d_perfect_reconstruction(wname, rng):
+    w = get_wavelet(wname)
+    for shape in [(48, 48), (47, 45)]:
+        x = jnp.asarray(rng.standard_normal(shape))
+
+        @jax.jit
+        def roundtrip(x):
+            return S.iswt2d(S.swt2d(x, w, 3), w)
+
+        err = float(jnp.abs(roundtrip(x) - x).max())
+        assert err < 1e-7, (wname, shape, err)
+
+
+def test_swt1d_perfect_reconstruction(wname, rng):
+    w = get_wavelet(wname)
+    for n in (96, 97):
+        x = jnp.asarray(rng.standard_normal((4, n)))
+        xr = S.iswt1d(S.swt1d(x, w, 3), w)
+        err = float(jnp.abs(xr - x).max())
+        assert err < 1e-7, (wname, n, err)
+
+
+def test_swt_sizes_are_undecimated(rng):
+    w = get_wavelet("db3")
+    x = jnp.asarray(rng.standard_normal((30, 41)))
+    c = S.swt2d(x, w, 3)
+    assert c.approx.shape == (30, 41)
+    for det in c.details:
+        for band in det:
+            assert band.shape == (30, 41)
+
+
+def test_swt1d_matches_numpy_oracle(rng):
+    w = get_wavelet("db4")
+    x = rng.standard_normal((3, 50))
+    lo, hi = oracle.swt1_level(x, w.dec_lo, w.dec_hi, level=1)
+    lo2, hi2 = oracle.swt1_level(lo, w.dec_lo, w.dec_hi, level=2)
+    c = S.swt1d(jnp.asarray(x), w, 2)
+    np.testing.assert_allclose(np.asarray(c.details[0]), hi, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(c.details[1]), hi2, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(c.approx), lo2, atol=1e-10)
+
+
+def test_swt_shift_equivariance(rng):
+    """Undecimated transform commutes with circular shifts (the property
+    cycle spinning approximates for the decimated DWT)."""
+    w = get_wavelet("db2")
+    x = jnp.asarray(rng.standard_normal((32, 32)))
+    c_shifted = S.swt2d(jnp.roll(x, (5, 7), (0, 1)), w, 2)
+    c = S.swt2d(x, w, 2)
+    rolled = jax.tree_util.tree_map(
+        lambda t: jnp.roll(t, (5, 7), (-2, -1)), c)
+    err = max(float(jnp.abs(a - b).max()) for a, b in zip(
+        jax.tree_util.tree_leaves(c_shifted), jax.tree_util.tree_leaves(rolled)))
+    assert err < 1e-9
+
+
+def test_swt_deep_levels_dilation_exceeds_size(rng):
+    """Dilated support larger than the signal must still wrap correctly
+    (the reference's single-wrap boundary logic cannot go this deep; the
+    mod-based TPU formulation handles it)."""
+    w = get_wavelet("db2")
+    x = jnp.asarray(rng.standard_normal((8, 16)))
+    c = S.swt2d(x, w, 4)  # level 4: dilation 8, support 25 > 8 rows
+    xr = S.iswt2d(c, w)
+    assert float(jnp.abs(xr - x).max()) < 1e-7
