@@ -1,0 +1,375 @@
+/* pdwt_cpu — native CPU reference engine.  See pdwt_cpu.h.
+ *
+ * Independent implementation of the transform spec (periodic boundary,
+ * analysis center c = hlen/2 (odd) or hlen/2 - 1 (even), synthesis shift
+ * s in the zero-stuffed domain, odd-size virtual extension), written as
+ * plain strided loops with double accumulation.  Not a translation of the
+ * reference CUDA kernels; semantics cross-checked against the JAX engines
+ * in tests/test_native.py.
+ */
+#include "pdwt_cpu.h"
+
+#include <cmath>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+inline int fwd_center(int hlen) {
+  return (hlen % 2) ? hlen / 2 : hlen / 2 - 1;
+}
+
+inline int inv_shift(int hlen) {
+  int h2 = hlen / 2, c2 = h2 / 2;
+  return (h2 % 2) ? 2 * c2 + 1 : 2 * c2;
+}
+
+inline long imod(long i, long n) {
+  long r = i % n;
+  return r < 0 ? r + n : r;
+}
+
+/* Generic strided single-axis decimated analysis.
+ * in: n_other lines of length n_along (stride_along between elements,
+ * stride_other between lines); out lines of length (n_along+1)/2. */
+void analysis_axis(const float *in, int n_along, int n_other,
+                   long in_sa, long in_so,
+                   const double *lo, const double *hi, int hlen,
+                   float *out_lo, float *out_hi, long out_sa, long out_so) {
+  const int ne = n_along + (n_along % 2); /* virtual even extension */
+  const int m = ne / 2;
+  const int c = fwd_center(hlen);
+  for (int r = 0; r < n_other; ++r) {
+    const float *row = in + (long)r * in_so;
+    float *olo = out_lo + (long)r * out_so;
+    float *ohi = out_hi + (long)r * out_so;
+    for (int t = 0; t < m; ++t) {
+      double acc_l = 0.0, acc_h = 0.0;
+      for (int j = 0; j < hlen; ++j) {
+        long idx = imod(2L * t - c + j, ne);
+        if (idx >= n_along) idx = n_along - 1; /* repeat last element */
+        double v = row[idx * in_sa];
+        acc_l += lo[hlen - 1 - j] * v;
+        acc_h += hi[hlen - 1 - j] * v;
+      }
+      olo[t * out_sa] = (float)acc_l;
+      ohi[t * out_sa] = (float)acc_h;
+    }
+  }
+}
+
+/* Generic strided single-axis decimated synthesis: combine lo/hi lines of
+ * length m into out lines of length out_len (2m-1 or 2m). */
+void synthesis_axis(const float *lo_in, const float *hi_in, int m,
+                    int n_other, long in_sa, long in_so,
+                    const double *rec_lo, const double *rec_hi, int hlen,
+                    int out_len, float *out, long out_sa, long out_so) {
+  const int s = inv_shift(hlen);
+  const long two_m = 2L * m;
+  for (int r = 0; r < n_other; ++r) {
+    const float *rl = lo_in + (long)r * in_so;
+    const float *rh = hi_in + (long)r * in_so;
+    float *orow = out + (long)r * out_so;
+    for (int g = 0; g < out_len; ++g) {
+      double acc = 0.0;
+      for (int j = 0; j < hlen; ++j) {
+        long u = imod((long)g - s + j, two_m);
+        if (u % 2 == 0) { /* zero-stuffed: odd positions are zero */
+          long t = u / 2;
+          acc += rec_lo[hlen - 1 - j] * rl[t * in_sa] +
+                 rec_hi[hlen - 1 - j] * rh[t * in_sa];
+        }
+      }
+      orow[g * out_sa] = (float)acc;
+    }
+  }
+}
+
+/* A-trous analysis along one axis at dilation f (full size, periodic). */
+void swt_analysis_axis(const float *in, int n_along, int n_other,
+                       long in_sa, long in_so,
+                       const double *lo, const double *hi, int hlen, int f,
+                       float *out_lo, float *out_hi, long out_sa,
+                       long out_so) {
+  const long c = (long)fwd_center(hlen) * f;
+  for (int r = 0; r < n_other; ++r) {
+    const float *row = in + (long)r * in_so;
+    float *olo = out_lo + (long)r * out_so;
+    float *ohi = out_hi + (long)r * out_so;
+    for (int t = 0; t < n_along; ++t) {
+      double acc_l = 0.0, acc_h = 0.0;
+      for (int j = 0; j < hlen; ++j) {
+        long idx = imod((long)t - c + (long)f * j, n_along);
+        double v = row[idx * in_sa];
+        acc_l += lo[hlen - 1 - j] * v;
+        acc_h += hi[hlen - 1 - j] * v;
+      }
+      olo[t * out_sa] = (float)acc_l;
+      ohi[t * out_sa] = (float)acc_h;
+    }
+  }
+}
+
+/* A-trous synthesis along one axis (1/2 factor folded in). */
+void swt_synthesis_axis(const float *lo_in, const float *hi_in, int n_along,
+                        int n_other, long in_sa, long in_so,
+                        const double *rec_lo, const double *rec_hi, int hlen,
+                        int f, float *out, long out_sa, long out_so) {
+  const long c = (long)(hlen / 2) * f;
+  for (int r = 0; r < n_other; ++r) {
+    const float *rl = lo_in + (long)r * in_so;
+    const float *rh = hi_in + (long)r * in_so;
+    float *orow = out + (long)r * out_so;
+    for (int t = 0; t < n_along; ++t) {
+      double acc = 0.0;
+      for (int j = 0; j < hlen; ++j) {
+        long idx = imod((long)t - c + (long)f * j, n_along);
+        acc += rec_lo[hlen - 1 - j] * rl[idx * in_sa] +
+               rec_hi[hlen - 1 - j] * rh[idx * in_sa];
+      }
+      orow[t * out_sa] = (float)(0.5 * acc);
+    }
+  }
+}
+
+} // namespace
+
+extern "C" {
+
+int pdwt_div2(int n) { return (n + 1) / 2; }
+
+int pdwt_max_level(int min_dim, int hlen) {
+  int v = (hlen > 1) ? min_dim / (hlen - 1) : min_dim;
+  int l = 0;
+  while (v >= 2) {
+    v >>= 1;
+    ++l;
+  }
+  return l;
+}
+
+int pdwt_dwt1_level(const float *x, int batch, int n, const double *dec_lo,
+                    const double *dec_hi, int hlen, float *out_lo,
+                    float *out_hi) {
+  if (!x || !out_lo || !out_hi || n < 1 || batch < 1 || hlen < 2) return 1;
+  analysis_axis(x, n, batch, 1, n, dec_lo, dec_hi, hlen, out_lo, out_hi, 1,
+                pdwt_div2(n));
+  return 0;
+}
+
+int pdwt_idwt1_level(const float *lo, const float *hi, int batch, int m,
+                     const double *rec_lo, const double *rec_hi, int hlen,
+                     int out_len, float *out) {
+  if (!lo || !hi || !out || m < 1 || batch < 1) return 1;
+  if (out_len != 2 * m && out_len != 2 * m - 1) return 2;
+  synthesis_axis(lo, hi, m, batch, 1, m, rec_lo, rec_hi, hlen, out_len, out,
+                 1, out_len);
+  return 0;
+}
+
+int pdwt_swt1_level(const float *x, int batch, int n, const double *dec_lo,
+                    const double *dec_hi, int hlen, int level, float *out_lo,
+                    float *out_hi) {
+  if (!x || !out_lo || !out_hi || level < 1) return 1;
+  swt_analysis_axis(x, n, batch, 1, n, dec_lo, dec_hi, hlen, 1 << (level - 1),
+                    out_lo, out_hi, 1, n);
+  return 0;
+}
+
+int pdwt_iswt1_level(const float *lo, const float *hi, int batch, int n,
+                     const double *rec_lo, const double *rec_hi, int hlen,
+                     int level, float *out) {
+  if (!lo || !hi || !out || level < 1) return 1;
+  swt_synthesis_axis(lo, hi, n, batch, 1, n, rec_lo, rec_hi, hlen,
+                     1 << (level - 1), out, 1, n);
+  return 0;
+}
+
+int pdwt_forward2d(const float *img, int nr, int nc, const double *dec_lo,
+                   const double *dec_hi, int hlen, int levels, int swt,
+                   float **coeffs) {
+  if (!img || !coeffs || levels < 1) return 1;
+  std::vector<float> a(img, img + (long)nr * nc);
+  int r = nr, c = nc;
+  for (int l = 1; l <= levels; ++l) {
+    if (!swt) {
+      const int c2 = pdwt_div2(c), r2 = pdwt_div2(r);
+      /* pass 1 along columns (x), decimate cols */
+      std::vector<float> tlo((long)r * c2), thi((long)r * c2);
+      analysis_axis(a.data(), c, r, 1, c, dec_lo, dec_hi, hlen, tlo.data(),
+                    thi.data(), 1, c2);
+      /* pass 2 along rows (y), decimate rows; strided axis = rows */
+      std::vector<float> anew((long)r2 * c2);
+      float *H = coeffs[3 * (l - 1) + 1];
+      float *V = coeffs[3 * (l - 1) + 2];
+      float *D = coeffs[3 * (l - 1) + 3];
+      analysis_axis(tlo.data(), r, c2, c2, 1, dec_lo, dec_hi, hlen,
+                    anew.data(), H, c2, 1);
+      analysis_axis(thi.data(), r, c2, c2, 1, dec_lo, dec_hi, hlen, V, D, c2,
+                    1);
+      a.swap(anew);
+      r = r2;
+      c = c2;
+    } else {
+      const int f = 1 << (l - 1);
+      std::vector<float> tlo((long)r * c), thi((long)r * c);
+      swt_analysis_axis(a.data(), c, r, 1, c, dec_lo, dec_hi, hlen, f,
+                        tlo.data(), thi.data(), 1, c);
+      std::vector<float> anew((long)r * c);
+      float *H = coeffs[3 * (l - 1) + 1];
+      float *V = coeffs[3 * (l - 1) + 2];
+      float *D = coeffs[3 * (l - 1) + 3];
+      swt_analysis_axis(tlo.data(), r, c, c, 1, dec_lo, dec_hi, hlen, f,
+                        anew.data(), H, c, 1);
+      swt_analysis_axis(thi.data(), r, c, c, 1, dec_lo, dec_hi, hlen, f, V, D,
+                        c, 1);
+      a.swap(anew);
+    }
+  }
+  std::memcpy(coeffs[0], a.data(), a.size() * sizeof(float));
+  return 0;
+}
+
+int pdwt_inverse2d(float *const *coeffs, int nr, int nc, const double *rec_lo,
+                   const double *rec_hi, int hlen, int levels, int swt,
+                   float *img_out) {
+  if (!coeffs || !img_out || levels < 1) return 1;
+  /* per-level size tables (top size first) */
+  std::vector<int> rs(levels + 1), cs(levels + 1);
+  rs[0] = nr;
+  cs[0] = nc;
+  for (int i = 1; i <= levels; ++i) {
+    rs[i] = swt ? nr : pdwt_div2(rs[i - 1]);
+    cs[i] = swt ? nc : pdwt_div2(cs[i - 1]);
+  }
+  std::vector<float> a(coeffs[0],
+                       coeffs[0] + (long)rs[levels] * cs[levels]);
+  for (int l = levels; l >= 1; --l) {
+    const int mr = rs[l], mc = cs[l];       /* subband size at this level */
+    const int orr = rs[l - 1], oc = cs[l - 1]; /* output size */
+    const float *H = coeffs[3 * (l - 1) + 1];
+    const float *V = coeffs[3 * (l - 1) + 2];
+    const float *D = coeffs[3 * (l - 1) + 3];
+    if (!swt) {
+      /* pass 1: combine (A,H) and (V,D) along rows (y) -> t1, t2 */
+      std::vector<float> t1((long)orr * mc), t2((long)orr * mc);
+      synthesis_axis(a.data(), H, mr, mc, mc, 1, rec_lo, rec_hi, hlen, orr,
+                     t1.data(), mc, 1);
+      synthesis_axis(V, D, mr, mc, mc, 1, rec_lo, rec_hi, hlen, orr,
+                     t2.data(), mc, 1);
+      /* pass 2: combine (t1,t2) along columns (x) */
+      std::vector<float> anew((long)orr * oc);
+      synthesis_axis(t1.data(), t2.data(), mc, orr, 1, mc, rec_lo, rec_hi,
+                     hlen, oc, anew.data(), 1, oc);
+      a.swap(anew);
+    } else {
+      const int f = 1 << (l - 1);
+      std::vector<float> t1((long)orr * mc), t2((long)orr * mc);
+      swt_synthesis_axis(a.data(), H, mr, mc, mc, 1, rec_lo, rec_hi, hlen, f,
+                         t1.data(), mc, 1);
+      swt_synthesis_axis(V, D, mr, mc, mc, 1, rec_lo, rec_hi, hlen, f,
+                         t2.data(), mc, 1);
+      std::vector<float> anew((long)orr * oc);
+      swt_synthesis_axis(t1.data(), t2.data(), mc, orr, 1, mc, rec_lo, rec_hi,
+                         hlen, f, anew.data(), 1, oc);
+      a.swap(anew);
+    }
+  }
+  std::memcpy(img_out, a.data(), (long)nr * nc * sizeof(float));
+  return 0;
+}
+
+int pdwt_forward1d(const float *x, int batch, int n, const double *dec_lo,
+                   const double *dec_hi, int hlen, int levels, int swt,
+                   float **coeffs) {
+  if (!x || !coeffs || levels < 1) return 1;
+  std::vector<float> a(x, x + (long)batch * n);
+  int m = n;
+  for (int l = 1; l <= levels; ++l) {
+    if (!swt) {
+      const int m2 = pdwt_div2(m);
+      std::vector<float> anew((long)batch * m2);
+      analysis_axis(a.data(), m, batch, 1, m, dec_lo, dec_hi, hlen,
+                    anew.data(), coeffs[l], 1, m2);
+      a.swap(anew);
+      m = m2;
+    } else {
+      std::vector<float> anew((long)batch * m);
+      swt_analysis_axis(a.data(), m, batch, 1, m, dec_lo, dec_hi, hlen,
+                        1 << (l - 1), anew.data(), coeffs[l], 1, m);
+      a.swap(anew);
+    }
+  }
+  std::memcpy(coeffs[0], a.data(), a.size() * sizeof(float));
+  return 0;
+}
+
+int pdwt_inverse1d(float *const *coeffs, int batch, int n,
+                   const double *rec_lo, const double *rec_hi, int hlen,
+                   int levels, int swt, float *out) {
+  if (!coeffs || !out || levels < 1) return 1;
+  std::vector<int> sz(levels + 1);
+  sz[0] = n;
+  for (int i = 1; i <= levels; ++i) sz[i] = swt ? n : pdwt_div2(sz[i - 1]);
+  std::vector<float> a(coeffs[0], coeffs[0] + (long)batch * sz[levels]);
+  for (int l = levels; l >= 1; --l) {
+    const int m = sz[l], ol = sz[l - 1];
+    std::vector<float> anew((long)batch * ol);
+    if (!swt) {
+      synthesis_axis(a.data(), coeffs[l], m, batch, 1, m, rec_lo, rec_hi,
+                     hlen, ol, anew.data(), 1, ol);
+    } else {
+      swt_synthesis_axis(a.data(), coeffs[l], m, batch, 1, m, rec_lo, rec_hi,
+                         hlen, 1 << (l - 1), anew.data(), 1, ol);
+    }
+    a.swap(anew);
+  }
+  std::memcpy(out, a.data(), (long)batch * n * sizeof(float));
+  return 0;
+}
+
+void pdwt_soft_threshold(float *x, long n, float beta) {
+  for (long i = 0; i < n; ++i) {
+    float v = x[i];
+    float m = std::fabs(v) - beta;
+    x[i] = (m > 0.f) ? (v < 0.f ? -m : m) : 0.f;
+  }
+}
+
+void pdwt_hard_threshold(float *x, long n, float beta) {
+  for (long i = 0; i < n; ++i)
+    if (std::fabs(x[i]) <= beta) x[i] = 0.f;
+}
+
+void pdwt_proj_linf(float *x, long n, float beta) {
+  for (long i = 0; i < n; ++i) {
+    float v = x[i];
+    float m = std::fabs(v) < beta ? std::fabs(v) : beta;
+    x[i] = v < 0.f ? -m : m;
+  }
+}
+
+double pdwt_norm1(const float *x, long n) {
+  double s = 0.0;
+  for (long i = 0; i < n; ++i) s += std::fabs((double)x[i]);
+  return s;
+}
+
+double pdwt_norm2sq(const float *x, long n) {
+  double s = 0.0;
+  for (long i = 0; i < n; ++i) s += (double)x[i] * (double)x[i];
+  return s;
+}
+
+int pdwt_circshift2d(const float *in, float *out, int nr, int nc, int sr,
+                     int sc) {
+  if (!in || !out || in == out) return 1;
+  for (int r = 0; r < nr; ++r) {
+    const int r2 = (int)imod(r + sr, nr);
+    for (int c = 0; c < nc; ++c)
+      out[(long)r2 * nc + imod(c + sc, nc)] = in[(long)r * nc + c];
+  }
+  return 0;
+}
+
+} /* extern "C" */

@@ -1,0 +1,92 @@
+/* pdwt_cpu — native CPU reference engine for the TPU wavelet framework.
+ *
+ * Implements the exact transform index semantics of the JAX engines
+ * (see pdwt_tpu/core/conv.py docstring; derived from the reference CUDA
+ * kernels, /root/reference/src/separable.cu:91-328,409-626) with double
+ * accumulation, as the high-accuracy native oracle + standalone CLI
+ * backend.  The reference's native components (its CUDA library) get this
+ * native CPU equivalent; the TPU path is the JAX/XLA engine.
+ *
+ * All functions return 0 on success, nonzero on argument errors.
+ * Coefficient buffers are caller-allocated; sizes follow the decimation
+ * rule n -> (n+1)/2 per level (odd sizes round up; reference:
+ * /root/reference/src/utils.cu:23-27), or stay full-size for SWT.
+ */
+#ifndef PDWT_CPU_H
+#define PDWT_CPU_H
+
+#ifdef __cplusplus
+extern "C" {
+#endif
+
+/* ---- single-level 1D primitives (batched over rows) ---- */
+
+/* Decimated analysis: x (batch, n) row-major -> out_lo/out_hi
+ * (batch, (n+1)/2).  Periodic boundary; odd n virtually extends by
+ * repeating the last element. */
+int pdwt_dwt1_level(const float *x, int batch, int n,
+                    const double *dec_lo, const double *dec_hi, int hlen,
+                    float *out_lo, float *out_hi);
+
+/* Decimated synthesis: lo/hi (batch, m) -> out (batch, out_len),
+ * out_len in {2m-1, 2m}. */
+int pdwt_idwt1_level(const float *lo, const float *hi, int batch, int m,
+                     const double *rec_lo, const double *rec_hi, int hlen,
+                     int out_len, float *out);
+
+/* A-trous analysis at `level` >= 1 (dilation 2^(level-1)), full size. */
+int pdwt_swt1_level(const float *x, int batch, int n,
+                    const double *dec_lo, const double *dec_hi, int hlen,
+                    int level, float *out_lo, float *out_hi);
+
+/* A-trous synthesis (includes the 1/2 normalization per pass). */
+int pdwt_iswt1_level(const float *lo, const float *hi, int batch, int n,
+                     const double *rec_lo, const double *rec_hi, int hlen,
+                     int level, float *out);
+
+/* ---- multi-level drivers ---- */
+
+/* 2D forward: img (nr, nc) row-major.  coeffs is an array of
+ * 3*levels + 1 caller-allocated pointers laid out [A_n, H1, V1, D1, ...,
+ * Hn, Vn, Dn] (the reference buffer layout,
+ * /root/reference/src/common.cu:400-445).  H = highpass along rows.
+ * swt != 0 keeps full size per level. */
+int pdwt_forward2d(const float *img, int nr, int nc,
+                   const double *dec_lo, const double *dec_hi, int hlen,
+                   int levels, int swt, float **coeffs);
+
+int pdwt_inverse2d(float *const *coeffs, int nr, int nc,
+                   const double *rec_lo, const double *rec_hi, int hlen,
+                   int levels, int swt, float *img_out);
+
+/* 1D forward, batched over rows: x (batch, n).  coeffs = levels + 1
+ * pointers [A_n, D1, ..., Dn], each (batch, size_l). */
+int pdwt_forward1d(const float *x, int batch, int n,
+                   const double *dec_lo, const double *dec_hi, int hlen,
+                   int levels, int swt, float **coeffs);
+
+int pdwt_inverse1d(float *const *coeffs, int batch, int n,
+                   const double *rec_lo, const double *rec_hi, int hlen,
+                   int levels, int swt, float *out);
+
+/* ---- elementwise ops (in place) ---- */
+
+void pdwt_soft_threshold(float *x, long n, float beta);
+void pdwt_hard_threshold(float *x, long n, float beta);
+void pdwt_proj_linf(float *x, long n, float beta);
+double pdwt_norm1(const float *x, long n);
+double pdwt_norm2sq(const float *x, long n);
+
+/* Circular shift of a (nr, nc) image by (sr, sc); out != in. */
+int pdwt_circshift2d(const float *in, float *out, int nr, int nc,
+                     int sr, int sc);
+
+/* ---- misc ---- */
+
+int pdwt_div2(int n);                     /* (n+1)/2 */
+int pdwt_max_level(int min_dim, int hlen);
+
+#ifdef __cplusplus
+}
+#endif
+#endif /* PDWT_CPU_H */

@@ -6,9 +6,20 @@ inverse, separable and non-separable, periodic boundary extension on
 arbitrary (including odd) sizes, a 72-wavelet filter bank plus custom
 filters, batched 1D transforms, thresholding / proximal operators, norms,
 cycle spinning, and multi-chip sharded execution over a
-``jax.sharding.Mesh``.
+``jax.sharding.Mesh`` with ring halo exchange (see :mod:`pdwt_tpu.parallel`).
+
+Layers:
+
+* ``filters``  — the 72-wavelet bank + custom filter constructors
+* ``core``     — functional transforms (jnp/fma backends, pad-pluggable)
+* ``ops``      — thresholds, norms, algebra, shifts
+* ``api``      — the PDWT-style stateful ``Wavelets`` facade
+* ``parallel`` — meshes, halo exchange, shard_map'd transforms
+* ``models``   — translation-invariant denoising pipelines
+* ``native``   — ctypes bindings to the C++ CPU engine (cpp/)
+* ``utils``    — raw .dat I/O helpers
 """
-from . import core, filters, ops
+from . import core, filters, models, ops, parallel, utils
 from .api import Wavelets, WaveletSpec
 from .filters import (
     Wavelet,
@@ -19,11 +30,11 @@ from .filters import (
     register_wavelet,
 )
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 __all__ = [
     "Wavelets", "WaveletSpec", "Wavelet",
     "get_wavelet", "list_wavelets", "make_custom_wavelet",
     "register_wavelet", "quad_filters",
-    "core", "filters", "ops",
+    "core", "filters", "models", "ops", "parallel", "utils",
 ]

@@ -177,6 +177,18 @@ class Wavelets:
             img = jnp.zeros((nr, nc), dtype=self._dtype)
         self.d_image = img if ndim == 2 else img.reshape(nr, nc)
         self._coeffs = self._zero_coeffs()
+        # jit cache for the transform pipelines: the reference launches
+        # hand-written kernels per level (src/wt.cu:247-266); here each
+        # configuration compiles ONCE into a single fused XLA program —
+        # eager per-op dispatch would be a host round-trip per slice.
+        self._jit_cache: dict = {}
+
+    def _jitted(self, key, make):
+        fn = self._jit_cache.get(key)
+        if fn is None:
+            fn = jax.jit(make())
+            self._jit_cache[key] = fn
+        return fn
 
     # ------------------------------------------------------------------
     # properties / bookkeeping
@@ -228,42 +240,52 @@ class Wavelets:
             raise ValueError("no forward filters set")
         return self._wavelet
 
+    def _make_forward_fn(self):
+        """One jitted program: (optional circshift) + full multi-level
+        analysis (reference dispatch: src/wt.cu:247-266)."""
+        s = self.spec
+        w = self._wavelet
+        quads = self._quads_fwd
+        be = self._backend
+
+        def fn(img, sr, sc):
+            if s.do_cycle_spinning:
+                img = ops.circshift2d(img, sr, sc)
+            if s.ndim == 1:
+                if s.hlen == 2 and not s.do_swt:
+                    return haar_core.haar_dwt1d(img, s.nlevels)
+                if not s.do_swt:
+                    return sep_core.dwt1d(img, w, s.nlevels, backend=be)
+                return sep_core.swt1d(img, w, s.nlevels, backend=be)
+            if s.hlen == 2 and not s.do_swt and s.do_separable:
+                return haar_core.haar_dwt2d(img, s.nlevels)
+            if s.do_separable:
+                if not s.do_swt:
+                    return sep_core.dwt2d(img, w, s.nlevels, backend=be)
+                return sep_core.swt2d(img, w, s.nlevels, backend=be)
+            if quads is None:
+                raise ValueError("no forward quad filters set")
+            if not s.do_swt:
+                return ns_core.dwt2d_ns(img, quads, s.nlevels)
+            return ns_core.swt2d_ns(img, quads, s.nlevels)
+
+        return fn
+
     def forward(self):
         """Compute the coefficient pytree from the current image
         (reference: src/wt.cu:236-271)."""
         s = self.spec
-        img = self.d_image
         if s.do_cycle_spinning:
             # host-side draw like the reference's rand() (src/wt.cu:243-244),
-            # but from a seeded generator; shift itself runs on device.
+            # but from a seeded generator; shift itself runs on device
+            # (traced args -> no recompile per draw).
             self.current_shift_r = int(self._rng.integers(0, s.nr))
             self.current_shift_c = int(self._rng.integers(0, s.nc))
-            img = ops.circshift2d(img, self.current_shift_r, self.current_shift_c)
-
-        w = self._fwd_wavelet()
-        be = self._backend
-        if s.ndim == 1:
-            if s.hlen == 2 and not s.do_swt:
-                self._coeffs = haar_core.haar_dwt1d(img, s.nlevels)
-            elif not s.do_swt:
-                self._coeffs = sep_core.dwt1d(img, w, s.nlevels, backend=be)
-            else:
-                self._coeffs = sep_core.swt1d(img, w, s.nlevels, backend=be)
-        else:
-            if s.hlen == 2 and not s.do_swt and s.do_separable:
-                self._coeffs = haar_core.haar_dwt2d(img, s.nlevels)
-            elif s.do_separable:
-                if not s.do_swt:
-                    self._coeffs = sep_core.dwt2d(img, w, s.nlevels, backend=be)
-                else:
-                    self._coeffs = sep_core.swt2d(img, w, s.nlevels, backend=be)
-            else:
-                if self._quads_fwd is None:
-                    raise ValueError("no forward quad filters set")
-                if not s.do_swt:
-                    self._coeffs = ns_core.dwt2d_ns(img, self._quads_fwd, s.nlevels)
-                else:
-                    self._coeffs = ns_core.swt2d_ns(img, self._quads_fwd, s.nlevels)
+        key = ("fwd", s, self._wavelet, None if self._quads_fwd is None
+               else self._quads_fwd.tobytes())
+        fn = self._jitted(key, self._make_forward_fn)
+        self._coeffs = fn(self.d_image, self.current_shift_r,
+                          self.current_shift_c)
         self.state = WState.FORWARD
         return self._coeffs
 
@@ -283,31 +305,41 @@ class Wavelets:
         s = self.spec
         w = self._wavelet
         be = self._backend
-        c = self._coeffs
-        if s.ndim == 1:
-            if s.hlen == 2 and not s.do_swt:
-                img = haar_core.haar_idwt1d(c, s.nc)
-            elif not s.do_swt:
-                img = sep_core.idwt1d(c, w, s.nc, backend=be)
-            else:
-                img = sep_core.iswt1d(c, w, backend=be)
-        else:
-            if s.hlen == 2 and not s.do_swt and s.do_separable:
-                img = haar_core.haar_idwt2d(c, s.shape)
-            elif s.do_separable:
-                if not s.do_swt:
-                    img = sep_core.idwt2d(c, w, s.shape, backend=be)
+        quads = self._quads_inv
+
+        def make():
+            def fn(c, sr, sc):
+                if s.ndim == 1:
+                    if s.hlen == 2 and not s.do_swt:
+                        img = haar_core.haar_idwt1d(c, s.nc)
+                    elif not s.do_swt:
+                        img = sep_core.idwt1d(c, w, s.nc, backend=be)
+                    else:
+                        img = sep_core.iswt1d(c, w, backend=be)
                 else:
-                    img = sep_core.iswt2d(c, w, backend=be)
-            else:
-                if self._quads_inv is None:
-                    raise ValueError("no inverse quad filters set")
-                if not s.do_swt:
-                    img = ns_core.idwt2d_ns(c, self._quads_inv, s.shape)
-                else:
-                    img = ns_core.iswt2d_ns(c, self._quads_inv)
-        if s.do_cycle_spinning:
-            img = ops.circshift2d(img, -self.current_shift_r, -self.current_shift_c)
+                    if s.hlen == 2 and not s.do_swt and s.do_separable:
+                        img = haar_core.haar_idwt2d(c, s.shape)
+                    elif s.do_separable:
+                        if not s.do_swt:
+                            img = sep_core.idwt2d(c, w, s.shape, backend=be)
+                        else:
+                            img = sep_core.iswt2d(c, w, backend=be)
+                    else:
+                        if quads is None:
+                            raise ValueError("no inverse quad filters set")
+                        if not s.do_swt:
+                            img = ns_core.idwt2d_ns(c, quads, s.shape)
+                        else:
+                            img = ns_core.iswt2d_ns(c, quads)
+                if s.do_cycle_spinning:
+                    img = ops.circshift2d(img, -sr, -sc)
+                return img
+
+            return fn
+
+        key = ("inv", s, w, None if quads is None else quads.tobytes())
+        img = self._jitted(key, make)(
+            self._coeffs, self.current_shift_r, self.current_shift_c)
         self.d_image = img
         self.state = WState.INVERSE
         return img
@@ -320,41 +352,56 @@ class Wavelets:
                        normalize: bool = False):
         if not self._check_not_inverse("threshold coefficients"):
             return
-        self._coeffs = ops.soft_threshold(
-            self._coeffs, beta, do_thresh_appcoeffs=do_thresh_appcoeffs,
-            normalize=normalize)
+        fn = self._jitted(
+            ("soft", do_thresh_appcoeffs, normalize, self.spec),
+            lambda: partial(ops.soft_threshold,
+                            do_thresh_appcoeffs=do_thresh_appcoeffs,
+                            normalize=normalize))
+        self._coeffs = fn(self._coeffs, beta)
         self.state = WState.THRESHOLD
 
     def hard_threshold(self, beta, do_thresh_appcoeffs: bool = False,
                        normalize: bool = False):
         if not self._check_not_inverse("threshold coefficients"):
             return
-        self._coeffs = ops.hard_threshold(
-            self._coeffs, beta, do_thresh_appcoeffs=do_thresh_appcoeffs,
-            normalize=normalize)
+        fn = self._jitted(
+            ("hard", do_thresh_appcoeffs, normalize, self.spec),
+            lambda: partial(ops.hard_threshold,
+                            do_thresh_appcoeffs=do_thresh_appcoeffs,
+                            normalize=normalize))
+        self._coeffs = fn(self._coeffs, beta)
         self.state = WState.THRESHOLD
 
     def group_soft_threshold(self, beta, do_thresh_appcoeffs: bool = False,
                              normalize: bool = False):
         if not self._check_not_inverse("threshold coefficients"):
             return
-        self._coeffs = ops.group_soft_threshold(
-            self._coeffs, beta, do_thresh_appcoeffs=do_thresh_appcoeffs,
-            normalize=normalize)
+        fn = self._jitted(
+            ("group", do_thresh_appcoeffs, normalize, self.spec),
+            lambda: partial(ops.group_soft_threshold,
+                            do_thresh_appcoeffs=do_thresh_appcoeffs,
+                            normalize=normalize))
+        self._coeffs = fn(self._coeffs, beta)
         self.state = WState.THRESHOLD
 
     def shrink(self, beta, do_thresh_appcoeffs: bool = True):
         if not self._check_not_inverse("shrink coefficients"):
             return
-        self._coeffs = ops.shrink(
-            self._coeffs, beta, do_thresh_appcoeffs=do_thresh_appcoeffs)
+        fn = self._jitted(
+            ("shrink", do_thresh_appcoeffs, self.spec),
+            lambda: partial(ops.shrink,
+                            do_thresh_appcoeffs=do_thresh_appcoeffs))
+        self._coeffs = fn(self._coeffs, beta)
         self.state = WState.THRESHOLD
 
     def proj_linf(self, beta, do_thresh_appcoeffs: bool = True):
         if not self._check_not_inverse("project coefficients"):
             return
-        self._coeffs = ops.proj_linf(
-            self._coeffs, beta, do_thresh_appcoeffs=do_thresh_appcoeffs)
+        fn = self._jitted(
+            ("linf", do_thresh_appcoeffs, self.spec),
+            lambda: partial(ops.proj_linf,
+                            do_thresh_appcoeffs=do_thresh_appcoeffs))
+        self._coeffs = fn(self._coeffs, beta)
         self.state = WState.THRESHOLD
 
     # ------------------------------------------------------------------
@@ -362,17 +409,23 @@ class Wavelets:
     # ------------------------------------------------------------------
 
     def norm1(self) -> float:
-        return float(ops.norm1(self._coeffs))
+        return float(self._jitted(("norm1", self.spec),
+                                  lambda: ops.norm1)(self._coeffs))
 
     def norm2sq(self) -> float:
-        return float(ops.norm2sq(self._coeffs))
+        return float(self._jitted(("norm2sq", self.spec),
+                                  lambda: ops.norm2sq)(self._coeffs))
 
     def circshift(self, sr: int, sc: int):
         """Circular shift of the image in place (reference: src/wt.cu:366-368)."""
         if self.spec.ndim == 1:
-            self.d_image = ops.circshift1d(self.d_image, sc)
+            self.d_image = self._jitted(
+                ("shift1", self.spec), lambda: ops.circshift1d)(
+                self.d_image, sc)
         else:
-            self.d_image = ops.circshift2d(self.d_image, sr, sc)
+            self.d_image = self._jitted(
+                ("shift2", self.spec), lambda: ops.circshift2d)(
+                self.d_image, sr, sc)
 
     def add_wavelet(self, other: "Wavelets", alpha=1.0):
         """In-place coefficient axpy: self += alpha * other
@@ -397,7 +450,9 @@ class Wavelets:
                 != (other.current_shift_r, other.current_shift_c)):
             raise ValueError("add_wavelet(): operands do not have the same "
                              "current shift")
-        self._coeffs = ops.add_coeffs(self._coeffs, other._coeffs, alpha)
+        self._coeffs = self._jitted(
+            ("axpy", self.spec), lambda: ops.add_coeffs)(
+            self._coeffs, other._coeffs, alpha)
         return 0
 
     # ------------------------------------------------------------------

@@ -25,15 +25,25 @@ pass scaled by factor; synthesis uses c = hlen//2 (both parities,
 reference: src/separable.cu:559-568) scaled by factor, and halves the taps
 per pass (reference: src/separable.cu:581-584).
 
-Everything operates on NCHW arrays.  Two interchangeable backends:
+Everything operates on NCHW arrays.  Three interchangeable backends:
 
-* ``xla``   — periodic padding + ``lax.conv_general_dilated`` (grouped
-              convolutions compute all subbands of a pass in one op, which
-              XLA fuses and tiles for the TPU).
+* ``fma``   — the TPU-native path (default): polyphase decomposition into
+              contiguous slices + tap-by-tap FMA.  A wavelet filter pass is
+              a short FIR over a huge array — pure VPU streaming work that
+              XLA fuses into a single memory-bound kernel.  The TPU conv
+              unit is useless here (C=1, K=2 grouped convs lower ~1000x
+              off speed-of-light), so unlike the reference's one-thread-
+              per-output convolution loops this formulation never forms
+              windows at all: decimation becomes an even/odd parity split
+              (contiguous slices), and the inverse's zero-stuffed polyphase
+              becomes per-parity half-filters recombined by interleaving.
+* ``xla``   — periodic padding + ``lax.conv_general_dilated`` (kept as a
+              correctness cross-check and for platforms where the conv
+              lowering is good).
 * ``gather`` — take()-based windows + tensordot; shape-agnostic oracle used
               for cross-checking and as a CPU fallback.
 
-Both produce bit-identical index semantics; tests assert their equality.
+All produce bit-identical index semantics; tests assert their equality.
 """
 from __future__ import annotations
 
@@ -45,19 +55,27 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-_BACKENDS = ("xla", "gather")
-_default_backend = "xla"
+_BACKENDS = ("fma", "xla", "gather")
+# None = auto: "fma" on TPU (the conv unit is ~1000x off speed-of-light
+# for C=1 filter passes), "xla" elsewhere (CPU conv lowers well and the
+# unrolled fma graphs compile slowly there).  Override with the
+# PDWT_TPU_BACKEND env var or set_default_backend().
+_default_backend: Optional[str] = (
+    __import__("os").environ.get("PDWT_TPU_BACKEND") or None
+)
 
 
-def set_default_backend(name: str) -> None:
+def set_default_backend(name: Optional[str]) -> None:
     global _default_backend
-    if name not in _BACKENDS:
+    if name is not None and name not in _BACKENDS:
         raise ValueError(f"unknown backend {name!r}; expected one of {_BACKENDS}")
     _default_backend = name
 
 
 def get_default_backend() -> str:
-    return _default_backend
+    if _default_backend is not None:
+        return _default_backend
+    return "fma" if jax.default_backend() == "tpu" else "xla"
 
 
 def fwd_center(hlen: int) -> int:
@@ -162,6 +180,109 @@ def _conv_nchw(
 
 
 # ---------------------------------------------------------------------------
+# fma backend: polyphase slice-FMA (the TPU-native formulation)
+# ---------------------------------------------------------------------------
+
+def _fma_analysis(xp, taps, axis, *, decimate, dilation):
+    """Correlate padded ``xp`` (B,C,H,W) with every row of ``taps``
+    (K, hlen, pre-reversed) along ``axis`` as a sum of contiguous slices
+    scaled by scalar taps.  Decimation by 2 becomes an even/odd parity
+    split so every slice stays unit-stride.  Returns (B, C*K, ...)."""
+    k, hlen = taps.shape
+    ax = axis % xp.ndim
+    n_pad = xp.shape[ax]
+    span = (hlen - 1) * dilation
+    stride = 2 if decimate else 1
+    n_out = (n_pad - span - 1) // stride + 1
+    acc_dt = _accum_dtype(xp.dtype)
+    xa = xp.astype(acc_dt)
+
+    if decimate:
+        even = lax.slice_in_dim(xa, 0, n_pad, stride=2, axis=ax)
+        odd = lax.slice_in_dim(xa, 1, n_pad, stride=2, axis=ax)
+
+        def term(j):
+            src, a = (even, j // 2) if j % 2 == 0 else (odd, j // 2)
+            return lax.slice_in_dim(src, a, a + n_out, axis=ax)
+    else:
+
+        def term(j):
+            return lax.slice_in_dim(xa, j * dilation, j * dilation + n_out,
+                                    axis=ax)
+
+    outs = []
+    for kk in range(k):
+        acc = float(taps[kk, 0]) * term(0)
+        for j in range(1, hlen):
+            acc = acc + float(taps[kk, j]) * term(j)
+        outs.append(acc)
+    out = jnp.stack(outs, axis=2)  # (B, C, K, ...)
+    b, c = out.shape[0], out.shape[1]
+    return out.reshape((b, c * k) + out.shape[3:]).astype(xp.dtype)
+
+
+def _fma_synthesis_poly(x, taps, axis, *, pad_fn):
+    """Decimated synthesis WITHOUT materializing the zero-stuffed array.
+
+    Output parity q of out[g] = sum_j t[j] * u[g - s + j] (u = zero-stuffed
+    coeffs) only touches taps j = 2b + p_q with p_q = (s - q) mod 2, at
+    coefficient index m + b + o_q, o_q = (q - s + p_q) / 2.  Each parity is
+    therefore a plain half-length FIR over the *unstuffed* coefficients —
+    half the FLOPs and half the memory traffic of the stuffed form, and
+    distributed halos stay in the (small) coefficient domain.  The two
+    parities interleave to the final axis.
+    """
+    k, hlen = taps.shape
+    ax = axis % x.ndim
+    m = x.shape[ax]
+    s = inv_shift(hlen)
+    p = (s % 2, 1 - s % 2)
+    o = (-(s // 2), (1 - s + (1 - s % 2)) // 2)
+    nb = tuple(len(range(p[q], hlen, 2)) for q in (0, 1))
+    lo = max(0, -min(o))
+    hi = max(0, max(o[q] + nb[q] - 1 for q in (0, 1)))
+    ap = pad_fn(x, axis, lo, hi).astype(_accum_dtype(x.dtype))
+
+    outs = []
+    for q in (0, 1):
+        acc = None
+        for kk in range(k):
+            src = lax.slice_in_dim(ap, kk, ap.shape[1], stride=k, axis=1)
+            for b, j in enumerate(range(p[q], hlen, 2)):
+                start = lo + o[q] + b
+                sl = lax.slice_in_dim(src, start, start + m, axis=ax)
+                t = float(taps[kk, j])
+                acc = t * sl if acc is None else acc + t * sl
+        outs.append(acc)
+    y = jnp.stack(outs, axis=ax + 1)
+    shape = outs[0].shape[:ax] + (2 * m,) + outs[0].shape[ax + 1 :]
+    return y.reshape(shape).astype(x.dtype)
+
+
+def _fma_synthesis(up, taps, axis, *, dilation):
+    """Synthesis combination: input (B, C*K, ...) padded (and, for the
+    decimated inverse, zero-stuffed); output channel c sums the K filter
+    correlations of its group.  Pure slice-FMA like the analysis."""
+    k, hlen = taps.shape
+    ax = axis % up.ndim
+    n_pad = up.shape[ax]
+    n_out = n_pad - (hlen - 1) * dilation
+    acc_dt = _accum_dtype(up.dtype)
+    ua = up.astype(acc_dt)
+
+    acc = None
+    for kk in range(k):
+        # channels kk, K+kk, 2K+kk, ... — one strided channel slice
+        src = lax.slice_in_dim(ua, kk, ua.shape[1], stride=k, axis=1)
+        for j in range(hlen):
+            sl = lax.slice_in_dim(src, j * dilation, j * dilation + n_out,
+                                  axis=ax)
+            t = float(taps[kk, j])
+            acc = t * sl if acc is None else acc + t * sl
+    return acc.astype(up.dtype)
+
+
+# ---------------------------------------------------------------------------
 # Analysis (forward) pass along one axis
 # ---------------------------------------------------------------------------
 
@@ -173,6 +294,7 @@ def analysis_pass(
     dilation: int = 1,
     decimate: bool = True,
     backend: Optional[str] = None,
+    pad_fn=None,
 ) -> jnp.ndarray:
     """Filter every channel of ``x`` (B,C,H,W) with each 1D filter along
     ``axis`` (periodic), optionally decimating by 2.
@@ -180,8 +302,13 @@ def analysis_pass(
     Returns (B, C*K, H', W') with output channel c*K + k = filter k applied
     to input channel c.  ``filters`` are the *forward-convention* taps
     (e.g. dec_lo); the reversal for correlation happens here.
+
+    ``pad_fn(x, axis, lo, hi)`` overrides the periodic padding — the
+    distributed engine substitutes an ICI ring halo exchange here so the
+    same pass runs on spatially sharded arrays (see pdwt_tpu.parallel).
     """
-    backend = backend or _default_backend
+    backend = backend or get_default_backend()
+    pad_fn = pad_fn or wrap_pad
     filters = [np.asarray(f, dtype=np.float64) for f in filters]
     hlen = len(filters[0])
     assert all(len(f) == hlen for f in filters)
@@ -192,10 +319,13 @@ def analysis_pass(
     if decimate:
         assert dilation == 1
         x = odd_extend(x, axis)
-    xp = wrap_pad(x, axis, c, pad_hi)
+    xp = pad_fn(x, axis, c, pad_hi)
 
     k = len(filters)
     ch = x.shape[1]
+    if backend == "fma":
+        return _fma_analysis(xp, taps, axis, decimate=decimate,
+                             dilation=dilation)
     if backend == "xla":
         kern = _kernel_4d(
             np.broadcast_to(taps[None], (ch, k, hlen)).reshape(ch * k, 1, hlen),
@@ -229,6 +359,7 @@ def synthesis_pass(
     dilation: int = 1,
     decimated: bool = True,
     backend: Optional[str] = None,
+    pad_fn=None,
 ) -> jnp.ndarray:
     """Synthesis: input (B, C*K, H, W) where each group of K consecutive
     channels is combined into one output channel:
@@ -238,12 +369,23 @@ def synthesis_pass(
     (DWT inverse); ``decimated=False`` is the a-trous SWT inverse (caller
     pre-scales the filters by the per-pass 1/2, reference:
     src/separable.cu:581-584).
+
+    ``pad_fn`` — see :func:`analysis_pass`; applied to the (zero-stuffed)
+    upsampled array.
     """
-    backend = backend or _default_backend
+    backend = backend or get_default_backend()
+    pad_fn = pad_fn or wrap_pad
     filters = [np.asarray(f, dtype=np.float64) for f in filters]
     hlen = len(filters[0])
     k = len(filters)
     taps = np.stack([f[::-1] for f in filters])  # (K, hlen)
+
+    if backend == "fma" and decimated:
+        assert dilation == 1
+        out = _fma_synthesis_poly(x, taps, axis, pad_fn=pad_fn)
+        if out_len is not None:
+            out = lax.slice_in_dim(out, 0, out_len, axis=axis)
+        return out
 
     if decimated:
         assert dilation == 1
@@ -253,10 +395,12 @@ def synthesis_pass(
         s = swt_inv_center(hlen) * dilation
         u = x
     pad_hi = (hlen - 1) * dilation - s
-    up = wrap_pad(u, axis, s, pad_hi)
+    up = pad_fn(u, axis, s, pad_hi)
 
     ch_out = x.shape[1] // k
-    if backend == "xla":
+    if backend == "fma":
+        out = _fma_synthesis(up, taps, axis, dilation=dilation)
+    elif backend == "xla":
         kern = _kernel_4d(
             np.broadcast_to(taps[None], (ch_out, k, hlen)).reshape(ch_out, k, hlen)
             [:, :, :],
@@ -302,7 +446,8 @@ def _gather_corr(xp, taps, axis, *, stride, dilation, split_channels):
     win = win.reshape(new_shape)
     t = jnp.asarray(taps.T, dtype=_accum_dtype(xp.dtype))  # (hlen, K)
     out = jnp.tensordot(win.astype(_accum_dtype(xp.dtype)), t,
-                        axes=[[ax + 1], [0]])
+                        axes=[[ax + 1], [0]],
+                        precision=lax.Precision.HIGHEST)
     # out shape: xp.shape[:ax] + (n_out,) + xp.shape[ax+1:] + (K,)
     out = jnp.moveaxis(out, -1, 2)  # (B, C, K, ...) -> then merge C*K
     b, c, kk = out.shape[0], out.shape[1], out.shape[2]

@@ -81,15 +81,15 @@ def _from_nchw(x: jnp.ndarray, batch, ndim_spatial: int):
 # ---------------------------------------------------------------------------
 
 def dwt2d(x: jnp.ndarray, wav: Wavelet, levels: int, *,
-          backend: Optional[str] = None) -> Coeffs2D:
+          backend: Optional[str] = None, pad_fn=None) -> Coeffs2D:
     """Multi-level separable 2D DWT over the trailing two axes."""
     arr, batch = _to_nchw(x, 2)
     dec = (wav.dec_lo, wav.dec_hi)
     details: List[Tuple[jnp.ndarray, ...]] = []
     a = arr
     for _ in range(levels):
-        t = conv.analysis_pass(a, dec, axis=-1, backend=backend)
-        z = conv.analysis_pass(t, dec, axis=-2, backend=backend)
+        t = conv.analysis_pass(a, dec, axis=-1, backend=backend, pad_fn=pad_fn)
+        z = conv.analysis_pass(t, dec, axis=-2, backend=backend, pad_fn=pad_fn)
         a = z[:, 0:1]
         details.append(tuple(
             _from_nchw(z[:, k:k + 1], batch, 2) for k in (1, 2, 3)
@@ -98,7 +98,7 @@ def dwt2d(x: jnp.ndarray, wav: Wavelet, levels: int, *,
 
 
 def idwt2d(coeffs: Coeffs2D, wav: Wavelet, shape: Tuple[int, int], *,
-           backend: Optional[str] = None) -> jnp.ndarray:
+           backend: Optional[str] = None, pad_fn=None) -> jnp.ndarray:
     """Inverse of :func:`dwt2d`; ``shape`` = (Nr, Nc) of the original image."""
     levels = coeffs.levels
     rows = level_sizes(shape[0], levels)
@@ -109,9 +109,9 @@ def idwt2d(coeffs: Coeffs2D, wav: Wavelet, shape: Tuple[int, int], *,
         h, v, d = (_to_nchw(c, 2)[0] for c in coeffs.details[i])
         z = jnp.concatenate([a, h, v, d], axis=1)  # (B,4,mr,mc)
         t = conv.synthesis_pass(z, rec, axis=-2, out_len=rows[i],
-                                backend=backend)  # (B,2,Hr,mc)
+                                backend=backend, pad_fn=pad_fn)  # (B,2,Hr,mc)
         a = conv.synthesis_pass(t, rec, axis=-1, out_len=cols[i],
-                                backend=backend)  # (B,1,Hr,Wc)
+                                backend=backend, pad_fn=pad_fn)  # (B,1,Hr,Wc)
     return _from_nchw(a, batch, 2)
 
 
@@ -120,7 +120,7 @@ def idwt2d(coeffs: Coeffs2D, wav: Wavelet, shape: Tuple[int, int], *,
 # ---------------------------------------------------------------------------
 
 def swt2d(x: jnp.ndarray, wav: Wavelet, levels: int, *,
-          backend: Optional[str] = None) -> Coeffs2D:
+          backend: Optional[str] = None, pad_fn=None) -> Coeffs2D:
     arr, batch = _to_nchw(x, 2)
     dec = (wav.dec_lo, wav.dec_hi)
     details: List[Tuple[jnp.ndarray, ...]] = []
@@ -128,9 +128,9 @@ def swt2d(x: jnp.ndarray, wav: Wavelet, levels: int, *,
     for lvl in range(1, levels + 1):
         f = 1 << (lvl - 1)
         t = conv.analysis_pass(a, dec, axis=-1, dilation=f, decimate=False,
-                               backend=backend)
+                               backend=backend, pad_fn=pad_fn)
         z = conv.analysis_pass(t, dec, axis=-2, dilation=f, decimate=False,
-                               backend=backend)
+                               backend=backend, pad_fn=pad_fn)
         a = z[:, 0:1]
         details.append(tuple(
             _from_nchw(z[:, k:k + 1], batch, 2) for k in (1, 2, 3)
@@ -139,7 +139,7 @@ def swt2d(x: jnp.ndarray, wav: Wavelet, levels: int, *,
 
 
 def iswt2d(coeffs: Coeffs2D, wav: Wavelet, *,
-           backend: Optional[str] = None) -> jnp.ndarray:
+           backend: Optional[str] = None, pad_fn=None) -> jnp.ndarray:
     # Each separable synthesis pass halves the taps
     # (reference: src/separable.cu:581-584,621-622).
     rec = (wav.rec_lo * 0.5, wav.rec_hi * 0.5)
@@ -149,9 +149,9 @@ def iswt2d(coeffs: Coeffs2D, wav: Wavelet, *,
         h, v, d = (_to_nchw(c, 2)[0] for c in coeffs.details[i])
         z = jnp.concatenate([a, h, v, d], axis=1)
         t = conv.synthesis_pass(z, rec, axis=-2, dilation=f, decimated=False,
-                                backend=backend)
+                                backend=backend, pad_fn=pad_fn)
         a = conv.synthesis_pass(t, rec, axis=-1, dilation=f, decimated=False,
-                                backend=backend)
+                                backend=backend, pad_fn=pad_fn)
     return _from_nchw(a, batch, 2)
 
 
@@ -160,20 +160,20 @@ def iswt2d(coeffs: Coeffs2D, wav: Wavelet, *,
 # ---------------------------------------------------------------------------
 
 def dwt1d(x: jnp.ndarray, wav: Wavelet, levels: int, *,
-          backend: Optional[str] = None) -> Coeffs1D:
+          backend: Optional[str] = None, pad_fn=None) -> Coeffs1D:
     arr, batch = _to_nchw(x, 1)
     dec = (wav.dec_lo, wav.dec_hi)
     details: List[jnp.ndarray] = []
     a = arr
     for _ in range(levels):
-        z = conv.analysis_pass(a, dec, axis=-1, backend=backend)
+        z = conv.analysis_pass(a, dec, axis=-1, backend=backend, pad_fn=pad_fn)
         a = z[:, 0:1]
         details.append(_from_nchw(z[:, 1:2], batch, 1))
     return Coeffs1D(_from_nchw(a, batch, 1), tuple(details))
 
 
 def idwt1d(coeffs: Coeffs1D, wav: Wavelet, length: int, *,
-           backend: Optional[str] = None) -> jnp.ndarray:
+           backend: Optional[str] = None, pad_fn=None) -> jnp.ndarray:
     levels = coeffs.levels
     sizes = level_sizes(length, levels)
     rec = (wav.rec_lo, wav.rec_hi)
@@ -182,12 +182,12 @@ def idwt1d(coeffs: Coeffs1D, wav: Wavelet, length: int, *,
         d, _ = _to_nchw(coeffs.details[i], 1)
         z = jnp.concatenate([a, d], axis=1)
         a = conv.synthesis_pass(z, rec, axis=-1, out_len=sizes[i],
-                                backend=backend)
+                                backend=backend, pad_fn=pad_fn)
     return _from_nchw(a, batch, 1)
 
 
 def swt1d(x: jnp.ndarray, wav: Wavelet, levels: int, *,
-          backend: Optional[str] = None) -> Coeffs1D:
+          backend: Optional[str] = None, pad_fn=None) -> Coeffs1D:
     arr, batch = _to_nchw(x, 1)
     dec = (wav.dec_lo, wav.dec_hi)
     details: List[jnp.ndarray] = []
@@ -195,14 +195,14 @@ def swt1d(x: jnp.ndarray, wav: Wavelet, levels: int, *,
     for lvl in range(1, levels + 1):
         f = 1 << (lvl - 1)
         z = conv.analysis_pass(a, dec, axis=-1, dilation=f, decimate=False,
-                               backend=backend)
+                               backend=backend, pad_fn=pad_fn)
         a = z[:, 0:1]
         details.append(_from_nchw(z[:, 1:2], batch, 1))
     return Coeffs1D(_from_nchw(a, batch, 1), tuple(details))
 
 
 def iswt1d(coeffs: Coeffs1D, wav: Wavelet, *,
-           backend: Optional[str] = None) -> jnp.ndarray:
+           backend: Optional[str] = None, pad_fn=None) -> jnp.ndarray:
     # Single pass in 1D -> one 1/2 factor (reference: src/separable.cu:653-672).
     rec = (wav.rec_lo * 0.5, wav.rec_hi * 0.5)
     a, batch = _to_nchw(coeffs.approx, 1)
@@ -211,5 +211,5 @@ def iswt1d(coeffs: Coeffs1D, wav: Wavelet, *,
         d, _ = _to_nchw(coeffs.details[i], 1)
         z = jnp.concatenate([a, d], axis=1)
         a = conv.synthesis_pass(z, rec, axis=-1, dilation=f, decimated=False,
-                                backend=backend)
+                                backend=backend, pad_fn=pad_fn)
     return _from_nchw(a, batch, 1)

@@ -1,0 +1,23 @@
+"""ctypes bindings to the native CPU engine (cpp/pdwt_cpu.cpp).
+
+The native library is the double-accumulation CPU oracle and standalone
+CLI backend; the JAX engine is the TPU compute path.  The shared object
+is built on demand with the repo Makefile (g++; no pip deps).
+"""
+from .lib import (
+    build,
+    dwt1d,
+    dwt2d,
+    idwt1d,
+    idwt2d,
+    is_available,
+    norm1,
+    norm2sq,
+    soft_threshold,
+)
+
+__all__ = [
+    "build", "is_available",
+    "dwt2d", "idwt2d", "dwt1d", "idwt1d",
+    "soft_threshold", "norm1", "norm2sq",
+]

@@ -1,0 +1,165 @@
+"""ctypes wrapper over libpdwt_cpu.so with numpy in/out.
+
+Mirrors the functional core API (multi-level 2D/1D DWT/SWT forward and
+inverse) on numpy arrays, returning the same ``Coeffs1D``/``Coeffs2D``
+pytrees so tests can diff the native oracle against the JAX engines
+leaf-for-leaf.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional, Tuple
+
+import numpy as np
+
+from ..core.separable import Coeffs1D, Coeffs2D
+from ..core.shapes import coeff_shapes_1d, coeff_shapes_2d
+from ..filters import Wavelet
+
+_CPP_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "cpp",
+)
+_SO_PATH = os.path.join(_CPP_DIR, "libpdwt_cpu.so")
+
+_lib: Optional[ctypes.CDLL] = None
+
+_c_float_p = ctypes.POINTER(ctypes.c_float)
+_c_double_p = ctypes.POINTER(ctypes.c_double)
+_c_float_pp = ctypes.POINTER(_c_float_p)
+
+
+def build(force: bool = False) -> str:
+    """Build libpdwt_cpu.so with make if missing or stale."""
+    src = os.path.join(_CPP_DIR, "pdwt_cpu.cpp")
+    if force or not os.path.exists(_SO_PATH) or (
+        os.path.getmtime(_SO_PATH) < os.path.getmtime(src)
+    ):
+        subprocess.run(["make", "libpdwt_cpu.so"], cwd=_CPP_DIR, check=True,
+                       capture_output=True)
+    return _SO_PATH
+
+
+def _load() -> ctypes.CDLL:
+    global _lib
+    if _lib is None:
+        lib = ctypes.CDLL(build())
+        lib.pdwt_forward2d.restype = ctypes.c_int
+        lib.pdwt_inverse2d.restype = ctypes.c_int
+        lib.pdwt_forward1d.restype = ctypes.c_int
+        lib.pdwt_inverse1d.restype = ctypes.c_int
+        lib.pdwt_norm1.restype = ctypes.c_double
+        lib.pdwt_norm2sq.restype = ctypes.c_double
+        _lib = lib
+    return _lib
+
+
+def is_available() -> bool:
+    try:
+        _load()
+        return True
+    except Exception:
+        return False
+
+
+def _fptr(a: np.ndarray) -> _c_float_p:
+    return a.ctypes.data_as(_c_float_p)
+
+
+def _dptr(a: np.ndarray) -> _c_double_p:
+    return a.ctypes.data_as(_c_double_p)
+
+
+def _ptr_array(arrs) -> ctypes.Array:
+    return (_c_float_p * len(arrs))(*[_fptr(a) for a in arrs])
+
+
+def dwt2d(img: np.ndarray, wav: Wavelet, levels: int, *,
+          swt: bool = False) -> Coeffs2D:
+    lib = _load()
+    img = np.ascontiguousarray(img, dtype=np.float32)
+    nr, nc = img.shape
+    a_shape, det_shapes = coeff_shapes_2d(nr, nc, levels, swt)
+    bufs = [np.empty(a_shape, np.float32)]
+    for s in det_shapes:
+        bufs.extend(np.empty(s, np.float32) for _ in range(3))
+    rc = lib.pdwt_forward2d(
+        _fptr(img), nr, nc, _dptr(wav.dec_lo), _dptr(wav.dec_hi),
+        wav.hlen, levels, int(swt), _ptr_array(bufs))
+    if rc:
+        raise RuntimeError(f"pdwt_forward2d failed ({rc})")
+    details = tuple(
+        (bufs[3 * i + 1], bufs[3 * i + 2], bufs[3 * i + 3])
+        for i in range(levels)
+    )
+    return Coeffs2D(bufs[0], details)
+
+
+def idwt2d(coeffs: Coeffs2D, wav: Wavelet, shape: Tuple[int, int], *,
+           swt: bool = False) -> np.ndarray:
+    lib = _load()
+    nr, nc = shape
+    levels = coeffs.levels
+    bufs = [np.ascontiguousarray(coeffs.approx, np.float32)]
+    for det in coeffs.details:
+        bufs.extend(np.ascontiguousarray(b, np.float32) for b in det)
+    out = np.empty((nr, nc), np.float32)
+    rc = lib.pdwt_inverse2d(
+        _ptr_array(bufs), nr, nc, _dptr(wav.rec_lo), _dptr(wav.rec_hi),
+        wav.hlen, levels, int(swt), _fptr(out))
+    if rc:
+        raise RuntimeError(f"pdwt_inverse2d failed ({rc})")
+    return out
+
+
+def dwt1d(x: np.ndarray, wav: Wavelet, levels: int, *,
+          swt: bool = False) -> Coeffs1D:
+    lib = _load()
+    x = np.ascontiguousarray(np.atleast_2d(x), dtype=np.float32)
+    batch, n = x.shape
+    a_len, det_lens = coeff_shapes_1d(n, levels, swt)
+    bufs = [np.empty((batch, a_len), np.float32)]
+    bufs.extend(np.empty((batch, m), np.float32) for m in det_lens)
+    rc = lib.pdwt_forward1d(
+        _fptr(x), batch, n, _dptr(wav.dec_lo), _dptr(wav.dec_hi),
+        wav.hlen, levels, int(swt), _ptr_array(bufs))
+    if rc:
+        raise RuntimeError(f"pdwt_forward1d failed ({rc})")
+    return Coeffs1D(bufs[0], tuple(bufs[1:]))
+
+
+def idwt1d(coeffs: Coeffs1D, wav: Wavelet, length: int, *,
+           swt: bool = False) -> np.ndarray:
+    lib = _load()
+    bufs = [np.ascontiguousarray(coeffs.approx, np.float32)]
+    bufs.extend(np.ascontiguousarray(d, np.float32) for d in coeffs.details)
+    batch = bufs[0].shape[0]
+    out = np.empty((batch, length), np.float32)
+    rc = lib.pdwt_inverse1d(
+        _ptr_array(bufs), batch, length, _dptr(wav.rec_lo),
+        _dptr(wav.rec_hi), wav.hlen, coeffs.levels, int(swt), _fptr(out))
+    if rc:
+        raise RuntimeError(f"pdwt_inverse1d failed ({rc})")
+    return out
+
+
+def soft_threshold(x: np.ndarray, beta: float) -> np.ndarray:
+    lib = _load()
+    x = np.ascontiguousarray(x, np.float32).copy()
+    lib.pdwt_soft_threshold(_fptr(x), ctypes.c_long(x.size),
+                            ctypes.c_float(beta))
+    return x
+
+
+def norm1(x: np.ndarray) -> float:
+    lib = _load()
+    x = np.ascontiguousarray(x, np.float32)
+    return float(lib.pdwt_norm1(_fptr(x), ctypes.c_long(x.size)))
+
+
+def norm2sq(x: np.ndarray) -> float:
+    lib = _load()
+    x = np.ascontiguousarray(x, np.float32)
+    return float(lib.pdwt_norm2sq(_fptr(x), ctypes.c_long(x.size)))

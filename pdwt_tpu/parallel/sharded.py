@@ -1,0 +1,208 @@
+"""Multi-chip wavelet transforms: shard_map over a (data, row, col) mesh.
+
+The reference is strictly single-device (reference: README.md:34 "one
+single GPU"; no NCCL/MPI anywhere).  This module is the new capability
+the TPU design adds: the same transform semantics executed SPMD over a
+``jax.sharding.Mesh``, with
+
+* **data parallelism** — batch dims sharded over ``data_axis`` (the TPU
+  form of the reference's batched-1D "rows as batch" kernels,
+  reference: src/separable.cu:213-236, generalized across chips);
+* **spatial parallelism** — image rows/columns sharded over
+  ``row_axis``/``col_axis``; each conv pass exchanges periodic halos of
+  width ``hlen-1`` (dilated: ``(hlen-1)·2^(level-1)`` for SWT) with ring
+  neighbors over ICI (see :mod:`pdwt_tpu.parallel.halo`) instead of the
+  reference's in-kernel ``mod N`` indexing.
+
+Decimated (DWT) transforms require every sharded spatial axis size to be
+divisible by ``n_shards · 2^levels`` so that per-shard sizes stay even at
+every level and the stride-2 phase is identical on every chip — the
+distributed counterpart of the reference's odd-size ``w_div2`` bookkeeping
+(reference: src/utils.cu:23-27), which only the single-device engines
+support in full generality.  SWT has no decimation; sharded sizes need
+only be divisible by ``n_shards``.
+
+Norms over sharded coefficient pytrees need no special code: ``jit``
+lowers ``jnp.sum`` over sharded leaves to per-chip partials + an
+``all-reduce`` (the TPU analogue of the reference's per-subband cuBLAS
+asum loop, reference: src/wt.cu:398-418, without the host round-trips).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core import separable as sep_core
+from ..core.separable import Coeffs1D, Coeffs2D
+from ..filters import Wavelet
+from .halo import make_pad_fn
+
+
+def _check_div(name: str, size: int, shards: int, levels: int, swt: bool):
+    need = shards * (1 if swt else (1 << levels))
+    if size % need != 0:
+        kind = "n_shards" if swt else f"n_shards * 2^levels"
+        raise ValueError(
+            f"sharded {name} size {size} must be divisible by {kind} = {need} "
+            f"({shards} shards, {levels} levels)"
+        )
+
+
+def _axis_size(mesh: Mesh, axis: Optional[str]) -> int:
+    return mesh.shape[axis] if axis is not None else 1
+
+
+def _spec2d(x_ndim: int, data_axis, row_axis, col_axis) -> P:
+    lead = (data_axis,) + (None,) * (x_ndim - 3) if x_ndim > 2 else ()
+    return P(*(lead + (row_axis, col_axis)))
+
+
+def _spec1d(x_ndim: int, data_axis, col_axis) -> P:
+    lead = (data_axis,) + (None,) * (x_ndim - 2) if x_ndim > 1 else ()
+    return P(*(lead + (col_axis,)))
+
+
+def _validate2d(x, mesh, data_axis, row_axis, col_axis, levels, swt):
+    if x.ndim < 2:
+        raise ValueError(f"expected at least a 2D array, got shape {x.shape}")
+    if data_axis is not None:
+        if x.ndim < 3:
+            raise ValueError("data_axis given but input has no batch dim")
+        if x.shape[0] % mesh.shape[data_axis] != 0:
+            raise ValueError(
+                f"batch {x.shape[0]} not divisible by mesh axis "
+                f"{data_axis!r} ({mesh.shape[data_axis]})")
+    if row_axis is not None:
+        _check_div("row", x.shape[-2], mesh.shape[row_axis], levels, swt)
+    if col_axis is not None:
+        _check_div("col", x.shape[-1], mesh.shape[col_axis], levels, swt)
+
+
+# ---------------------------------------------------------------------------
+# 2D
+# ---------------------------------------------------------------------------
+
+def dwt2d(x, wav: Wavelet, levels: int, mesh: Mesh, *,
+          data_axis: Optional[str] = None, row_axis: Optional[str] = None,
+          col_axis: Optional[str] = None, backend: Optional[str] = None,
+          swt: bool = False) -> Coeffs2D:
+    """Sharded multi-level separable 2D DWT (or SWT with ``swt=True``)."""
+    _validate2d(x, mesh, data_axis, row_axis, col_axis, levels, swt)
+    spec = _spec2d(x.ndim, data_axis, row_axis, col_axis)
+    pad_fn = make_pad_fn(dict(mesh.shape), row_axis, col_axis)
+    core = sep_core.swt2d if swt else sep_core.dwt2d
+
+    def local(xl):
+        return core(xl, wav, levels, backend=backend, pad_fn=pad_fn)
+
+    f = jax.shard_map(local, mesh=mesh, in_specs=spec, out_specs=spec,
+                      check_vma=False)
+    return f(x)
+
+
+def idwt2d(coeffs: Coeffs2D, wav: Wavelet, shape: Tuple[int, int],
+           mesh: Mesh, *, data_axis: Optional[str] = None,
+           row_axis: Optional[str] = None, col_axis: Optional[str] = None,
+           backend: Optional[str] = None, swt: bool = False) -> jnp.ndarray:
+    """Sharded inverse of :func:`dwt2d`; ``shape`` is the global (Nr, Nc)."""
+    levels = coeffs.levels
+    a = coeffs.approx
+    _validate2d(a, mesh, data_axis, None, None, levels, swt)
+    if row_axis is not None:
+        _check_div("row", shape[0], mesh.shape[row_axis], levels, swt)
+    if col_axis is not None:
+        _check_div("col", shape[1], mesh.shape[col_axis], levels, swt)
+    spec = _spec2d(a.ndim, data_axis, row_axis, col_axis)
+    pad_fn = make_pad_fn(dict(mesh.shape), row_axis, col_axis)
+    local_shape = (shape[0] // _axis_size(mesh, row_axis),
+                   shape[1] // _axis_size(mesh, col_axis))
+
+    def local(cl):
+        if swt:
+            return sep_core.iswt2d(cl, wav, backend=backend, pad_fn=pad_fn)
+        return sep_core.idwt2d(cl, wav, local_shape, backend=backend,
+                               pad_fn=pad_fn)
+
+    f = jax.shard_map(local, mesh=mesh, in_specs=spec, out_specs=spec,
+                      check_vma=False)
+    return f(coeffs)
+
+
+def swt2d(x, wav, levels, mesh, **kw) -> Coeffs2D:
+    return dwt2d(x, wav, levels, mesh, swt=True, **kw)
+
+
+def iswt2d(coeffs, wav, shape, mesh, **kw) -> jnp.ndarray:
+    return idwt2d(coeffs, wav, shape, mesh, swt=True, **kw)
+
+
+# ---------------------------------------------------------------------------
+# 1D (batched): batch over data_axis, signal length over col_axis
+# ---------------------------------------------------------------------------
+
+def dwt1d(x, wav: Wavelet, levels: int, mesh: Mesh, *,
+          data_axis: Optional[str] = None, col_axis: Optional[str] = None,
+          backend: Optional[str] = None, swt: bool = False) -> Coeffs1D:
+    if data_axis is not None and x.ndim < 2:
+        raise ValueError("data_axis given but input has no batch dim")
+    if col_axis is not None:
+        _check_div("signal", x.shape[-1], mesh.shape[col_axis], levels, swt)
+    spec = _spec1d(x.ndim, data_axis, col_axis)
+    pad_fn = make_pad_fn(dict(mesh.shape), None, col_axis)
+    core = sep_core.swt1d if swt else sep_core.dwt1d
+
+    def local(xl):
+        return core(xl, wav, levels, backend=backend, pad_fn=pad_fn)
+
+    f = jax.shard_map(local, mesh=mesh, in_specs=spec, out_specs=spec,
+                      check_vma=False)
+    return f(x)
+
+
+def idwt1d(coeffs: Coeffs1D, wav: Wavelet, length: int, mesh: Mesh, *,
+           data_axis: Optional[str] = None, col_axis: Optional[str] = None,
+           backend: Optional[str] = None, swt: bool = False) -> jnp.ndarray:
+    levels = coeffs.levels
+    a = coeffs.approx
+    if col_axis is not None:
+        _check_div("signal", length, mesh.shape[col_axis], levels, swt)
+    spec = _spec1d(a.ndim, data_axis, col_axis)
+    pad_fn = make_pad_fn(dict(mesh.shape), None, col_axis)
+    local_len = length // _axis_size(mesh, col_axis)
+
+    def local(cl):
+        if swt:
+            return sep_core.iswt1d(cl, wav, backend=backend, pad_fn=pad_fn)
+        return sep_core.idwt1d(cl, wav, local_len, backend=backend,
+                               pad_fn=pad_fn)
+
+    f = jax.shard_map(local, mesh=mesh, in_specs=spec, out_specs=spec,
+                      check_vma=False)
+    return f(coeffs)
+
+
+def swt1d(x, wav, levels, mesh, **kw) -> Coeffs1D:
+    return dwt1d(x, wav, levels, mesh, swt=True, **kw)
+
+
+def iswt1d(coeffs, wav, length, mesh, **kw) -> jnp.ndarray:
+    return idwt1d(coeffs, wav, length, mesh, swt=True, **kw)
+
+
+# ---------------------------------------------------------------------------
+# placement helpers
+# ---------------------------------------------------------------------------
+
+def shard_image(x, mesh: Mesh, *, data_axis=None, row_axis=None,
+                col_axis=None):
+    """Place an array on the mesh with the transform's input sharding."""
+    x = jnp.asarray(x)
+    if x.ndim >= 2:
+        spec = _spec2d(x.ndim, data_axis, row_axis, col_axis)
+    else:
+        spec = _spec1d(x.ndim, data_axis, col_axis)
+    return jax.device_put(x, NamedSharding(mesh, spec))

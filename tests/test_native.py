@@ -1,0 +1,68 @@
+"""Native C++ CPU engine vs the JAX gather oracle — leaf-for-leaf.
+
+The native engine (cpp/pdwt_cpu.cpp) implements the same transform spec
+with double accumulation; agreement must be at float32 roundoff.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from pdwt_tpu import native
+from pdwt_tpu.core import separable as sep
+from pdwt_tpu.filters import get_wavelet
+
+pytestmark = pytest.mark.skipif(
+    not native.is_available(), reason="native toolchain unavailable")
+
+
+def _diff(a, b):
+    return max(
+        float(np.abs(np.asarray(x) - np.asarray(y)).max())
+        for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b))
+    )
+
+
+@pytest.mark.parametrize("wname", ["haar", "db7", "bior4.4"])
+@pytest.mark.parametrize("shape", [(64, 64), (67, 93)])
+def test_native_2d_matches_jax(rng, wname, shape):
+    w = get_wavelet(wname)
+    x = rng.standard_normal(shape).astype(np.float32)
+    cn = native.dwt2d(x, w, 2)
+    cj = sep.dwt2d(jnp.asarray(x), w, 2, backend="gather")
+    assert _diff(cn, cj) < 1e-5
+    yn = native.idwt2d(cn, w, shape)
+    assert float(np.abs(yn - x).max()) < 1e-5
+
+
+@pytest.mark.parametrize("wname", ["db3", "sym8"])
+def test_native_swt_matches_jax(rng, wname):
+    w = get_wavelet(wname)
+    x = rng.standard_normal((48, 80)).astype(np.float32)
+    cn = native.dwt2d(x, w, 3, swt=True)
+    cj = sep.swt2d(jnp.asarray(x), w, 3, backend="gather")
+    assert _diff(cn, cj) < 1e-5
+    yn = native.idwt2d(cn, w, (48, 80), swt=True)
+    assert float(np.abs(yn - x).max()) < 1e-5
+
+
+@pytest.mark.parametrize("swt", [False, True])
+def test_native_1d_matches_jax(rng, swt):
+    w = get_wavelet("sym8")
+    x = rng.standard_normal((4, 255)).astype(np.float32)
+    cn = native.dwt1d(x, w, 2, swt=swt)
+    cj = (sep.swt1d if swt else sep.dwt1d)(jnp.asarray(x), w, 2,
+                                           backend="gather")
+    assert _diff(cn, cj) < 1e-5
+    yn = native.idwt1d(cn, w, 255, swt=swt)
+    assert float(np.abs(yn - x).max()) < 1e-5
+
+
+def test_native_ops(rng):
+    x = rng.standard_normal(1000).astype(np.float32)
+    st = native.soft_threshold(x, 0.5)
+    ref = np.sign(x) * np.maximum(np.abs(x) - 0.5, 0)
+    assert np.abs(st - ref).max() < 1e-6
+    assert abs(native.norm1(x) - np.abs(x).sum()) < 1e-2
+    assert abs(native.norm2sq(x) - (x.astype(np.float64) ** 2).sum()) < 1e-2

@@ -1,0 +1,113 @@
+"""Sharded (multi-chip) transforms must be bit-identical to single-device.
+
+Runs on the 8-virtual-device CPU backend configured in conftest.py — the
+standard way to validate pjit/shard_map meshes without a pod
+(SURVEY.md §4).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pdwt_tpu import parallel as par
+from pdwt_tpu.core import separable as sep
+from pdwt_tpu.filters import get_wavelet
+from pdwt_tpu.models.denoiser import sharded_denoise_step
+
+
+def _max_err(a, b):
+    return max(
+        float(jnp.abs(x - y).max())
+        for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b))
+    )
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return par.make_mesh((2, 2, 2), ("data", "row", "col"))
+
+
+AXES = dict(data_axis="data", row_axis="row", col_axis="col")
+
+
+@pytest.mark.parametrize("wname", ["haar", "db7", "bior4.4"])
+@pytest.mark.parametrize("swt", [False, True])
+def test_sharded_2d_matches_single_device(mesh, rng, wname, swt):
+    w = get_wavelet(wname)
+    levels = 3
+    x = rng.standard_normal((4, 128, 128)).astype(np.float32)
+    xs = par.shard_image(x, mesh, **AXES)
+
+    c_sh = par.dwt2d(xs, w, levels, mesh, swt=swt, **AXES)
+    c_ref = (sep.swt2d if swt else sep.dwt2d)(jnp.asarray(x), w, levels)
+    assert _max_err(c_sh, c_ref) == 0.0
+
+    y_sh = par.idwt2d(c_sh, w, (128, 128), mesh, swt=swt, **AXES)
+    if swt:
+        y_ref = sep.iswt2d(c_ref, w)
+    else:
+        y_ref = sep.idwt2d(c_ref, w, (128, 128))
+    assert _max_err(y_sh, y_ref) == 0.0
+    assert float(jnp.abs(y_sh - x).max()) < 5e-5
+
+
+def test_sharded_swt_halo_wider_than_shard(mesh, rng):
+    """Deep-level SWT: dilated halo (hlen-1)*2^(level-1) exceeds the local
+    shard -> exercises the multi-hop ring exchange."""
+    w = get_wavelet("db7")  # hlen=14: level-4 halo = 13*8 = 104 > 64
+    x = rng.standard_normal((2, 128, 128)).astype(np.float32)
+    xs = par.shard_image(x, mesh, **AXES)
+    c_sh = par.swt2d(xs, w, 4, mesh, **AXES)
+    c_ref = sep.swt2d(jnp.asarray(x), w, 4)
+    assert _max_err(c_sh, c_ref) == 0.0
+    y = par.iswt2d(c_sh, w, (128, 128), mesh, **AXES)
+    assert float(jnp.abs(y - x).max()) < 5e-5
+
+
+@pytest.mark.parametrize("swt", [False, True])
+def test_sharded_1d_matches_single_device(mesh, rng, swt):
+    w = get_wavelet("sym8")
+    s = rng.standard_normal((8, 256)).astype(np.float32)
+    ss = par.shard_image(s, mesh, data_axis="data", col_axis="col")
+    kw = dict(data_axis="data", col_axis="col")
+    c_sh = par.dwt1d(ss, w, 2, mesh, swt=swt, **kw)
+    c_ref = (sep.swt1d if swt else sep.dwt1d)(jnp.asarray(s), w, 2)
+    assert _max_err(c_sh, c_ref) == 0.0
+    y = par.idwt1d(c_sh, w, 256, mesh, swt=swt, **kw)
+    assert float(jnp.abs(y - s).max()) < 5e-5
+
+
+def test_divisibility_errors(mesh, rng):
+    w = get_wavelet("db2")
+    x = jnp.zeros((4, 100, 128))  # 100 not divisible by 2 shards * 2^3
+    with pytest.raises(ValueError, match="divisible"):
+        par.dwt2d(x, w, 3, mesh, **AXES)
+
+
+def test_sharded_denoise_step_jits(mesh, rng):
+    x = rng.standard_normal((4, 64, 64)).astype(np.float32)
+    xs = par.shard_image(x, mesh, **AXES)
+
+    @jax.jit
+    def step(img):
+        return sharded_denoise_step(img, "db4", 2, 1.0, mesh, **AXES)
+
+    out, n1 = step(xs)
+    assert out.shape == x.shape
+    assert np.isfinite(float(n1))
+    # thresholding with beta=0 is the identity -> perfect reconstruction
+    out0, _ = jax.jit(lambda im: sharded_denoise_step(
+        im, "db4", 2, 0.0, mesh, **AXES))(xs)
+    assert float(jnp.abs(out0 - x).max()) < 5e-5
+
+
+def test_norms_on_sharded_coeffs(mesh, rng):
+    from pdwt_tpu import ops
+    w = get_wavelet("db3")
+    x = rng.standard_normal((4, 64, 64)).astype(np.float32)
+    xs = par.shard_image(x, mesh, **AXES)
+    c_sh = par.dwt2d(xs, w, 2, mesh, **AXES)
+    c_ref = sep.dwt2d(jnp.asarray(x), w, 2)
+    n_sh = float(jax.jit(ops.norm1)(c_sh))
+    n_ref = float(ops.norm1(c_ref))
+    assert abs(n_sh - n_ref) / n_ref < 1e-5
