@@ -1,8 +1,14 @@
 """Benchmark harness — north-star metric (BASELINE.json).
 
 Measures Mpix/s/chip for the 2D db7 5-level forward+inverse DWT on a
-2048x2048 float32 image (the BASELINE.json headline config), on whatever
+2048x2048 float32 image (the BASELINE.json headline config) on whatever
 accelerator JAX selects (the real TPU chip under the driver).
+
+Methodology: the roundtrip is chained M times inside a jitted
+``lax.fori_loop`` body and timed for two different M; the slope isolates
+pure device time from dispatch/loop-iteration overhead (the remote-TPU
+tunnel adds a fixed ~0.75 ms per loop iteration that would otherwise
+dominate).
 
 The reference publishes no numbers (BASELINE.md); ``vs_baseline`` is
 reported against a documented 1000 Mpix/s reference-GPU-class estimate
@@ -23,13 +29,37 @@ REFERENCE_GPU_ESTIMATE_MPIX_S = 1000.0
 N = 2048
 LEVELS = 5
 WNAME = "db7"
-WARMUP = 3
-REPS = 5
-INNER = 10
 
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
+
+
+def device_time(fn, arg, *, K=8, M1=1, M2=5, reps=3):
+    """Pure device seconds per fn() call via the two-point slope."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    def timed_loop(M):
+        @jax.jit
+        def lp(x):
+            def body(_, v):
+                for _ in range(M):
+                    v = fn(v)
+                return v
+            return lax.fori_loop(0, K, body, x)
+
+        float(jnp.sum(lp(arg)))  # compile + warm
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            float(jnp.sum(lp(arg)))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t1, t2 = timed_loop(M1), timed_loop(M2)
+    return (t2 - t1) / (K * (M2 - M1))
 
 
 def main() -> None:
@@ -45,31 +75,20 @@ def main() -> None:
     rng = np.random.default_rng(0)
     img = jnp.asarray(rng.standard_normal((N, N)) * 255.0, dtype=jnp.float32)
 
-    @jax.jit
     def roundtrip(x):
         c = sep.dwt2d(x, wav, LEVELS)
         return sep.idwt2d(c, wav, (N, N))
 
     t0 = time.perf_counter()
-    out = roundtrip(img)
+    out = jax.jit(roundtrip)(img)
     out.block_until_ready()
     log(f"compile+first run: {time.perf_counter() - t0:.2f}s")
     err = float(jnp.max(jnp.abs(out - img)))
     log(f"max recon error on [0,255]-scale data: {err:.3e}")
 
-    for _ in range(WARMUP):
-        roundtrip(img).block_until_ready()
-
-    times = []
-    for _ in range(REPS):
-        t0 = time.perf_counter()
-        for _ in range(INNER):
-            out = roundtrip(img)
-        out.block_until_ready()
-        times.append((time.perf_counter() - t0) / INNER)
-    best = min(times)
-    mpix_s = (N * N) / best / 1e6
-    log(f"per-iteration times (s): {['%.5f' % t for t in times]}")
+    t = device_time(roundtrip, img)
+    mpix_s = (N * N) / t / 1e6
+    log(f"device time per roundtrip: {t*1e3:.3f} ms")
 
     print(json.dumps({
         "metric": f"Mpix/s/chip, 2D {WNAME} {LEVELS}-level fwd+inv ({N}x{N})",

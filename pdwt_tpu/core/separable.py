@@ -80,9 +80,69 @@ def _from_nchw(x: jnp.ndarray, batch, ndim_spatial: int):
 # 2D decimated
 # ---------------------------------------------------------------------------
 
+def _dwt2d_pallas(x: jnp.ndarray, wav: Wavelet, levels: int) -> Coeffs2D:
+    """Per-level fused Pallas kernels; falls back to the (bit-identical)
+    fma backend for geometries the kernels don't support."""
+    from .. import kernels
+
+    if x.ndim < 2:
+        raise ValueError(f"expected at least 2D input, got {x.shape}")
+    batch = x.shape[:-2]
+    b = int(np.prod(batch, dtype=np.int64)) if batch else 1
+    a = x.reshape((b,) + x.shape[-2:])
+    dec = (wav.dec_lo, wav.dec_hi)
+    details = []
+    for _ in range(levels):
+        res = kernels.fwd_level_2d(a, wav.dec_lo, wav.dec_hi)
+        if res is None:
+            z = conv.analysis_pass(a[:, None], dec, axis=-1, backend="fma")
+            z = conv.analysis_pass(z, dec, axis=-2, backend="fma")
+            a, h, v, d = z[:, 0], z[:, 1], z[:, 2], z[:, 3]
+        else:
+            a, h, v, d = res
+        details.append(tuple(t.reshape(batch + t.shape[1:])
+                             for t in (h, v, d)))
+    return Coeffs2D(a.reshape(batch + a.shape[1:]), tuple(details))
+
+
+def _idwt2d_pallas(coeffs: Coeffs2D, wav: Wavelet,
+                   shape: Tuple[int, int]) -> jnp.ndarray:
+    from .. import kernels
+
+    levels = coeffs.levels
+    rows = level_sizes(shape[0], levels)
+    cols = level_sizes(shape[1], levels)
+    rec = (wav.rec_lo, wav.rec_hi)
+    batch = coeffs.approx.shape[:-2]
+    b = int(np.prod(batch, dtype=np.int64)) if batch else 1
+    flat = lambda t: t.reshape((b,) + t.shape[len(batch):])
+    a = flat(coeffs.approx)
+    for i in range(levels - 1, -1, -1):
+        h, v, d = (flat(t) for t in coeffs.details[i])
+        y = kernels.inv_level_2d(a, h, v, d, wav.rec_lo, wav.rec_hi)
+        if y is None:
+            z = jnp.concatenate([t[:, None] for t in (a, h, v, d)], axis=1)
+            t2 = conv.synthesis_pass(z, rec, axis=-2, out_len=rows[i],
+                                     backend="fma")
+            y = conv.synthesis_pass(t2, rec, axis=-1, out_len=cols[i],
+                                    backend="fma")[:, 0]
+        else:
+            y = y[:, :rows[i], :cols[i]]
+        a = y
+    return a.reshape(batch + a.shape[1:])
+
+
 def dwt2d(x: jnp.ndarray, wav: Wavelet, levels: int, *,
           backend: Optional[str] = None, pad_fn=None) -> Coeffs2D:
     """Multi-level separable 2D DWT over the trailing two axes."""
+    import jax
+
+    if backend is None and pad_fn is None and jax.default_backend() == "tpu":
+        backend = "pallas"  # fused level kernels; per-level fma fallback
+    if backend == "pallas":
+        if pad_fn is not None:
+            raise ValueError("pallas backend does not support pad_fn")
+        return _dwt2d_pallas(x, wav, levels)
     arr, batch = _to_nchw(x, 2)
     dec = (wav.dec_lo, wav.dec_hi)
     details: List[Tuple[jnp.ndarray, ...]] = []
@@ -100,6 +160,14 @@ def dwt2d(x: jnp.ndarray, wav: Wavelet, levels: int, *,
 def idwt2d(coeffs: Coeffs2D, wav: Wavelet, shape: Tuple[int, int], *,
            backend: Optional[str] = None, pad_fn=None) -> jnp.ndarray:
     """Inverse of :func:`dwt2d`; ``shape`` = (Nr, Nc) of the original image."""
+    import jax
+
+    if backend is None and pad_fn is None and jax.default_backend() == "tpu":
+        backend = "pallas"
+    if backend == "pallas":
+        if pad_fn is not None:
+            raise ValueError("pallas backend does not support pad_fn")
+        return _idwt2d_pallas(coeffs, wav, shape)
     levels = coeffs.levels
     rows = level_sizes(shape[0], levels)
     cols = level_sizes(shape[1], levels)
@@ -119,8 +187,40 @@ def idwt2d(coeffs: Coeffs2D, wav: Wavelet, shape: Tuple[int, int], *,
 # 2D stationary (a-trous)
 # ---------------------------------------------------------------------------
 
+def _swt2d_pallas(x: jnp.ndarray, wav: Wavelet, levels: int) -> Coeffs2D:
+    from .. import kernels
+
+    batch = x.shape[:-2]
+    b = int(np.prod(batch, dtype=np.int64)) if batch else 1
+    a = x.reshape((b,) + x.shape[-2:])
+    dec = (wav.dec_lo, wav.dec_hi)
+    details = []
+    for lvl in range(1, levels + 1):
+        res = kernels.swt_fwd_level_2d(a, wav.dec_lo, wav.dec_hi, lvl)
+        if res is None:
+            f = 1 << (lvl - 1)
+            z = conv.analysis_pass(a[:, None], dec, axis=-1, dilation=f,
+                                   decimate=False, backend="fma")
+            z = conv.analysis_pass(z, dec, axis=-2, dilation=f,
+                                   decimate=False, backend="fma")
+            a, h, v, d = z[:, 0], z[:, 1], z[:, 2], z[:, 3]
+        else:
+            a, h, v, d = res
+        details.append(tuple(t.reshape(batch + t.shape[1:])
+                             for t in (h, v, d)))
+    return Coeffs2D(a.reshape(batch + a.shape[1:]), tuple(details))
+
+
 def swt2d(x: jnp.ndarray, wav: Wavelet, levels: int, *,
           backend: Optional[str] = None, pad_fn=None) -> Coeffs2D:
+    import jax
+
+    if backend is None and pad_fn is None and jax.default_backend() == "tpu":
+        backend = "pallas"
+    if backend == "pallas":
+        if pad_fn is not None:
+            raise ValueError("pallas backend does not support pad_fn")
+        return _swt2d_pallas(x, wav, levels)
     arr, batch = _to_nchw(x, 2)
     dec = (wav.dec_lo, wav.dec_hi)
     details: List[Tuple[jnp.ndarray, ...]] = []
@@ -138,8 +238,39 @@ def swt2d(x: jnp.ndarray, wav: Wavelet, levels: int, *,
     return Coeffs2D(_from_nchw(a, batch, 2), tuple(details))
 
 
+def _iswt2d_pallas(coeffs: Coeffs2D, wav: Wavelet) -> jnp.ndarray:
+    from .. import kernels
+
+    rec = (wav.rec_lo * 0.5, wav.rec_hi * 0.5)
+    batch = coeffs.approx.shape[:-2]
+    b = int(np.prod(batch, dtype=np.int64)) if batch else 1
+    flat = lambda t: t.reshape((b,) + t.shape[len(batch):])
+    a = flat(coeffs.approx)
+    for i in range(coeffs.levels - 1, -1, -1):
+        h, v, d = (flat(t) for t in coeffs.details[i])
+        y = kernels.swt_inv_level_2d(a, h, v, d, wav.rec_lo, wav.rec_hi,
+                                     i + 1)
+        if y is None:
+            f = 1 << i
+            z = jnp.concatenate([t[:, None] for t in (a, h, v, d)], axis=1)
+            t2 = conv.synthesis_pass(z, rec, axis=-2, dilation=f,
+                                     decimated=False, backend="fma")
+            y = conv.synthesis_pass(t2, rec, axis=-1, dilation=f,
+                                    decimated=False, backend="fma")[:, 0]
+        a = y
+    return a.reshape(batch + a.shape[1:])
+
+
 def iswt2d(coeffs: Coeffs2D, wav: Wavelet, *,
            backend: Optional[str] = None, pad_fn=None) -> jnp.ndarray:
+    import jax
+
+    if backend is None and pad_fn is None and jax.default_backend() == "tpu":
+        backend = "pallas"
+    if backend == "pallas":
+        if pad_fn is not None:
+            raise ValueError("pallas backend does not support pad_fn")
+        return _iswt2d_pallas(coeffs, wav)
     # Each separable synthesis pass halves the taps
     # (reference: src/separable.cu:581-584,621-622).
     rec = (wav.rec_lo * 0.5, wav.rec_hi * 0.5)
@@ -159,8 +290,36 @@ def iswt2d(coeffs: Coeffs2D, wav: Wavelet, *,
 # 1D (batched over leading dims)
 # ---------------------------------------------------------------------------
 
+def _dwt1d_pallas(x: jnp.ndarray, wav: Wavelet, levels: int) -> Coeffs1D:
+    from .. import kernels
+
+    batch = x.shape[:-1]
+    b = int(np.prod(batch, dtype=np.int64)) if batch else 1
+    a = x.reshape(b, x.shape[-1])
+    dec = (wav.dec_lo, wav.dec_hi)
+    details = []
+    for _ in range(levels):
+        res = kernels.fwd_level_1d(a, wav.dec_lo, wav.dec_hi)
+        if res is None:
+            z = conv.analysis_pass(a[:, None, None], dec, axis=-1,
+                                   backend="fma")
+            a, d = z[:, 0, 0], z[:, 1, 0]
+        else:
+            a, d = res
+        details.append(d.reshape(batch + d.shape[1:]))
+    return Coeffs1D(a.reshape(batch + a.shape[1:]), tuple(details))
+
+
 def dwt1d(x: jnp.ndarray, wav: Wavelet, levels: int, *,
           backend: Optional[str] = None, pad_fn=None) -> Coeffs1D:
+    import jax
+
+    if backend is None and pad_fn is None and jax.default_backend() == "tpu":
+        backend = "pallas"
+    if backend == "pallas":
+        if pad_fn is not None:
+            raise ValueError("pallas backend does not support pad_fn")
+        return _dwt1d_pallas(x, wav, levels)
     arr, batch = _to_nchw(x, 1)
     dec = (wav.dec_lo, wav.dec_hi)
     details: List[jnp.ndarray] = []
@@ -172,8 +331,39 @@ def dwt1d(x: jnp.ndarray, wav: Wavelet, levels: int, *,
     return Coeffs1D(_from_nchw(a, batch, 1), tuple(details))
 
 
+def _idwt1d_pallas(coeffs: Coeffs1D, wav: Wavelet, length: int) -> jnp.ndarray:
+    from .. import kernels
+
+    levels = coeffs.levels
+    sizes = level_sizes(length, levels)
+    rec = (wav.rec_lo, wav.rec_hi)
+    batch = coeffs.approx.shape[:-1]
+    b = int(np.prod(batch, dtype=np.int64)) if batch else 1
+    flat = lambda t: t.reshape(b, t.shape[-1])
+    a = flat(coeffs.approx)
+    for i in range(levels - 1, -1, -1):
+        d = flat(coeffs.details[i])
+        y = kernels.inv_level_1d(a, d, wav.rec_lo, wav.rec_hi)
+        if y is None:
+            z = jnp.concatenate([a[:, None, None], d[:, None, None]], axis=1)
+            y = conv.synthesis_pass(z, rec, axis=-1, out_len=sizes[i],
+                                    backend="fma")[:, 0, 0]
+        else:
+            y = y[:, :sizes[i]]
+        a = y
+    return a.reshape(batch + a.shape[1:])
+
+
 def idwt1d(coeffs: Coeffs1D, wav: Wavelet, length: int, *,
            backend: Optional[str] = None, pad_fn=None) -> jnp.ndarray:
+    import jax
+
+    if backend is None and pad_fn is None and jax.default_backend() == "tpu":
+        backend = "pallas"
+    if backend == "pallas":
+        if pad_fn is not None:
+            raise ValueError("pallas backend does not support pad_fn")
+        return _idwt1d_pallas(coeffs, wav, length)
     levels = coeffs.levels
     sizes = level_sizes(length, levels)
     rec = (wav.rec_lo, wav.rec_hi)

@@ -1,0 +1,26 @@
+"""Pallas TPU kernels — fused per-level transform passes.
+
+The always-correct jnp backends live in pdwt_tpu.core.conv; these kernels
+implement the same index semantics with both separable passes of a level
+fused in VMEM (one HBM read of the input, one write per subband), selected
+via ``backend="pallas"`` (the default on TPU).
+"""
+from .separable_pallas import (
+    fwd_level_2d,
+    inv_level_2d,
+    pallas_supported_fwd,
+    pallas_supported_inv,
+)
+from .swt_pallas import (
+    fwd_level_1d,
+    inv_level_1d,
+    swt_fwd_level_2d,
+    swt_inv_level_2d,
+)
+
+__all__ = [
+    "fwd_level_2d", "inv_level_2d",
+    "pallas_supported_fwd", "pallas_supported_inv",
+    "swt_fwd_level_2d", "swt_inv_level_2d",
+    "fwd_level_1d", "inv_level_1d",
+]

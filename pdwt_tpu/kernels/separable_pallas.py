@@ -1,0 +1,331 @@
+"""Fused separable DWT level kernels (Pallas TPU).
+
+One kernel invocation computes a FULL decomposition level — both separable
+passes — on VMEM-resident tiles.  The reference needs two kernel launches
+with an HBM round-trip of the temps between them (reference:
+src/separable.cu:196-197), and XLA's jnp lowering materializes every
+tap's strided slice; this kernel reads the (padded) image once and writes
+each subband once.
+
+The TPU-native formulation (Mosaic supports no strided slicing at all):
+
+* every decimating FIR runs along the SUBLANE axis, where the even/odd
+  polyphase split is a free ``(R, C) -> (R/2, 2, C)`` reshape (the memory
+  layout is unchanged) — the contiguous-slice FMA then never touches a
+  stride;
+* the other (lane) axis is handled by an in-VMEM transpose before and
+  after its pass — VPU-speed tile shuffles, far cheaper than the
+  HBM-level relayouts XLA emits for the same ops;
+* the inverse uses the zero-stuff-free polyphase synthesis (see
+  core/conv._fma_synthesis_poly): each output parity is a half-length FIR
+  over the unstuffed coefficients, and the parities interleave with a
+  sublane ``stack + reshape`` (also layout-free).
+
+Index semantics are identical to pdwt_tpu.core.conv (reference:
+src/separable.cu:91-328); tests assert equality against the gather
+oracle.  Filter taps are baked into the kernel as immediate constants —
+the TPU-native analogue of the reference's CUDA constant memory
+(reference: src/common.h:15-36).
+
+Geometry limits: even filter length (all 72 built-in wavelets), even
+level input sizes, subband sizes divisible by a supported tile.  Anything
+else returns None and the caller falls back to the (bit-identical) jnp
+fma backend.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core import conv
+
+_SUB_TILES = (256, 128, 64, 32, 16, 8)     # sublane-axis output tile
+_LANE_TILES = (256, 128)                   # lane-axis output tile
+_VMEM_BUDGET = 11 * 1024 * 1024            # stack budget per kernel body
+
+
+def _pick_tile(m: int, candidates) -> Optional[int]:
+    for t in candidates:
+        if m % t == 0:
+            return t
+    return None
+
+
+def _ceil_to(n: int, m: int) -> int:
+    return -(-n // m) * m
+
+
+def _vmem_est(rows: int, cols: int, hlen: int) -> int:
+    # Empirical Mosaic stack usage of the fused level body: the input
+    # tile plus per-tap slice temporaries and the transposed temps.
+    return rows * cols * 4 * (hlen // 2 + 8)
+
+
+def _pick_tiles_2d(mr: int, mc: int, hlen: int, *, inv: bool):
+    """Largest (TR, TC) pair whose kernel body fits the VMEM budget."""
+    if inv:
+        _, _, lo, hi = _poly_geometry(hlen)
+        dims = lambda tr, tc: (_ceil_to(2 * tr, 8) + lo + hi,
+                               _ceil_to(tc + lo + hi, 128))
+    else:
+        dims = lambda tr, tc: (_ceil_to(2 * tr + hlen - 2, 8),
+                               _ceil_to(2 * tc + hlen - 2, 128))
+    best = None
+    for tr in _SUB_TILES:
+        if mr % tr:
+            continue
+        for tc in _LANE_TILES:
+            if mc % tc:
+                continue
+            rows, cols = dims(tr, tc)
+            if _vmem_est(rows, cols, hlen) > _VMEM_BUDGET:
+                continue
+            if best is None or tr * tc > best[0] * best[1]:
+                best = (tr, tc)
+    return best
+
+
+def _taps(f: np.ndarray) -> Tuple[float, ...]:
+    """Reversed (correlation-order) taps as a hashable tuple."""
+    return tuple(float(v) for v in np.asarray(f, np.float64)[::-1])
+
+
+# ---------------------------------------------------------------------------
+# in-kernel building blocks (operate on VMEM values)
+# ---------------------------------------------------------------------------
+
+def _fir_decim_sub(x, taps_lo, taps_hi, n_out):
+    """Dual decimate-by-2 FIR along axis 0 (sublanes).
+
+    x: (2*n_out + hlen - 2, C).  out[m] = sum_j t[j] * x[2m + j] via the
+    free parity reshape; returns (lo, hi) each (n_out, C)."""
+    hlen = len(taps_lo)
+    rows, c = x.shape
+    xr = x.reshape(rows // 2, 2, c)
+    even, odd = xr[:, 0, :], xr[:, 1, :]
+
+    def run(taps):
+        acc = None
+        for j, t in enumerate(taps):
+            src, a = (even, j // 2) if j % 2 == 0 else (odd, j // 2)
+            term = t * src[a:a + n_out, :]
+            acc = term if acc is None else acc + term
+        return acc
+
+    return run(taps_lo), run(taps_hi)
+
+
+def _poly_geometry(hlen: int):
+    """Parity/offset bookkeeping of the stuff-free synthesis (matches
+    core/conv._fma_synthesis_poly)."""
+    s = conv.inv_shift(hlen)
+    p = (s % 2, 1 - s % 2)
+    o = (-(s // 2), (1 - s + (1 - s % 2)) // 2)
+    nb = tuple(len(range(p[q], hlen, 2)) for q in (0, 1))
+    lo = max(0, -min(o))
+    hi = max(0, max(o[q] + nb[q] - 1 for q in (0, 1)))
+    return p, o, lo, hi
+
+
+def _fir_synth_sub(lo_band, hi_band, taps_lo, taps_hi, m_out):
+    """Stuff-free synthesis along axis 0: bands (m_out + lo + hi, C) ->
+    upsampled (2*m_out, C), parities interleaved via sublane reshape."""
+    hlen = len(taps_lo)
+    p, o, lo_pad, _ = _poly_geometry(hlen)
+    outs = []
+    for q in (0, 1):
+        acc = None
+        for band, taps in ((lo_band, taps_lo), (hi_band, taps_hi)):
+            for b, j in enumerate(range(p[q], hlen, 2)):
+                start = lo_pad + o[q] + b
+                term = taps[j] * band[start:start + m_out, :]
+                acc = term if acc is None else acc + term
+        outs.append(acc)
+    c = outs[0].shape[1]
+    return jnp.stack(outs, axis=1).reshape(2 * m_out, c)
+
+
+# ---------------------------------------------------------------------------
+# forward level
+# ---------------------------------------------------------------------------
+
+def _make_fwd_kernel(taps_lo, taps_hi, hlen, TR, TC):
+    # DMA windows must be tile-aligned (8 sublanes x 128 lanes); the
+    # padded input carries the extra alignment margin.  The FIRs only read
+    # the valid leading region of each (aligned) tile.
+    rows = _ceil_to(2 * TR + hlen - 2, 8)
+    cols = _ceil_to(2 * TC + hlen - 2, 128)
+
+    def kernel(xp_hbm, a_ref, h_ref, v_ref, d_ref, xt, sem):
+        b = pl.program_id(0)
+        i = pl.program_id(1)
+        j = pl.program_id(2)
+        dma = pltpu.make_async_copy(
+            xp_hbm.at[b, pl.ds(2 * TR * i, rows), pl.ds(2 * TC * j, cols)],
+            xt, sem)
+        dma.start()
+        dma.wait()
+        x = xt[:]
+        # pass 1: along rows (sublanes), keeping the column halo.  The
+        # separable passes commute, so running the row axis first is
+        # equivalent to the reference's column-first order.
+        tlo, thi = _fir_decim_sub(x, taps_lo, taps_hi, TR)     # (TR, cols)
+        # pass 2: columns -> transpose so the FIR runs on sublanes.
+        # H = highpass along rows = hi row-pass + lo col-pass.
+        a_t, v_t = _fir_decim_sub(tlo.T, taps_lo, taps_hi, TC)  # (TC, TR)
+        h_t, d_t = _fir_decim_sub(thi.T, taps_lo, taps_hi, TC)
+        a_ref[0] = a_t.T
+        h_ref[0] = h_t.T
+        v_ref[0] = v_t.T
+        d_ref[0] = d_t.T
+
+    return kernel, rows, cols
+
+
+@functools.partial(jax.jit, static_argnames=("taps", "hlen", "tiles", "mshape"))
+def _fwd_call(xp, taps, hlen, tiles, mshape):
+    taps_lo, taps_hi = taps
+    TR, TC = tiles
+    B = xp.shape[0]
+    mr, mc = mshape
+    kernel, rows, cols = _make_fwd_kernel(taps_lo, taps_hi, hlen, TR, TC)
+    del rows, cols
+    out_spec = pl.BlockSpec((1, TR, TC), lambda b, i, j: (b, i, j),
+                            memory_space=pltpu.VMEM)
+    shape = jax.ShapeDtypeStruct((B, mr, mc), xp.dtype)
+    rows = _ceil_to(2 * TR + hlen - 2, 8)
+    cols = _ceil_to(2 * TC + hlen - 2, 128)
+    return pl.pallas_call(
+        kernel,
+        grid=(B, mr // TR, mc // TC),
+        out_shape=(shape, shape, shape, shape),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=(out_spec, out_spec, out_spec, out_spec),
+        scratch_shapes=[
+            pltpu.VMEM((rows, cols), xp.dtype),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )(xp)
+
+
+def pallas_supported_fwd(shape: Tuple[int, int], hlen: int) -> bool:
+    r, c = shape
+    if hlen % 2 or r % 2 or c % 2:
+        return False
+    return _pick_tiles_2d(r // 2, c // 2, hlen, inv=False) is not None
+
+
+def fwd_level_2d(x: jnp.ndarray, dec_lo: np.ndarray, dec_hi: np.ndarray):
+    """One forward level on (B, R, C) even-sized input -> (a, h, v, d)
+    each (B, R/2, C/2); None if the geometry is unsupported."""
+    B, r, c = x.shape
+    hlen = len(dec_lo)
+    if x.dtype != jnp.float32 or not pallas_supported_fwd((r, c), hlen):
+        return None
+    TR, TC = _pick_tiles_2d(r // 2, c // 2, hlen, inv=False)
+    cen = conv.fwd_center(hlen)
+    rows_al = _ceil_to(2 * TR + hlen - 2, 8)
+    cols_al = _ceil_to(2 * TC + hlen - 2, 128)
+    # hi pad covers the filter support plus the DMA alignment margin of
+    # the last tile: total rows = (r - 2*TR) + rows_al, etc.
+    hi_r = (r - 2 * TR + rows_al) - r - cen
+    hi_c = (c - 2 * TC + cols_al) - c - cen
+    xp = conv.wrap_pad(x, -1, cen, hi_c)
+    xp = conv.wrap_pad(xp, -2, cen, hi_r)
+    return _fwd_call(xp, (_taps(dec_lo), _taps(dec_hi)), hlen, (TR, TC),
+                     (r // 2, c // 2))
+
+
+# ---------------------------------------------------------------------------
+# inverse level
+# ---------------------------------------------------------------------------
+
+def _make_inv_kernel(taps_lo, taps_hi, hlen, TR, TC, pad):
+    lo_pad, hi_pad = pad
+    rows = _ceil_to(TR + lo_pad + hi_pad, 8)
+    cols = _ceil_to(TC + lo_pad + hi_pad, 128)
+
+    def kernel(a_hbm, h_hbm, v_hbm, d_hbm, out_ref, at, ht, vt, dt, sems):
+        b = pl.program_id(0)
+        i = pl.program_id(1)
+        j = pl.program_id(2)
+        copies = []
+        for idx, (src, dst) in enumerate(
+                ((a_hbm, at), (h_hbm, ht), (v_hbm, vt), (d_hbm, dt))):
+            dma = pltpu.make_async_copy(
+                src.at[b, pl.ds(TR * i, rows), pl.ds(TC * j, cols)],
+                dst, sems.at[idx])
+            dma.start()
+            copies.append(dma)
+        for dma in copies:
+            dma.wait()
+        # pass 1: rows (sublanes), column halo kept: (2TR, cols)
+        t1 = _fir_synth_sub(at[:], ht[:], taps_lo, taps_hi, TR)
+        t2 = _fir_synth_sub(vt[:], dt[:], taps_lo, taps_hi, TR)
+        # pass 2: columns via transpose: (2TC, 2TR) -> out (2TR, 2TC)
+        out_t = _fir_synth_sub(t1.T, t2.T, taps_lo, taps_hi, TC)
+        out_ref[0] = out_t.T
+
+    return kernel, rows, cols
+
+
+@functools.partial(jax.jit, static_argnames=("taps", "hlen", "tiles", "pad",
+                                              "mshape"))
+def _inv_call(ap, hp, vp, dp, taps, hlen, tiles, pad, mshape):
+    taps_lo, taps_hi = taps
+    TR, TC = tiles
+    lo_pad, hi_pad = pad
+    B = ap.shape[0]
+    mr, mc = mshape
+    kernel, rows, cols = _make_inv_kernel(taps_lo, taps_hi, hlen, TR, TC,
+                                          pad)
+    out_spec = pl.BlockSpec((1, 2 * TR, 2 * TC), lambda b, i, j: (b, i, j),
+                            memory_space=pltpu.VMEM)
+    shape = jax.ShapeDtypeStruct((B, 2 * mr, 2 * mc), ap.dtype)
+    tile = lambda: pltpu.VMEM((rows, cols), ap.dtype)
+    return pl.pallas_call(
+        kernel,
+        grid=(B, mr // TR, mc // TC),
+        out_shape=shape,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 4,
+        out_specs=out_spec,
+        scratch_shapes=[tile(), tile(), tile(), tile(),
+                        pltpu.SemaphoreType.DMA((4,))],
+    )(ap, hp, vp, dp)
+
+
+def pallas_supported_inv(mshape: Tuple[int, int], hlen: int) -> bool:
+    mr, mc = mshape
+    if hlen % 2:
+        return False
+    return _pick_tiles_2d(mr, mc, hlen, inv=True) is not None
+
+
+def inv_level_2d(a, h, v, d, rec_lo: np.ndarray, rec_hi: np.ndarray):
+    """One inverse level: subbands (B, Mr, Mc) -> (B, 2Mr, 2Mc); None if
+    unsupported (caller slices to odd out_len when needed)."""
+    B, mr, mc = a.shape
+    hlen = len(rec_lo)
+    if a.dtype != jnp.float32 or not pallas_supported_inv((mr, mc), hlen):
+        return None
+    TR, TC = _pick_tiles_2d(mr, mc, hlen, inv=True)
+    _, _, lo_pad, hi_pad = _poly_geometry(hlen)
+
+    rows_al = _ceil_to(TR + lo_pad + hi_pad, 8)
+    cols_al = _ceil_to(TC + lo_pad + hi_pad, 128)
+    hi_r = (mr - TR + rows_al) - mr - lo_pad
+    hi_c = (mc - TC + cols_al) - mc - lo_pad
+
+    def pad2(arr):
+        arr = conv.wrap_pad(arr, -1, lo_pad, hi_c)
+        return conv.wrap_pad(arr, -2, lo_pad, hi_r)
+
+    return _inv_call(pad2(a), pad2(h), pad2(v), pad2(d),
+                     (_taps(rec_lo), _taps(rec_hi)), hlen, (TR, TC),
+                     (lo_pad, hi_pad), (mr, mc))

@@ -1,0 +1,377 @@
+"""Fused à-trous (SWT) level kernels and batched-1D kernels (Pallas TPU).
+
+SWT (reference: src/separable.cu:409-493, 553-626): stride 1, filter
+dilated by ``2^(level-1)``; no decimation means no parity machinery —
+each pass is a plain dual FIR of contiguous slices at dilated offsets.
+The inverse carries the 1/2-per-pass normalization in its taps
+(reference: src/separable.cu:581-584).  Both separable passes fuse into
+one kernel per level, like the decimated kernels in separable_pallas.
+
+Batched 1D (reference: src/separable.cu:213-236): the batch rides the
+sublane axis untouched; the signal axis transposes into sublanes for the
+(parity-split) FIR and back.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core import conv
+from .separable_pallas import (
+    _ceil_to,
+    _fir_decim_sub,
+    _fir_synth_sub,
+    _pick_tile,
+    _poly_geometry,
+    _taps,
+    _SUB_TILES,
+    _LANE_TILES,
+    _VMEM_BUDGET,
+)
+
+
+def _fir_atrous_sub(x, taps_lo, taps_hi, n_out, f):
+    """Dual à-trous FIR along axis 0: out[m] = sum_j t[j] * x[m + f*j]."""
+    def run(taps):
+        acc = None
+        for j, t in enumerate(taps):
+            term = t * x[f * j:f * j + n_out, :]
+            acc = term if acc is None else acc + term
+        return acc
+
+    return run(taps_lo), run(taps_hi)
+
+
+def _fir_atrous_pair_sub(lo_band, hi_band, taps_lo, taps_hi, n_out, f):
+    """À-trous synthesis combine: out[m] = sum_j tl[j]*lo[m+f*j] +
+    th[j]*hi[m+f*j] (taps carry the 1/2 factor)."""
+    acc = None
+    for j in range(len(taps_lo)):
+        term = (taps_lo[j] * lo_band[f * j:f * j + n_out, :]
+                + taps_hi[j] * hi_band[f * j:f * j + n_out, :])
+        acc = term if acc is None else acc + term
+    return acc
+
+
+def _swt_tiles(nr: int, nc: int, hlen: int, f: int):
+    span = (hlen - 1) * f
+    best = None
+    for tr in _SUB_TILES:
+        if nr % tr:
+            continue
+        for tc in _LANE_TILES:
+            if nc % tc:
+                continue
+            rows = _ceil_to(tr + span, 8)
+            cols = _ceil_to(tc + span, 128)
+            if rows * cols * 4 * (hlen // 2 + 8) > _VMEM_BUDGET:
+                continue
+            if best is None or tr * tc > best[0] * best[1]:
+                best = (tr, tc)
+    return best
+
+
+# ---------------------------------------------------------------------------
+# SWT forward level
+# ---------------------------------------------------------------------------
+
+def _make_swt_fwd_kernel(taps_lo, taps_hi, hlen, f, TR, TC):
+    span = (hlen - 1) * f
+    rows = _ceil_to(TR + span, 8)
+    cols = _ceil_to(TC + span, 128)
+
+    def kernel(xp_hbm, a_ref, h_ref, v_ref, d_ref, xt, sem):
+        b = pl.program_id(0)
+        i = pl.program_id(1)
+        j = pl.program_id(2)
+        dma = pltpu.make_async_copy(
+            xp_hbm.at[b, pl.ds(TR * i, rows), pl.ds(TC * j, cols)], xt, sem)
+        dma.start()
+        dma.wait()
+        x = xt[:]
+        tlo, thi = _fir_atrous_sub(x, taps_lo, taps_hi, TR, f)
+        a_t, v_t = _fir_atrous_sub(tlo.T, taps_lo, taps_hi, TC, f)
+        h_t, d_t = _fir_atrous_sub(thi.T, taps_lo, taps_hi, TC, f)
+        a_ref[0] = a_t.T
+        h_ref[0] = h_t.T
+        v_ref[0] = v_t.T
+        d_ref[0] = d_t.T
+
+    return kernel, rows, cols
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("taps", "hlen", "f", "tiles", "nshape"))
+def _swt_fwd_call(xp, taps, hlen, f, tiles, nshape):
+    taps_lo, taps_hi = taps
+    TR, TC = tiles
+    B = xp.shape[0]
+    nr, nc = nshape
+    kernel, rows, cols = _make_swt_fwd_kernel(taps_lo, taps_hi, hlen, f,
+                                              TR, TC)
+    out_spec = pl.BlockSpec((1, TR, TC), lambda b, i, j: (b, i, j),
+                            memory_space=pltpu.VMEM)
+    shape = jax.ShapeDtypeStruct((B, nr, nc), xp.dtype)
+    return pl.pallas_call(
+        kernel,
+        grid=(B, nr // TR, nc // TC),
+        out_shape=(shape, shape, shape, shape),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=(out_spec, out_spec, out_spec, out_spec),
+        scratch_shapes=[pltpu.VMEM((rows, cols), xp.dtype),
+                        pltpu.SemaphoreType.DMA(())],
+    )(xp)
+
+
+def swt_fwd_level_2d(x, dec_lo, dec_hi, level: int):
+    """One à-trous forward level on (B, R, C) -> (a, h, v, d) full-size;
+    None if unsupported."""
+    B, r, c = x.shape
+    hlen = len(dec_lo)
+    f = 1 << (level - 1)
+    if x.dtype != jnp.float32:
+        return None
+    tiles = _swt_tiles(r, c, hlen, f)
+    if tiles is None:
+        return None
+    TR, TC = tiles
+    span = (hlen - 1) * f
+    cen = conv.fwd_center(hlen) * f
+    rows_al = _ceil_to(TR + span, 8)
+    cols_al = _ceil_to(TC + span, 128)
+    hi_r = (r - TR + rows_al) - r - cen
+    hi_c = (c - TC + cols_al) - c - cen
+    xp = conv.wrap_pad(x, -1, cen, hi_c)
+    xp = conv.wrap_pad(xp, -2, cen, hi_r)
+    return _swt_fwd_call(xp, (_taps(dec_lo), _taps(dec_hi)), hlen, f,
+                         (TR, TC), (r, c))
+
+
+# ---------------------------------------------------------------------------
+# SWT inverse level
+# ---------------------------------------------------------------------------
+
+def _make_swt_inv_kernel(taps_lo, taps_hi, hlen, f, TR, TC):
+    span = (hlen - 1) * f
+    rows = _ceil_to(TR + span, 8)
+    cols = _ceil_to(TC + span, 128)
+
+    def kernel(a_hbm, h_hbm, v_hbm, d_hbm, out_ref, at, ht, vt, dt, sems):
+        b = pl.program_id(0)
+        i = pl.program_id(1)
+        j = pl.program_id(2)
+        copies = []
+        for idx, (src, dst) in enumerate(
+                ((a_hbm, at), (h_hbm, ht), (v_hbm, vt), (d_hbm, dt))):
+            dma = pltpu.make_async_copy(
+                src.at[b, pl.ds(TR * i, rows), pl.ds(TC * j, cols)],
+                dst, sems.at[idx])
+            dma.start()
+            copies.append(dma)
+        for dma in copies:
+            dma.wait()
+        t1 = _fir_atrous_pair_sub(at[:], ht[:], taps_lo, taps_hi, TR, f)
+        t2 = _fir_atrous_pair_sub(vt[:], dt[:], taps_lo, taps_hi, TR, f)
+        out_t = _fir_atrous_pair_sub(t1.T, t2.T, taps_lo, taps_hi, TC, f)
+        out_ref[0] = out_t.T
+
+    return kernel, rows, cols
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("taps", "hlen", "f", "tiles", "nshape"))
+def _swt_inv_call(ap, hp, vp, dp, taps, hlen, f, tiles, nshape):
+    taps_lo, taps_hi = taps
+    TR, TC = tiles
+    B = ap.shape[0]
+    nr, nc = nshape
+    kernel, rows, cols = _make_swt_inv_kernel(taps_lo, taps_hi, hlen, f,
+                                              TR, TC)
+    out_spec = pl.BlockSpec((1, TR, TC), lambda b, i, j: (b, i, j),
+                            memory_space=pltpu.VMEM)
+    shape = jax.ShapeDtypeStruct((B, nr, nc), ap.dtype)
+    tile = lambda: pltpu.VMEM((rows, cols), ap.dtype)
+    return pl.pallas_call(
+        kernel,
+        grid=(B, nr // TR, nc // TC),
+        out_shape=shape,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 4,
+        out_specs=out_spec,
+        scratch_shapes=[tile(), tile(), tile(), tile(),
+                        pltpu.SemaphoreType.DMA((4,))],
+    )(ap, hp, vp, dp)
+
+
+def swt_inv_level_2d(a, h, v, d, rec_lo, rec_hi, level: int):
+    """One à-trous inverse level (1/2-per-pass normalization included);
+    None if unsupported."""
+    B, r, c = a.shape
+    hlen = len(rec_lo)
+    f = 1 << (level - 1)
+    if a.dtype != jnp.float32:
+        return None
+    tiles = _swt_tiles(r, c, hlen, f)
+    if tiles is None:
+        return None
+    TR, TC = tiles
+    span = (hlen - 1) * f
+    cen = (hlen // 2) * f  # swt synthesis center (src/separable.cu:559-568)
+    rows_al = _ceil_to(TR + span, 8)
+    cols_al = _ceil_to(TC + span, 128)
+    hi_r = (r - TR + rows_al) - r - cen
+    hi_c = (c - TC + cols_al) - c - cen
+
+    def pad2(arr):
+        arr = conv.wrap_pad(arr, -1, cen, hi_c)
+        return conv.wrap_pad(arr, -2, cen, hi_r)
+
+    taps = (_taps(np.asarray(rec_lo) * 0.5), _taps(np.asarray(rec_hi) * 0.5))
+    return _swt_inv_call(pad2(a), pad2(h), pad2(v), pad2(d), taps, hlen, f,
+                         (TR, TC), (r, c))
+
+
+# ---------------------------------------------------------------------------
+# batched 1D (decimated): batch on sublanes, signal transposed through
+# ---------------------------------------------------------------------------
+
+def _tiles_1d(B: int, m: int, hlen: int, cols_of_tc):
+    """Largest (TB, TC) under the VMEM budget (TB divides batch, TC the
+    decimated signal length)."""
+    best = None
+    for tb in (512, 256, 128, 64, 32, 16, 8):
+        if B % tb:
+            continue
+        for tc in _LANE_TILES:
+            if m % tc:
+                continue
+            if tb * cols_of_tc(tc) * 4 * (hlen // 2 + 8) > _VMEM_BUDGET:
+                continue
+            if best is None or tb * tc > best[0] * best[1]:
+                best = (tb, tc)
+    return best
+
+def _make_1d_fwd_kernel(taps_lo, taps_hi, hlen, TB, TC):
+    cols = _ceil_to(2 * TC + hlen - 2, 128)
+
+    def kernel(xp_hbm, lo_ref, hi_ref, xt, sem):
+        b = pl.program_id(0)
+        j = pl.program_id(1)
+        dma = pltpu.make_async_copy(
+            xp_hbm.at[pl.ds(TB * b, TB), pl.ds(2 * TC * j, cols)], xt, sem)
+        dma.start()
+        dma.wait()
+        lo_t, hi_t = _fir_decim_sub(xt[:].T, taps_lo, taps_hi, TC)
+        lo_ref[:] = lo_t.T
+        hi_ref[:] = hi_t.T
+
+    return kernel, cols
+
+
+@functools.partial(jax.jit, static_argnames=("taps", "hlen", "tiles", "m"))
+def _fwd1d_call(xp, taps, hlen, tiles, m):
+    taps_lo, taps_hi = taps
+    TB, TC = tiles
+    B = xp.shape[0]
+    kernel, cols = _make_1d_fwd_kernel(taps_lo, taps_hi, hlen, TB, TC)
+    out_spec = pl.BlockSpec((TB, TC), lambda b, j: (b, j),
+                            memory_space=pltpu.VMEM)
+    shape = jax.ShapeDtypeStruct((B, m), xp.dtype)
+    return pl.pallas_call(
+        kernel,
+        grid=(B // TB, m // TC),
+        out_shape=(shape, shape),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=(out_spec, out_spec),
+        scratch_shapes=[pltpu.VMEM((TB, cols), xp.dtype),
+                        pltpu.SemaphoreType.DMA(())],
+    )(xp)
+
+
+def fwd_level_1d(x, dec_lo, dec_hi):
+    """One decimated level on (B, N) even N -> (lo, hi) each (B, N/2);
+    None if unsupported."""
+    B, n = x.shape
+    hlen = len(dec_lo)
+    if x.dtype != jnp.float32 or hlen % 2 or n % 2:
+        return None
+    m = n // 2
+    tiles = _tiles_1d(B, m, hlen, lambda tc: _ceil_to(2 * tc + hlen - 2, 128))
+    if tiles is None:
+        return None
+    TB, TC = tiles
+    cols_al = _ceil_to(2 * TC + hlen - 2, 128)
+    cen = conv.fwd_center(hlen)
+    hi_c = (n - 2 * TC + cols_al) - n - cen
+    xp = conv.wrap_pad(x, -1, cen, hi_c)
+    return _fwd1d_call(xp, (_taps(dec_lo), _taps(dec_hi)), hlen, (TB, TC), m)
+
+
+def _make_1d_inv_kernel(taps_lo, taps_hi, hlen, TB, TC, pad):
+    lo_pad, hi_pad = pad
+    cols = _ceil_to(TC + lo_pad + hi_pad, 128)
+
+    def kernel(lo_hbm, hi_hbm, out_ref, lt, ht, sems):
+        b = pl.program_id(0)
+        j = pl.program_id(1)
+        d1 = pltpu.make_async_copy(
+            lo_hbm.at[pl.ds(TB * b, TB), pl.ds(TC * j, cols)], lt, sems.at[0])
+        d2 = pltpu.make_async_copy(
+            hi_hbm.at[pl.ds(TB * b, TB), pl.ds(TC * j, cols)], ht, sems.at[1])
+        d1.start()
+        d2.start()
+        d1.wait()
+        d2.wait()
+        out_t = _fir_synth_sub(lt[:].T, ht[:].T, taps_lo, taps_hi, TC)
+        out_ref[:] = out_t.T
+
+    return kernel, cols
+
+
+@functools.partial(jax.jit, static_argnames=("taps", "hlen", "tiles", "pad",
+                                             "m"))
+def _inv1d_call(lp, hp, taps, hlen, tiles, pad, m):
+    taps_lo, taps_hi = taps
+    TB, TC = tiles
+    B = lp.shape[0]
+    kernel, cols = _make_1d_inv_kernel(taps_lo, taps_hi, hlen, TB, TC, pad)
+    out_spec = pl.BlockSpec((TB, 2 * TC), lambda b, j: (b, j),
+                            memory_space=pltpu.VMEM)
+    shape = jax.ShapeDtypeStruct((B, 2 * m), lp.dtype)
+    tile = lambda: pltpu.VMEM((TB, cols), lp.dtype)
+    return pl.pallas_call(
+        kernel,
+        grid=(B // TB, m // TC),
+        out_shape=shape,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 2,
+        out_specs=out_spec,
+        scratch_shapes=[tile(), tile(), pltpu.SemaphoreType.DMA((2,))],
+    )(lp, hp)
+
+
+def inv_level_1d(lo, hi, rec_lo, rec_hi):
+    """One decimated inverse level: (B, M) x2 -> (B, 2M); None if
+    unsupported."""
+    B, m = lo.shape
+    hlen = len(rec_lo)
+    if lo.dtype != jnp.float32 or hlen % 2:
+        return None
+    _, _, lo_pad, hi_pad = _poly_geometry(hlen)
+    tiles = _tiles_1d(B, m, hlen,
+                      lambda tc: _ceil_to(tc + lo_pad + hi_pad, 128))
+    if tiles is None:
+        return None
+    TB, TC = tiles
+    cols_al = _ceil_to(TC + lo_pad + hi_pad, 128)
+    hi_c = (m - TC + cols_al) - m - lo_pad
+
+    def pad1(arr):
+        return conv.wrap_pad(arr, -1, lo_pad, hi_c)
+
+    return _inv1d_call(pad1(lo), pad1(hi), (_taps(rec_lo), _taps(rec_hi)),
+                       hlen, (TB, TC), (lo_pad, hi_pad), m)
