@@ -248,16 +248,24 @@ class Wavelets:
         quads = self._quads_fwd
         be = self._backend
 
+        # the dedicated butterfly haar path wins on CPU; on TPU the fused
+        # pallas separable kernels are faster than XLA's strided butterflies
+        # and produce identical values (tests assert equality).
+        import jax as _jax
+
+        haar_fast = s.hlen == 2 and not s.do_swt \
+            and _jax.default_backend() != "tpu"
+
         def fn(img, sr, sc):
             if s.do_cycle_spinning:
                 img = ops.circshift2d(img, sr, sc)
             if s.ndim == 1:
-                if s.hlen == 2 and not s.do_swt:
+                if haar_fast:
                     return haar_core.haar_dwt1d(img, s.nlevels)
                 if not s.do_swt:
                     return sep_core.dwt1d(img, w, s.nlevels, backend=be)
                 return sep_core.swt1d(img, w, s.nlevels, backend=be)
-            if s.hlen == 2 and not s.do_swt and s.do_separable:
+            if haar_fast and s.do_separable:
                 return haar_core.haar_dwt2d(img, s.nlevels)
             if s.do_separable:
                 if not s.do_swt:
@@ -307,17 +315,22 @@ class Wavelets:
         be = self._backend
         quads = self._quads_inv
 
+        import jax as _jax
+
+        haar_fast = s.hlen == 2 and not s.do_swt \
+            and _jax.default_backend() != "tpu"
+
         def make():
             def fn(c, sr, sc):
                 if s.ndim == 1:
-                    if s.hlen == 2 and not s.do_swt:
+                    if haar_fast:
                         img = haar_core.haar_idwt1d(c, s.nc)
                     elif not s.do_swt:
                         img = sep_core.idwt1d(c, w, s.nc, backend=be)
                     else:
                         img = sep_core.iswt1d(c, w, backend=be)
                 else:
-                    if s.hlen == 2 and not s.do_swt and s.do_separable:
+                    if haar_fast and s.do_separable:
                         img = haar_core.haar_idwt2d(c, s.shape)
                     elif s.do_separable:
                         if not s.do_swt:

@@ -67,6 +67,19 @@ def _check_quads(quads) -> np.ndarray:
     return q
 
 
+def _try_factor(q: np.ndarray):
+    """Jointly-separable quad detection (see filters.bank.factor_quads).
+
+    Named wavelets always produce outer-product quads
+    (reference: src/nonseparable.cu:16-24 w_outer), so the non-separable
+    mode routes through the fast separable passes whenever possible; the
+    true-2D convolution only runs for genuinely non-separable user quads.
+    """
+    from ..filters.bank import factor_quads
+
+    return factor_quads(q)
+
+
 def _fwd_level(x, quads):
     """x: (B,1,H,W); quads: (4,hlen,hlen) forward-convention filters."""
     hlen = quads.shape[-1]
@@ -94,9 +107,27 @@ def _inv_level(z, quads, out_shape):
 
 def dwt2d_ns(x: jnp.ndarray, quads, levels: int) -> Coeffs2D:
     q = _check_quads(quads)
+    fac = _try_factor(q)
     arr, batch = _to_nchw(x, 2)
     details: List[Tuple[jnp.ndarray, ...]] = []
     a = arr
+    if fac is not None:
+        lo_r, hi_r, lo_c, hi_c = fac
+        if np.allclose(lo_r, lo_c) and np.allclose(hi_r, hi_c):
+            # isotropic separable: the full fast path incl. pallas on TPU
+            from ..filters import Wavelet
+            from . import separable as sep
+
+            wav = Wavelet("ns-factored", lo_r, hi_r, lo_r, hi_r)
+            return sep.dwt2d(x, wav, levels)
+        for _ in range(levels):
+            t = conv.analysis_pass(a, (lo_c, hi_c), axis=-1)
+            z = conv.analysis_pass(t, (lo_r, hi_r), axis=-2)
+            a = z[:, 0:1]
+            details.append(tuple(
+                _from_nchw(z[:, k:k + 1], batch, 2) for k in (1, 2, 3)
+            ))
+        return Coeffs2D(_from_nchw(a, batch, 2), tuple(details))
     for _ in range(levels):
         z = _fwd_level(a, q)
         a = z[:, 0:1]
@@ -108,9 +139,27 @@ def dwt2d_ns(x: jnp.ndarray, quads, levels: int) -> Coeffs2D:
 
 def idwt2d_ns(coeffs: Coeffs2D, quads_inv, shape: Tuple[int, int]) -> jnp.ndarray:
     q = _check_quads(quads_inv)
+    fac = _try_factor(q)
     levels = coeffs.levels
     rows = level_sizes(shape[0], levels)
     cols = level_sizes(shape[1], levels)
+    if fac is not None:
+        lo_r, hi_r, lo_c, hi_c = fac
+        if np.allclose(lo_r, lo_c) and np.allclose(hi_r, hi_c):
+            from ..filters import Wavelet
+            from . import separable as sep
+
+            wav = Wavelet("ns-factored", lo_r, hi_r, lo_r, hi_r)
+            return sep.idwt2d(coeffs, wav, shape)
+        a, batch = _to_nchw(coeffs.approx, 2)
+        for i in range(levels - 1, -1, -1):
+            h, v, d = (_to_nchw(c, 2)[0] for c in coeffs.details[i])
+            z = jnp.concatenate([a, h, v, d], axis=1)
+            t = conv.synthesis_pass(z, (lo_r, hi_r), axis=-2,
+                                    out_len=rows[i])
+            a = conv.synthesis_pass(t, (lo_c, hi_c), axis=-1,
+                                    out_len=cols[i])
+        return _from_nchw(a, batch, 2)
     a, batch = _to_nchw(coeffs.approx, 2)
     for i in range(levels - 1, -1, -1):
         h, v, d = (_to_nchw(c, 2)[0] for c in coeffs.details[i])
@@ -142,6 +191,29 @@ def _inv_swt_level(z, quads, factor):
 
 def swt2d_ns(x: jnp.ndarray, quads, levels: int) -> Coeffs2D:
     q = _check_quads(quads)
+    fac = _try_factor(q)
+    if fac is not None:
+        lo_r, hi_r, lo_c, hi_c = fac
+        if np.allclose(lo_r, lo_c) and np.allclose(hi_r, hi_c):
+            from ..filters import Wavelet
+            from . import separable as sep
+
+            return sep.swt2d(x, Wavelet("ns-factored", lo_r, hi_r,
+                                        lo_r, hi_r), levels)
+        arr, batch = _to_nchw(x, 2)
+        details = []
+        a = arr
+        for lvl in range(1, levels + 1):
+            f = 1 << (lvl - 1)
+            t = conv.analysis_pass(a, (lo_c, hi_c), axis=-1, dilation=f,
+                                   decimate=False)
+            z = conv.analysis_pass(t, (lo_r, hi_r), axis=-2, dilation=f,
+                                   decimate=False)
+            a = z[:, 0:1]
+            details.append(tuple(
+                _from_nchw(z[:, k:k + 1], batch, 2) for k in (1, 2, 3)
+            ))
+        return Coeffs2D(_from_nchw(a, batch, 2), tuple(details))
     arr, batch = _to_nchw(x, 2)
     details: List[Tuple[jnp.ndarray, ...]] = []
     a = arr
@@ -156,6 +228,28 @@ def swt2d_ns(x: jnp.ndarray, quads, levels: int) -> Coeffs2D:
 
 def iswt2d_ns(coeffs: Coeffs2D, quads_inv) -> jnp.ndarray:
     q = _check_quads(quads_inv)
+    fac = _try_factor(q)
+    if fac is not None:
+        lo_r, hi_r, lo_c, hi_c = fac
+        if np.allclose(lo_r, lo_c) and np.allclose(hi_r, hi_c):
+            from ..filters import Wavelet
+            from . import separable as sep
+
+            return sep.iswt2d(coeffs, Wavelet("ns-factored", lo_r, hi_r,
+                                              lo_r, hi_r))
+        # 1/4 total = 1/2 per separable pass (src/nonseparable.cu:393-396)
+        rec_r = (lo_r * 0.5, hi_r * 0.5)
+        rec_c = (lo_c * 0.5, hi_c * 0.5)
+        a, batch = _to_nchw(coeffs.approx, 2)
+        for i in range(coeffs.levels - 1, -1, -1):
+            f = 1 << i
+            h, v, d = (_to_nchw(c, 2)[0] for c in coeffs.details[i])
+            z = jnp.concatenate([a, h, v, d], axis=1)
+            t = conv.synthesis_pass(z, rec_r, axis=-2, dilation=f,
+                                    decimated=False)
+            a = conv.synthesis_pass(t, rec_c, axis=-1, dilation=f,
+                                    decimated=False)
+        return _from_nchw(a, batch, 2)
     a, batch = _to_nchw(coeffs.approx, 2)
     for i in range(coeffs.levels - 1, -1, -1):
         h, v, d = (_to_nchw(c, 2)[0] for c in coeffs.details[i])

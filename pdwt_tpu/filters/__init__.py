@@ -1,5 +1,6 @@
 from .bank import (
     Wavelet,
+    factor_quads,
     get_wavelet,
     list_wavelets,
     register_wavelet,
@@ -10,6 +11,7 @@ from .bank import (
 
 __all__ = [
     "Wavelet",
+    "factor_quads",
     "get_wavelet",
     "list_wavelets",
     "register_wavelet",

@@ -182,3 +182,49 @@ def quad_filters(
     if transpose_detail_convention:
         lh, hl = hl, lh
     return np.stack([ll, lh, hl, hh])
+
+
+def factor_quads(quads, rtol: float = 1e-9):
+    """Factor a (LL, LH, HL, HH) quad set into per-axis 1D filters.
+
+    Returns ``(lo_rows, hi_rows, lo_cols, hi_cols)`` such that
+    LL = outer(lo_r, lo_c), LH = outer(hi_r, lo_c),
+    HL = outer(lo_r, hi_c), HH = outer(hi_r, hi_c) — i.e. the quads are
+    jointly separable — or None.  Used to route non-separable requests
+    with (the overwhelmingly common) outer-product filters through the
+    fast separable engine; genuinely 2D user quads
+    (reference: src/nonseparable.cu:86-106) stay on the true-2D path.
+    """
+    q = np.asarray(quads, dtype=np.float64)
+    if q.ndim != 3 or q.shape[0] != 4:
+        return None
+    scale = float(np.abs(q).max())
+    if scale == 0.0:
+        return None
+
+    def rank1(m):
+        u, s, vt = np.linalg.svd(m)
+        if s[0] < rtol * scale or (len(s) > 1 and s[1] > rtol * scale):
+            return None
+        r = np.sqrt(s[0])
+        return u[:, 0] * r, vt[0] * r
+
+    f_ll, f_hh = rank1(q[0]), rank1(q[3])
+    if f_ll is None or f_hh is None:
+        return None
+    lo_r, lo_c = f_ll
+    hi_r, hi_c = f_hh
+    # Remaining freedom: hi_r *= a, hi_c /= a.  LH fixes a; HL must then
+    # match with the reciprocal ratio.
+    base = np.outer(hi_r, lo_c)
+    denom = float(np.vdot(base, base))
+    if denom < (rtol * scale) ** 2:
+        return None
+    a = float(np.vdot(base, q[1])) / denom
+    if abs(a) < rtol:
+        return None
+    if not np.allclose(q[1], a * base, atol=rtol * scale):
+        return None
+    if not np.allclose(q[2], np.outer(lo_r, hi_c) / a, atol=rtol * scale):
+        return None
+    return lo_r, a * hi_r, lo_c, hi_c / a

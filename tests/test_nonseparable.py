@@ -79,3 +79,40 @@ def test_ns_custom_nonseparable_quads(rng):
 def test_ns_bad_quads_rejected():
     with pytest.raises(ValueError, match="quads"):
         NS.dwt2d_ns(jnp.zeros((8, 8)), np.zeros((3, 4, 4)), 1)
+
+
+def test_quad_factorization_dispatch(rng):
+    """Outer-product quads route through the separable fast path and must
+    match the true-2D engine; random quads must not factor."""
+    import numpy as np
+    from pdwt_tpu.filters import factor_quads, get_wavelet, quad_filters
+    from pdwt_tpu.core.nonseparable import (
+        _check_quads, _fwd_level, _from_nchw, _to_nchw)
+    from pdwt_tpu.core import nonseparable as ns
+
+    w = get_wavelet("db4")
+    q_f = quad_filters(w.dec_lo, w.dec_hi)
+    assert factor_quads(q_f) is not None
+    assert factor_quads(np.stack(
+        [rng.standard_normal((6, 6)) for _ in range(4)])) is None
+
+    x = jnp.asarray(rng.standard_normal((47, 61)))
+    c_fast = ns.dwt2d_ns(x, q_f, 2)
+    arr, batch = _to_nchw(x, 2)
+    a = arr
+    for _ in range(2):
+        z = _fwd_level(a, _check_quads(q_f))
+        a = z[:, 0:1]
+    assert float(jnp.abs(c_fast.approx - _from_nchw(a, batch, 2)).max()) < 1e-10
+
+    # anisotropic (distinct row/col filters) still factors and matches
+    w2 = get_wavelet("db2")
+    lo_c = np.zeros(8); lo_c[:4] = w2.dec_lo
+    hi_c = np.zeros(8); hi_c[:4] = w2.dec_hi
+    q_an = np.stack([np.outer(w.dec_lo, lo_c), np.outer(w.dec_hi, lo_c),
+                     np.outer(w.dec_lo, hi_c), np.outer(w.dec_hi, hi_c)])
+    assert factor_quads(q_an) is not None
+    c_a = ns.dwt2d_ns(x, q_an, 1)
+    arr, batch = _to_nchw(x, 2)
+    z = _fwd_level(arr, _check_quads(q_an))
+    assert float(jnp.abs(c_a.approx - _from_nchw(z[:, 0:1], batch, 2)).max()) < 1e-10
