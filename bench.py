@@ -35,31 +35,9 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def device_time(fn, arg, *, K=8, M1=1, M2=5, reps=3):
-    """Pure device seconds per fn() call via the two-point slope."""
-    import jax
-    import jax.numpy as jnp
-    from jax import lax
-
-    def timed_loop(M):
-        @jax.jit
-        def lp(x):
-            def body(_, v):
-                for _ in range(M):
-                    v = fn(v)
-                return v
-            return lax.fori_loop(0, K, body, x)
-
-        float(jnp.sum(lp(arg)))  # compile + warm
-        best = float("inf")
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            float(jnp.sum(lp(arg)))
-            best = min(best, time.perf_counter() - t0)
-        return best
-
-    t1, t2 = timed_loop(M1), timed_loop(M2)
-    return (t2 - t1) / (K * (M2 - M1))
+def device_time(fn, arg, **kw):
+    from pdwt_tpu.utils import device_time as dt
+    return dt(fn, arg, **kw)
 
 
 def main() -> None:

@@ -93,7 +93,10 @@ def _dwt2d_pallas(x: jnp.ndarray, wav: Wavelet, levels: int) -> Coeffs2D:
     dec = (wav.dec_lo, wav.dec_hi)
     details = []
     for _ in range(levels):
-        res = kernels.fwd_level_2d(a, wav.dec_lo, wav.dec_hi)
+        # odd sizes: virtual extension (reference: src/separable.cu:116-121)
+        # applied up front so the fused kernel sees even sizes.
+        ae = conv.odd_extend(conv.odd_extend(a, -1), -2)
+        res = kernels.fwd_level_2d(ae, wav.dec_lo, wav.dec_hi)
         if res is None:
             z = conv.analysis_pass(a[:, None], dec, axis=-1, backend="fma")
             z = conv.analysis_pass(z, dec, axis=-2, backend="fma")
@@ -299,7 +302,8 @@ def _dwt1d_pallas(x: jnp.ndarray, wav: Wavelet, levels: int) -> Coeffs1D:
     dec = (wav.dec_lo, wav.dec_hi)
     details = []
     for _ in range(levels):
-        res = kernels.fwd_level_1d(a, wav.dec_lo, wav.dec_hi)
+        ae = conv.odd_extend(a, -1)
+        res = kernels.fwd_level_1d(ae, wav.dec_lo, wav.dec_hi)
         if res is None:
             z = conv.analysis_pass(a[:, None, None], dec, axis=-1,
                                    backend="fma")
@@ -376,8 +380,37 @@ def idwt1d(coeffs: Coeffs1D, wav: Wavelet, length: int, *,
     return _from_nchw(a, batch, 1)
 
 
+def _swt1d_pallas(x: jnp.ndarray, wav: Wavelet, levels: int) -> Coeffs1D:
+    from .. import kernels
+
+    batch = x.shape[:-1]
+    b = int(np.prod(batch, dtype=np.int64)) if batch else 1
+    a = x.reshape(b, x.shape[-1])
+    dec = (wav.dec_lo, wav.dec_hi)
+    details = []
+    for lvl in range(1, levels + 1):
+        res = kernels.swt_fwd_level_1d(a, wav.dec_lo, wav.dec_hi, lvl)
+        if res is None:
+            f = 1 << (lvl - 1)
+            z = conv.analysis_pass(a[:, None, None], dec, axis=-1,
+                                   dilation=f, decimate=False, backend="fma")
+            a, d = z[:, 0, 0], z[:, 1, 0]
+        else:
+            a, d = res
+        details.append(d.reshape(batch + d.shape[1:]))
+    return Coeffs1D(a.reshape(batch + a.shape[1:]), tuple(details))
+
+
 def swt1d(x: jnp.ndarray, wav: Wavelet, levels: int, *,
           backend: Optional[str] = None, pad_fn=None) -> Coeffs1D:
+    import jax
+
+    if backend is None and pad_fn is None and jax.default_backend() == "tpu":
+        backend = "pallas"
+    if backend == "pallas":
+        if pad_fn is not None:
+            raise ValueError("pallas backend does not support pad_fn")
+        return _swt1d_pallas(x, wav, levels)
     arr, batch = _to_nchw(x, 1)
     dec = (wav.dec_lo, wav.dec_hi)
     details: List[jnp.ndarray] = []
@@ -391,8 +424,36 @@ def swt1d(x: jnp.ndarray, wav: Wavelet, levels: int, *,
     return Coeffs1D(_from_nchw(a, batch, 1), tuple(details))
 
 
+def _iswt1d_pallas(coeffs: Coeffs1D, wav: Wavelet) -> jnp.ndarray:
+    from .. import kernels
+
+    rec = (wav.rec_lo * 0.5, wav.rec_hi * 0.5)
+    batch = coeffs.approx.shape[:-1]
+    b = int(np.prod(batch, dtype=np.int64)) if batch else 1
+    flat = lambda t: t.reshape(b, t.shape[-1])
+    a = flat(coeffs.approx)
+    for i in range(coeffs.levels - 1, -1, -1):
+        d = flat(coeffs.details[i])
+        y = kernels.swt_inv_level_1d(a, d, wav.rec_lo, wav.rec_hi, i + 1)
+        if y is None:
+            f = 1 << i
+            z = jnp.concatenate([a[:, None, None], d[:, None, None]], axis=1)
+            y = conv.synthesis_pass(z, rec, axis=-1, dilation=f,
+                                    decimated=False, backend="fma")[:, 0, 0]
+        a = y
+    return a.reshape(batch + a.shape[1:])
+
+
 def iswt1d(coeffs: Coeffs1D, wav: Wavelet, *,
            backend: Optional[str] = None, pad_fn=None) -> jnp.ndarray:
+    import jax
+
+    if backend is None and pad_fn is None and jax.default_backend() == "tpu":
+        backend = "pallas"
+    if backend == "pallas":
+        if pad_fn is not None:
+            raise ValueError("pallas backend does not support pad_fn")
+        return _iswt1d_pallas(coeffs, wav)
     # Single pass in 1D -> one 1/2 factor (reference: src/separable.cu:653-672).
     rec = (wav.rec_lo * 0.5, wav.rec_hi * 0.5)
     a, batch = _to_nchw(coeffs.approx, 1)

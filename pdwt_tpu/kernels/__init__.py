@@ -14,7 +14,9 @@ from .separable_pallas import (
 from .swt_pallas import (
     fwd_level_1d,
     inv_level_1d,
+    swt_fwd_level_1d,
     swt_fwd_level_2d,
+    swt_inv_level_1d,
     swt_inv_level_2d,
 )
 
@@ -22,5 +24,6 @@ __all__ = [
     "fwd_level_2d", "inv_level_2d",
     "pallas_supported_fwd", "pallas_supported_inv",
     "swt_fwd_level_2d", "swt_inv_level_2d",
+    "swt_fwd_level_1d", "swt_inv_level_1d",
     "fwd_level_1d", "inv_level_1d",
 ]

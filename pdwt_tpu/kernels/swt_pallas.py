@@ -375,3 +375,134 @@ def inv_level_1d(lo, hi, rec_lo, rec_hi):
 
     return _inv1d_call(pad1(lo), pad1(hi), (_taps(rec_lo), _taps(rec_hi)),
                        hlen, (TB, TC), (lo_pad, hi_pad), m)
+
+
+# ---------------------------------------------------------------------------
+# batched 1D a-trous (SWT)
+# ---------------------------------------------------------------------------
+
+def _make_swt1d_fwd_kernel(taps_lo, taps_hi, hlen, f, TB, TC):
+    span = (hlen - 1) * f
+    cols = _ceil_to(TC + span, 128)
+
+    def kernel(xp_hbm, lo_ref, hi_ref, xt, sem):
+        b = pl.program_id(0)
+        j = pl.program_id(1)
+        dma = pltpu.make_async_copy(
+            xp_hbm.at[pl.ds(TB * b, TB), pl.ds(TC * j, cols)], xt, sem)
+        dma.start()
+        dma.wait()
+        lo_t, hi_t = _fir_atrous_sub(xt[:].T, taps_lo, taps_hi, TC, f)
+        lo_ref[:] = lo_t.T
+        hi_ref[:] = hi_t.T
+
+    return kernel, cols
+
+
+@functools.partial(jax.jit, static_argnames=("taps", "hlen", "f", "tiles",
+                                             "n"))
+def _swt1d_fwd_call(xp, taps, hlen, f, tiles, n):
+    taps_lo, taps_hi = taps
+    TB, TC = tiles
+    B = xp.shape[0]
+    kernel, cols = _make_swt1d_fwd_kernel(taps_lo, taps_hi, hlen, f, TB, TC)
+    out_spec = pl.BlockSpec((TB, TC), lambda b, j: (b, j),
+                            memory_space=pltpu.VMEM)
+    shape = jax.ShapeDtypeStruct((B, n), xp.dtype)
+    return pl.pallas_call(
+        kernel,
+        grid=(B // TB, n // TC),
+        out_shape=(shape, shape),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=(out_spec, out_spec),
+        scratch_shapes=[pltpu.VMEM((TB, cols), xp.dtype),
+                        pltpu.SemaphoreType.DMA(())],
+    )(xp)
+
+
+def swt_fwd_level_1d(x, dec_lo, dec_hi, level: int):
+    """One 1D a-trous level: (B, N) -> (lo, hi) full-size; None if
+    unsupported."""
+    B, n = x.shape
+    hlen = len(dec_lo)
+    f = 1 << (level - 1)
+    if x.dtype != jnp.float32:
+        return None
+    span = (hlen - 1) * f
+    tiles = _tiles_1d(B, n, hlen, lambda tc: _ceil_to(tc + span, 128))
+    if tiles is None:
+        return None
+    TB, TC = tiles
+    cols_al = _ceil_to(TC + span, 128)
+    cen = conv.fwd_center(hlen) * f
+    hi_c = (n - TC + cols_al) - n - cen
+    xp = conv.wrap_pad(x, -1, cen, hi_c)
+    return _swt1d_fwd_call(xp, (_taps(dec_lo), _taps(dec_hi)), hlen, f,
+                           (TB, TC), n)
+
+
+def _make_swt1d_inv_kernel(taps_lo, taps_hi, hlen, f, TB, TC):
+    span = (hlen - 1) * f
+    cols = _ceil_to(TC + span, 128)
+
+    def kernel(lo_hbm, hi_hbm, out_ref, lt, ht, sems):
+        b = pl.program_id(0)
+        j = pl.program_id(1)
+        d1 = pltpu.make_async_copy(
+            lo_hbm.at[pl.ds(TB * b, TB), pl.ds(TC * j, cols)], lt, sems.at[0])
+        d2 = pltpu.make_async_copy(
+            hi_hbm.at[pl.ds(TB * b, TB), pl.ds(TC * j, cols)], ht, sems.at[1])
+        d1.start()
+        d2.start()
+        d1.wait()
+        d2.wait()
+        out_t = _fir_atrous_pair_sub(lt[:].T, ht[:].T, taps_lo, taps_hi,
+                                     TC, f)
+        out_ref[:] = out_t.T
+
+    return kernel, cols
+
+
+@functools.partial(jax.jit, static_argnames=("taps", "hlen", "f", "tiles",
+                                             "n"))
+def _swt1d_inv_call(lp, hp, taps, hlen, f, tiles, n):
+    taps_lo, taps_hi = taps
+    TB, TC = tiles
+    B = lp.shape[0]
+    kernel, cols = _make_swt1d_inv_kernel(taps_lo, taps_hi, hlen, f, TB, TC)
+    out_spec = pl.BlockSpec((TB, TC), lambda b, j: (b, j),
+                            memory_space=pltpu.VMEM)
+    shape = jax.ShapeDtypeStruct((B, n), lp.dtype)
+    tile = lambda: pltpu.VMEM((TB, cols), lp.dtype)
+    return pl.pallas_call(
+        kernel,
+        grid=(B // TB, n // TC),
+        out_shape=shape,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 2,
+        out_specs=out_spec,
+        scratch_shapes=[tile(), tile(), pltpu.SemaphoreType.DMA((2,))],
+    )(lp, hp)
+
+
+def swt_inv_level_1d(lo, hi, rec_lo, rec_hi, level: int):
+    """One 1D a-trous inverse level (single pass -> one 1/2 factor,
+    reference: src/separable.cu:653-672); None if unsupported."""
+    B, n = lo.shape
+    hlen = len(rec_lo)
+    f = 1 << (level - 1)
+    if lo.dtype != jnp.float32:
+        return None
+    span = (hlen - 1) * f
+    tiles = _tiles_1d(B, n, hlen, lambda tc: _ceil_to(tc + span, 128))
+    if tiles is None:
+        return None
+    TB, TC = tiles
+    cols_al = _ceil_to(TC + span, 128)
+    cen = (hlen // 2) * f
+    hi_c = (n - TC + cols_al) - n - cen
+
+    def pad1(arr):
+        return conv.wrap_pad(arr, -1, cen, hi_c)
+
+    taps = (_taps(np.asarray(rec_lo) * 0.5), _taps(np.asarray(rec_hi) * 0.5))
+    return _swt1d_inv_call(pad1(lo), pad1(hi), taps, hlen, f, (TB, TC), n)

@@ -1,3 +1,6 @@
+from .checkpoint import load_coeffs, save_coeffs
 from .io import read_dat, write_dat
+from .profiling import device_time, trace
 
-__all__ = ["read_dat", "write_dat"]
+__all__ = ["read_dat", "write_dat", "save_coeffs", "load_coeffs",
+           "device_time", "trace"]

@@ -1,0 +1,56 @@
+"""Profiling / timing utilities.
+
+The reference has no profiling machinery (SURVEY.md §5).  Two tools:
+
+* :func:`device_time` — trustworthy per-op device seconds.  Remote-TPU
+  dispatch adds a fixed per-iteration floor (~0.75 ms through the axon
+  tunnel) that swamps sub-millisecond kernels; chaining the op M times
+  inside one jitted ``fori_loop`` and differencing two M values cancels
+  every fixed cost.
+* :func:`trace` — context manager around ``jax.profiler`` emitting a
+  Perfetto/XProf trace directory.
+"""
+from __future__ import annotations
+
+import contextlib
+import time
+
+
+def device_time(fn, arg, *, K: int = 8, M1: int = 1, M2: int = 5,
+                reps: int = 3) -> float:
+    """Pure device seconds per ``fn(x) -> x``-shaped call (slope method)."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    def timed_loop(M):
+        @jax.jit
+        def lp(x):
+            def body(_, v):
+                for _ in range(M):
+                    v = fn(v)
+                return v
+            return lax.fori_loop(0, K, body, x)
+
+        float(jnp.sum(lp(arg)))  # compile + warm
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            float(jnp.sum(lp(arg)))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t1, t2 = timed_loop(M1), timed_loop(M2)
+    return (t2 - t1) / (K * (M2 - M1))
+
+
+@contextlib.contextmanager
+def trace(log_dir: str = "/tmp/pdwt_trace"):
+    """Profile a block: ``with trace("dir"): run()`` -> XProf trace."""
+    import jax
+
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield log_dir
+    finally:
+        jax.profiler.stop_trace()

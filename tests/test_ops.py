@@ -153,3 +153,30 @@ def test_threshold_norm_pipeline_jits(coeffs2d):
 
     c, n = step(coeffs2d, 0.1)
     assert np.isfinite(float(n))
+
+
+def test_checkpoint_roundtrip(tmp_path, rng):
+    """Coefficient save/load (SURVEY.md §5 checkpoint parity)."""
+    import jax
+    import jax.numpy as jnp
+    from pdwt_tpu.core import separable as sep
+    from pdwt_tpu.filters import get_wavelet
+    from pdwt_tpu.utils import load_coeffs, save_coeffs
+
+    w = get_wavelet("db3")
+    x = jnp.asarray(rng.standard_normal((40, 56)))
+    c = sep.dwt2d(x, w, 2)
+    p = str(tmp_path / "c2d.npz")
+    save_coeffs(p, c)
+    c2 = load_coeffs(p)
+    assert c2.levels == c.levels
+    for a, b in zip(jax.tree.leaves(c), jax.tree.leaves(c2)):
+        assert jnp.abs(a - jnp.asarray(b)).max() == 0
+    # 1D
+    s = jnp.asarray(rng.standard_normal((3, 64)))
+    c1 = sep.dwt1d(s, w, 2)
+    p1 = str(tmp_path / "c1d.npz")
+    save_coeffs(p1, c1)
+    c1b = load_coeffs(p1)
+    for a, b in zip(jax.tree.leaves(c1), jax.tree.leaves(c1b)):
+        assert jnp.abs(a - jnp.asarray(b)).max() == 0

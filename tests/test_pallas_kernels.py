@@ -43,3 +43,54 @@ def test_pallas_fallback_geometry(rng):
     assert _max_err(cp, cg) < 1e-4
     yp = sep.idwt2d(cp, w, (94, 190), backend="pallas")
     assert float(jnp.abs(yp - x).max()) < 1e-4
+
+
+@pytest.mark.parametrize("wname", ["db7", "bior4.4"])
+def test_pallas_swt_matches_gather(rng, wname):
+    w = get_wavelet(wname)
+    x = jnp.asarray(rng.standard_normal((1, 256, 256)), dtype=jnp.float32)
+    cp = sep.swt2d(x, w, 3, backend="pallas")
+    cg = sep.swt2d(x, w, 3, backend="gather")
+    assert _max_err(cp, cg) < 1e-4
+    yp = sep.iswt2d(cp, w, backend="pallas")
+    assert float(jnp.abs(yp - x).max()) < 1e-4
+
+
+def test_pallas_1d_matches_gather(rng):
+    w = get_wavelet("sym8")
+    x = jnp.asarray(rng.standard_normal((64, 2048)), dtype=jnp.float32)
+    cp = sep.dwt1d(x, w, 3, backend="pallas")
+    cg = sep.dwt1d(x, w, 3, backend="gather")
+    assert _max_err(cp, cg) < 1e-4
+    yp = sep.idwt1d(cp, w, 2048, backend="pallas")
+    assert float(jnp.abs(yp - x).max()) < 1e-4
+
+
+def test_pallas_haar_api_dispatch(rng):
+    """On TPU the API routes haar through the pallas separable path;
+    values must equal the dedicated butterfly core."""
+    from pdwt_tpu.core import haar as haar_core
+    x = jnp.asarray(rng.standard_normal((128, 128)), dtype=jnp.float32)
+    c1 = haar_core.haar_dwt2d(x, 2)
+    c2 = sep.dwt2d(x, get_wavelet("haar"), 2, backend="pallas")
+    assert _max_err(c1, c2) < 1e-5
+
+
+def test_pallas_swt1d_matches_gather(rng):
+    w = get_wavelet("sym8")
+    x = jnp.asarray(rng.standard_normal((64, 2048)), dtype=jnp.float32)
+    cp = sep.swt1d(x, w, 3, backend="pallas")
+    cg = sep.swt1d(x, w, 3, backend="gather")
+    assert _max_err(cp, cg) < 1e-4
+    yp = sep.iswt1d(cp, w, backend="pallas")
+    assert float(jnp.abs(yp - x).max()) < 1e-4
+
+
+def test_pallas_odd_sizes_via_virtual_extension(rng):
+    w = get_wavelet("db7")
+    x = jnp.asarray(rng.standard_normal((1, 511, 1023)), dtype=jnp.float32)
+    cp = sep.dwt2d(x, w, 2, backend="pallas")
+    cg = sep.dwt2d(x, w, 2, backend="gather")
+    assert _max_err(cp, cg) < 1e-4
+    yp = sep.idwt2d(cp, w, (511, 1023), backend="pallas")
+    assert float(jnp.abs(yp - x).max()) < 1e-4
