@@ -4,7 +4,7 @@ New capability relative to the single-GPU reference (reference:
 README.md:34); see SURVEY.md §2.2/2.3 for the strategy mapping.
 """
 from .halo import make_pad_fn, ring_wrap_pad
-from .mesh import make_mesh
+from .mesh import init_distributed, make_mesh
 from .sharded import (
     dwt1d,
     dwt2d,
@@ -18,7 +18,7 @@ from .sharded import (
 )
 
 __all__ = [
-    "make_mesh", "make_pad_fn", "ring_wrap_pad", "shard_image",
+    "make_mesh", "init_distributed", "make_pad_fn", "ring_wrap_pad", "shard_image",
     "dwt1d", "dwt2d", "idwt1d", "idwt2d",
     "swt1d", "swt2d", "iswt1d", "iswt2d",
 ]

@@ -8,6 +8,21 @@ import numpy as np
 from jax.sharding import Mesh
 
 
+def init_distributed(**kwargs) -> None:
+    """Multi-host initialization: same SPMD program on every host, global
+    meshes over all chips (SURVEY.md §2.3).  Thin wrapper so applications
+    don't import jax.distributed directly; no-op if already initialized.
+
+    On Cloud TPU the coordinator/process arguments are auto-detected; pass
+    ``coordinator_address=, num_processes=, process_id=`` elsewhere.
+    """
+    try:
+        jax.distributed.initialize(**kwargs)
+    except RuntimeError as e:  # already initialized
+        if "already" not in str(e).lower():
+            raise
+
+
 def make_mesh(
     shape: Sequence[int],
     axis_names: Tuple[str, ...] = ("data", "row", "col"),
