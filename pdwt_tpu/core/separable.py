@@ -80,6 +80,11 @@ def _from_nchw(x: jnp.ndarray, batch, ndim_spatial: int):
 # 2D decimated
 # ---------------------------------------------------------------------------
 
+def _ftup(f):
+    return tuple(float(v) for v in f)
+
+
+
 def _dwt2d_pallas(x: jnp.ndarray, wav: Wavelet, levels: int) -> Coeffs2D:
     """Per-level fused Pallas kernels; falls back to the (bit-identical)
     fma backend for geometries the kernels don't support."""
@@ -96,7 +101,7 @@ def _dwt2d_pallas(x: jnp.ndarray, wav: Wavelet, levels: int) -> Coeffs2D:
         # odd sizes: virtual extension (reference: src/separable.cu:116-121)
         # applied up front so the fused kernel sees even sizes.
         ae = conv.odd_extend(conv.odd_extend(a, -1), -2)
-        res = kernels.fwd_level_2d(ae, wav.dec_lo, wav.dec_hi)
+        res = kernels.fwd_level_2d_ad(ae, _ftup(wav.dec_lo), _ftup(wav.dec_hi))
         if res is None:
             z = conv.analysis_pass(a[:, None], dec, axis=-1, backend="fma")
             z = conv.analysis_pass(z, dec, axis=-2, backend="fma")
@@ -122,7 +127,7 @@ def _idwt2d_pallas(coeffs: Coeffs2D, wav: Wavelet,
     a = flat(coeffs.approx)
     for i in range(levels - 1, -1, -1):
         h, v, d = (flat(t) for t in coeffs.details[i])
-        y = kernels.inv_level_2d(a, h, v, d, wav.rec_lo, wav.rec_hi)
+        y = kernels.inv_level_2d_ad(a, h, v, d, _ftup(wav.rec_lo), _ftup(wav.rec_hi))
         if y is None:
             z = jnp.concatenate([t[:, None] for t in (a, h, v, d)], axis=1)
             t2 = conv.synthesis_pass(z, rec, axis=-2, out_len=rows[i],
@@ -199,7 +204,7 @@ def _swt2d_pallas(x: jnp.ndarray, wav: Wavelet, levels: int) -> Coeffs2D:
     dec = (wav.dec_lo, wav.dec_hi)
     details = []
     for lvl in range(1, levels + 1):
-        res = kernels.swt_fwd_level_2d(a, wav.dec_lo, wav.dec_hi, lvl)
+        res = kernels.swt_fwd_level_2d_ad(a, _ftup(wav.dec_lo), _ftup(wav.dec_hi), lvl)
         if res is None:
             f = 1 << (lvl - 1)
             z = conv.analysis_pass(a[:, None], dec, axis=-1, dilation=f,
@@ -251,8 +256,8 @@ def _iswt2d_pallas(coeffs: Coeffs2D, wav: Wavelet) -> jnp.ndarray:
     a = flat(coeffs.approx)
     for i in range(coeffs.levels - 1, -1, -1):
         h, v, d = (flat(t) for t in coeffs.details[i])
-        y = kernels.swt_inv_level_2d(a, h, v, d, wav.rec_lo, wav.rec_hi,
-                                     i + 1)
+        y = kernels.swt_inv_level_2d_ad(a, h, v, d, _ftup(wav.rec_lo),
+                                        _ftup(wav.rec_hi), i + 1)
         if y is None:
             f = 1 << i
             z = jnp.concatenate([t[:, None] for t in (a, h, v, d)], axis=1)
@@ -303,7 +308,7 @@ def _dwt1d_pallas(x: jnp.ndarray, wav: Wavelet, levels: int) -> Coeffs1D:
     details = []
     for _ in range(levels):
         ae = conv.odd_extend(a, -1)
-        res = kernels.fwd_level_1d(ae, wav.dec_lo, wav.dec_hi)
+        res = kernels.fwd_level_1d_ad(ae, _ftup(wav.dec_lo), _ftup(wav.dec_hi))
         if res is None:
             z = conv.analysis_pass(a[:, None, None], dec, axis=-1,
                                    backend="fma")
@@ -347,7 +352,7 @@ def _idwt1d_pallas(coeffs: Coeffs1D, wav: Wavelet, length: int) -> jnp.ndarray:
     a = flat(coeffs.approx)
     for i in range(levels - 1, -1, -1):
         d = flat(coeffs.details[i])
-        y = kernels.inv_level_1d(a, d, wav.rec_lo, wav.rec_hi)
+        y = kernels.inv_level_1d_ad(a, d, _ftup(wav.rec_lo), _ftup(wav.rec_hi))
         if y is None:
             z = jnp.concatenate([a[:, None, None], d[:, None, None]], axis=1)
             y = conv.synthesis_pass(z, rec, axis=-1, out_len=sizes[i],
@@ -389,7 +394,7 @@ def _swt1d_pallas(x: jnp.ndarray, wav: Wavelet, levels: int) -> Coeffs1D:
     dec = (wav.dec_lo, wav.dec_hi)
     details = []
     for lvl in range(1, levels + 1):
-        res = kernels.swt_fwd_level_1d(a, wav.dec_lo, wav.dec_hi, lvl)
+        res = kernels.swt_fwd_level_1d_ad(a, _ftup(wav.dec_lo), _ftup(wav.dec_hi), lvl)
         if res is None:
             f = 1 << (lvl - 1)
             z = conv.analysis_pass(a[:, None, None], dec, axis=-1,
@@ -434,7 +439,7 @@ def _iswt1d_pallas(coeffs: Coeffs1D, wav: Wavelet) -> jnp.ndarray:
     a = flat(coeffs.approx)
     for i in range(coeffs.levels - 1, -1, -1):
         d = flat(coeffs.details[i])
-        y = kernels.swt_inv_level_1d(a, d, wav.rec_lo, wav.rec_hi, i + 1)
+        y = kernels.swt_inv_level_1d_ad(a, d, _ftup(wav.rec_lo), _ftup(wav.rec_hi), i + 1)
         if y is None:
             f = 1 << i
             z = jnp.concatenate([a[:, None, None], d[:, None, None]], axis=1)

@@ -7,23 +7,34 @@ via ``backend="pallas"`` (the default on TPU).
 """
 from .separable_pallas import (
     fwd_level_2d,
+    fwd_level_2d_ad,
     inv_level_2d,
+    inv_level_2d_ad,
     pallas_supported_fwd,
     pallas_supported_inv,
 )
 from .swt_pallas import (
     fwd_level_1d,
+    fwd_level_1d_ad,
     inv_level_1d,
+    inv_level_1d_ad,
     swt_fwd_level_1d,
+    swt_fwd_level_1d_ad,
     swt_fwd_level_2d,
+    swt_fwd_level_2d_ad,
     swt_inv_level_1d,
+    swt_inv_level_1d_ad,
     swt_inv_level_2d,
+    swt_inv_level_2d_ad,
 )
 
 __all__ = [
-    "fwd_level_2d", "inv_level_2d",
+    "fwd_level_2d", "inv_level_2d", "fwd_level_2d_ad", "inv_level_2d_ad",
     "pallas_supported_fwd", "pallas_supported_inv",
     "swt_fwd_level_2d", "swt_inv_level_2d",
     "swt_fwd_level_1d", "swt_inv_level_1d",
     "fwd_level_1d", "inv_level_1d",
+    "fwd_level_1d_ad", "inv_level_1d_ad",
+    "swt_fwd_level_1d_ad", "swt_inv_level_1d_ad",
+    "swt_fwd_level_2d_ad", "swt_inv_level_2d_ad",
 ]

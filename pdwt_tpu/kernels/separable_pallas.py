@@ -329,3 +329,71 @@ def inv_level_2d(a, h, v, d, rec_lo: np.ndarray, rec_hi: np.ndarray):
     return _inv_call(pad2(a), pad2(h), pad2(v), pad2(d),
                      (_taps(rec_lo), _taps(rec_hi)), hlen, (TR, TC),
                      (lo_pad, hi_pad), (mr, mc))
+
+
+# ---------------------------------------------------------------------------
+# autodiff: the transforms are linear; the adjoint of the decimated
+# analysis with filters f is the (stuff-free polyphase) synthesis with
+# taps f[::-1] — for even hlen the synthesis shift inv_shift(hlen) ==
+# hlen/2 equals the complementary analysis center hlen-1-c, so the
+# existing kernels implement each other's VJPs exactly.
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def fwd_level_2d_ad(x, dec_lo_t, dec_hi_t):
+    """Differentiable wrapper (filters as hashable tuples)."""
+    return fwd_level_2d(x, np.asarray(dec_lo_t), np.asarray(dec_hi_t))
+
+
+def _fwd2d_fwd(x, dec_lo_t, dec_hi_t):
+    return fwd_level_2d_ad(x, dec_lo_t, dec_hi_t), None
+
+
+def _fwd2d_bwd(dec_lo_t, dec_hi_t, _, ct):
+    a, h, v, d = ct
+    lo_r = np.asarray(dec_lo_t)[::-1]
+    hi_r = np.asarray(dec_hi_t)[::-1]
+    y = inv_level_2d(a, h, v, d, lo_r, hi_r)
+    if y is None:
+        y = _fma_inv_level(a, h, v, d, lo_r, hi_r)
+    return (y,)
+
+
+fwd_level_2d_ad.defvjp(_fwd2d_fwd, _fwd2d_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def inv_level_2d_ad(a, h, v, d, rec_lo_t, rec_hi_t):
+    return inv_level_2d(a, h, v, d, np.asarray(rec_lo_t),
+                        np.asarray(rec_hi_t))
+
+
+def _inv2d_fwd(a, h, v, d, rec_lo_t, rec_hi_t):
+    return inv_level_2d_ad(a, h, v, d, rec_lo_t, rec_hi_t), None
+
+
+def _inv2d_bwd(rec_lo_t, rec_hi_t, _, ct):
+    lo_r = np.asarray(rec_lo_t)[::-1]
+    hi_r = np.asarray(rec_hi_t)[::-1]
+    res = fwd_level_2d(ct, lo_r, hi_r)
+    if res is None:
+        res = _fma_fwd_level(ct, lo_r, hi_r)
+    return res
+
+
+inv_level_2d_ad.defvjp(_inv2d_fwd, _inv2d_bwd)
+
+
+def _fma_fwd_level(x, lo, hi):
+    """fma fallback used inside VJPs when a kernel geometry is refused."""
+    dec = (np.asarray(lo), np.asarray(hi))
+    z = conv.analysis_pass(x[:, None], dec, axis=-1, backend="fma")
+    z = conv.analysis_pass(z, dec, axis=-2, backend="fma")
+    return z[:, 0], z[:, 1], z[:, 2], z[:, 3]
+
+
+def _fma_inv_level(a, h, v, d, lo, hi):
+    rec = (np.asarray(lo), np.asarray(hi))
+    z = jnp.concatenate([t[:, None] for t in (a, h, v, d)], axis=1)
+    t2 = conv.synthesis_pass(z, rec, axis=-2, backend="fma")
+    return conv.synthesis_pass(t2, rec, axis=-1, backend="fma")[:, 0]

@@ -506,3 +506,200 @@ def swt_inv_level_1d(lo, hi, rec_lo, rec_hi, level: int):
 
     taps = (_taps(np.asarray(rec_lo) * 0.5), _taps(np.asarray(rec_hi) * 0.5))
     return _swt1d_inv_call(pad1(lo), pad1(hi), taps, hlen, f, (TB, TC), n)
+
+
+# ---------------------------------------------------------------------------
+# autodiff wrappers — the a-trous analysis' adjoint is the a-trous
+# correlation with reversed taps at the complementary center, which for
+# even hlen is exactly the inverse kernel's center (hlen/2)*f; the inverse
+# kernels bake a 0.5-per-pass factor, cancelled by doubling the taps.
+# ---------------------------------------------------------------------------
+
+def _fma_swt_fwd(x, lo, hi, level):
+    f = 1 << (level - 1)
+    dec = (np.asarray(lo), np.asarray(hi))
+    z = conv.analysis_pass(x[:, None], dec, axis=-1, dilation=f,
+                           decimate=False, backend="fma")
+    z = conv.analysis_pass(z, dec, axis=-2, dilation=f, decimate=False,
+                           backend="fma")
+    return z[:, 0], z[:, 1], z[:, 2], z[:, 3]
+
+
+def _fma_swt_inv(a, h, v, d, lo, hi, level):
+    """A-trous synthesis WITHOUT normalization (filters passed as-is are
+    applied at (hlen//2)*f per axis)."""
+    f = 1 << (level - 1)
+    rec = (np.asarray(lo) * 0.5, np.asarray(hi) * 0.5)
+    z = jnp.concatenate([t[:, None] for t in (a, h, v, d)], axis=1)
+    t2 = conv.synthesis_pass(z, rec, axis=-2, dilation=f, decimated=False,
+                             backend="fma")
+    return conv.synthesis_pass(t2, rec, axis=-1, dilation=f,
+                               decimated=False, backend="fma")[:, 0]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def swt_fwd_level_2d_ad(x, dec_lo_t, dec_hi_t, level):
+    return swt_fwd_level_2d(x, np.asarray(dec_lo_t), np.asarray(dec_hi_t),
+                            level)
+
+
+def _swt_fwd2d_fwd(x, dec_lo_t, dec_hi_t, level):
+    return swt_fwd_level_2d_ad(x, dec_lo_t, dec_hi_t, level), None
+
+
+def _swt_fwd2d_bwd(dec_lo_t, dec_hi_t, level, _, ct):
+    a, h, v, d = ct
+    # adjoint = inverse-kernel structure with taps 2*f[::-1] (cancels the
+    # baked 1/2 per pass)
+    lo_r = 2.0 * np.asarray(dec_lo_t)[::-1]
+    hi_r = 2.0 * np.asarray(dec_hi_t)[::-1]
+    y = swt_inv_level_2d(a, h, v, d, lo_r, hi_r, level)
+    if y is None:
+        y = _fma_swt_inv(a, h, v, d, lo_r, hi_r, level)
+    return (y,)
+
+
+swt_fwd_level_2d_ad.defvjp(_swt_fwd2d_fwd, _swt_fwd2d_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def swt_inv_level_2d_ad(a, h, v, d, rec_lo_t, rec_hi_t, level):
+    return swt_inv_level_2d(a, h, v, d, np.asarray(rec_lo_t),
+                            np.asarray(rec_hi_t), level)
+
+
+def _swt_inv2d_fwd(a, h, v, d, rec_lo_t, rec_hi_t, level):
+    return swt_inv_level_2d_ad(a, h, v, d, rec_lo_t, rec_hi_t, level), None
+
+
+def _swt_inv2d_bwd(rec_lo_t, rec_hi_t, level, _, ct):
+    # adjoint of (synthesis with 1/2-per-pass at center c2) = analysis
+    # with 0.5*taps[::-1] PER AXIS at the complementary center (= fwd
+    # center for even hlen); total 1/4 like the primal
+    lo_r = 0.5 * np.asarray(rec_lo_t)[::-1]
+    hi_r = 0.5 * np.asarray(rec_hi_t)[::-1]
+    res = swt_fwd_level_2d(ct, lo_r, hi_r, level)
+    if res is None:
+        res = _fma_swt_fwd(ct, lo_r, hi_r, level)
+    return res
+
+
+swt_inv_level_2d_ad.defvjp(_swt_inv2d_fwd, _swt_inv2d_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def fwd_level_1d_ad(x, dec_lo_t, dec_hi_t):
+    return fwd_level_1d(x, np.asarray(dec_lo_t), np.asarray(dec_hi_t))
+
+
+def _fwd1d_fwd(x, dec_lo_t, dec_hi_t):
+    return fwd_level_1d_ad(x, dec_lo_t, dec_hi_t), None
+
+
+def _fma_fwd1(x, lo, hi):
+    dec = (np.asarray(lo), np.asarray(hi))
+    z = conv.analysis_pass(x[:, None, None], dec, axis=-1, backend="fma")
+    return z[:, 0, 0], z[:, 1, 0]
+
+
+def _fma_inv1(lo_b, hi_b, lo, hi):
+    rec = (np.asarray(lo), np.asarray(hi))
+    z = jnp.concatenate([lo_b[:, None, None], hi_b[:, None, None]], axis=1)
+    return conv.synthesis_pass(z, rec, axis=-1, backend="fma")[:, 0, 0]
+
+
+def _fwd1d_bwd(dec_lo_t, dec_hi_t, _, ct):
+    lo_b, hi_b = ct
+    lo_r = np.asarray(dec_lo_t)[::-1]
+    hi_r = np.asarray(dec_hi_t)[::-1]
+    y = inv_level_1d(lo_b, hi_b, lo_r, hi_r)
+    if y is None:
+        y = _fma_inv1(lo_b, hi_b, lo_r, hi_r)
+    return (y,)
+
+
+fwd_level_1d_ad.defvjp(_fwd1d_fwd, _fwd1d_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def inv_level_1d_ad(lo_b, hi_b, rec_lo_t, rec_hi_t):
+    return inv_level_1d(lo_b, hi_b, np.asarray(rec_lo_t),
+                        np.asarray(rec_hi_t))
+
+
+def _inv1d_fwd(lo_b, hi_b, rec_lo_t, rec_hi_t):
+    return inv_level_1d_ad(lo_b, hi_b, rec_lo_t, rec_hi_t), None
+
+
+def _inv1d_bwd(rec_lo_t, rec_hi_t, _, ct):
+    lo_r = np.asarray(rec_lo_t)[::-1]
+    hi_r = np.asarray(rec_hi_t)[::-1]
+    res = fwd_level_1d(ct, lo_r, hi_r)
+    if res is None:
+        res = _fma_fwd1(ct, lo_r, hi_r)
+    return res
+
+
+inv_level_1d_ad.defvjp(_inv1d_fwd, _inv1d_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def swt_fwd_level_1d_ad(x, dec_lo_t, dec_hi_t, level):
+    return swt_fwd_level_1d(x, np.asarray(dec_lo_t), np.asarray(dec_hi_t),
+                            level)
+
+
+def _swt_fwd1d_fwd(x, dec_lo_t, dec_hi_t, level):
+    return swt_fwd_level_1d_ad(x, dec_lo_t, dec_hi_t, level), None
+
+
+def _fma_swt_fwd1(x, lo, hi, level):
+    f = 1 << (level - 1)
+    dec = (np.asarray(lo), np.asarray(hi))
+    z = conv.analysis_pass(x[:, None, None], dec, axis=-1, dilation=f,
+                           decimate=False, backend="fma")
+    return z[:, 0, 0], z[:, 1, 0]
+
+
+def _fma_swt_inv1(lo_b, hi_b, lo, hi, level):
+    f = 1 << (level - 1)
+    rec = (np.asarray(lo) * 0.5, np.asarray(hi) * 0.5)
+    z = jnp.concatenate([lo_b[:, None, None], hi_b[:, None, None]], axis=1)
+    return conv.synthesis_pass(z, rec, axis=-1, dilation=f,
+                               decimated=False, backend="fma")[:, 0, 0]
+
+
+def _swt_fwd1d_bwd(dec_lo_t, dec_hi_t, level, _, ct):
+    lo_b, hi_b = ct
+    lo_r = 2.0 * np.asarray(dec_lo_t)[::-1]
+    hi_r = 2.0 * np.asarray(dec_hi_t)[::-1]
+    y = swt_inv_level_1d(lo_b, hi_b, lo_r, hi_r, level)
+    if y is None:
+        y = _fma_swt_inv1(lo_b, hi_b, lo_r, hi_r, level)
+    return (y,)
+
+
+swt_fwd_level_1d_ad.defvjp(_swt_fwd1d_fwd, _swt_fwd1d_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def swt_inv_level_1d_ad(lo_b, hi_b, rec_lo_t, rec_hi_t, level):
+    return swt_inv_level_1d(lo_b, hi_b, np.asarray(rec_lo_t),
+                            np.asarray(rec_hi_t), level)
+
+
+def _swt_inv1d_fwd(lo_b, hi_b, rec_lo_t, rec_hi_t, level):
+    return swt_inv_level_1d_ad(lo_b, hi_b, rec_lo_t, rec_hi_t, level), None
+
+
+def _swt_inv1d_bwd(rec_lo_t, rec_hi_t, level, _, ct):
+    # single 1D pass -> baked factor is 1/2; adjoint scales by 1/2
+    lo_r = 0.5 * np.asarray(rec_lo_t)[::-1]
+    hi_r = 0.5 * np.asarray(rec_hi_t)[::-1]
+    res = swt_fwd_level_1d(ct, lo_r, hi_r, level)
+    if res is None:
+        res = _fma_swt_fwd1(ct, lo_r, hi_r, level)
+    return res
+
+
+swt_inv_level_1d_ad.defvjp(_swt_inv1d_fwd, _swt_inv1d_bwd)

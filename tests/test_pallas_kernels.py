@@ -94,3 +94,27 @@ def test_pallas_odd_sizes_via_virtual_extension(rng):
     assert _max_err(cp, cg) < 1e-4
     yp = sep.idwt2d(cp, w, (511, 1023), backend="pallas")
     assert float(jnp.abs(yp - x).max()) < 1e-4
+
+
+def test_pallas_grad_matches_fma(rng):
+    """Custom VJPs: jax.grad through the pallas path equals autodiff
+    through the (natively differentiable) fma path."""
+    w = get_wavelet("db7")
+    x = jnp.asarray(rng.standard_normal((128, 256)), dtype=jnp.float32)
+
+    def loss(v, be):
+        c = sep.dwt2d(v, w, 2, backend=be)
+        y = sep.idwt2d(c, w, (128, 256), backend=be)
+        return jnp.sum((y - 0.5 * v) ** 2)
+
+    gp = jax.jit(jax.grad(lambda v: loss(v, "pallas")))(x)
+    gf = jax.jit(jax.grad(lambda v: loss(v, "fma")))(x)
+    assert float(jnp.abs(gp - gf).max()) < 1e-4
+
+    def loss_swt(v, be):
+        c = sep.swt2d(v, w, 2, backend=be)
+        return jnp.sum(sep.iswt2d(c, w, backend=be) * v)
+
+    gp = jax.jit(jax.grad(lambda v: loss_swt(v, "pallas")))(x)
+    gf = jax.jit(jax.grad(lambda v: loss_swt(v, "fma")))(x)
+    assert float(jnp.abs(gp - gf).max()) < 1e-4
