@@ -1,0 +1,58 @@
+"""Demo CLI parity (reference: src/demo.cpp scenarios)."""
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture()
+def image_dat(tmp_path, rng):
+    img = (rng.standard_normal((64, 64)) * 50 + 128).astype(np.float32)
+    p = tmp_path / "img.dat"
+    img.tofile(p)
+    return str(p), img
+
+
+def _run(args):
+    return subprocess.run(
+        [sys.executable, "-m", "pdwt_tpu.demo", *args],
+        capture_output=True, text=True, timeout=300,
+        env={"PATH": "/usr/bin:/bin", "JAX_PLATFORMS": "cpu",
+             "PALLAS_AXON_POOL_IPS": "", "HOME": "/root"},
+    )
+
+
+def test_demo_scenario2_perfect_reconstruction(tmp_path, image_dat):
+    path, img = image_dat
+    out = str(tmp_path / "res.dat")
+    r = _run([path, "--nr", "64", "--nc", "64", "--scenario", "2",
+              "--wavelet", "db4", "--levels", "2", "--out", out])
+    assert r.returncode == 0, r.stderr
+    assert "max |reconstruction - input|" in r.stdout
+    rec = np.fromfile(out, dtype=np.float32).reshape(64, 64)
+    assert np.abs(rec - img).max() < 1e-2
+
+
+def test_demo_scenario3_threshold(tmp_path, image_dat):
+    path, _ = image_dat
+    out = str(tmp_path / "res.dat")
+    r = _run([path, "--nr", "64", "--nc", "64", "--scenario", "3",
+              "--wavelet", "db2", "--levels", "2", "--beta", "30",
+              "--out", out])
+    assert r.returncode == 0, r.stderr
+    assert "soft threshold" in r.stdout
+
+
+def test_demo_native_engine(tmp_path, image_dat):
+    from pdwt_tpu import native
+    if not native.is_available():
+        pytest.skip("native toolchain unavailable")
+    path, img = image_dat
+    out = str(tmp_path / "res.dat")
+    r = _run([path, "--nr", "64", "--nc", "64", "--scenario", "2",
+              "--wavelet", "sym8", "--levels", "2", "--native",
+              "--out", out])
+    assert r.returncode == 0, r.stderr
+    rec = np.fromfile(out, dtype=np.float32).reshape(64, 64)
+    assert np.abs(rec - img).max() < 1e-2
