@@ -373,3 +373,181 @@ int pdwt_circshift2d(const float *in, float *out, int nr, int nc, int sr,
 }
 
 } /* extern "C" */
+
+/* ------------------------------------------------------------------ */
+/* non-separable 2D engine                                            */
+/* ------------------------------------------------------------------ */
+
+namespace {
+
+inline int inv_shift_ns(int hlen) {
+  int h2 = hlen / 2, c2 = h2 / 2;
+  return (h2 % 2) ? 2 * c2 + 1 : 2 * c2;
+}
+
+/* one forward level: 2D periodic correlation with 4 quads + 2x2 decim
+ * (or a-trous at dilation f).  in: (r, c); outs: 4 buffers. */
+void ns_fwd_level(const float *in, int r, int c, const double *quads,
+                  int hlen, int f, int decim, float **outs) {
+  const int re = decim ? r + (r % 2) : r;
+  const int ce = decim ? c + (c % 2) : c;
+  const int mr = decim ? re / 2 : r;
+  const int mc = decim ? ce / 2 : c;
+  const long qsz = (long)hlen * hlen;
+  const int cen = fwd_center(hlen) * f;
+  for (int m = 0; m < mr; ++m) {
+    for (int n = 0; n < mc; ++n) {
+      double acc[4] = {0, 0, 0, 0};
+      for (int j = 0; j < hlen; ++j) {
+        long ri = imod((decim ? 2L * m : (long)m) - cen + (long)f * j, re);
+        if (ri >= r) ri = r - 1; /* odd virtual extension */
+        for (int k = 0; k < hlen; ++k) {
+          long ci = imod((decim ? 2L * n : (long)n) - cen + (long)f * k, ce);
+          if (ci >= c) ci = c - 1;
+          const double v = in[ri * c + ci];
+          const long qi = (long)(hlen - 1 - j) * hlen + (hlen - 1 - k);
+          acc[0] += quads[0 * qsz + qi] * v;
+          acc[1] += quads[1 * qsz + qi] * v;
+          acc[2] += quads[2 * qsz + qi] * v;
+          acc[3] += quads[3 * qsz + qi] * v;
+        }
+      }
+      for (int b = 0; b < 4; ++b) outs[b][(long)m * mc + n] = (float)acc[b];
+    }
+  }
+}
+
+/* one inverse level (decimated): 2D zero-stuffed polyphase. */
+void ns_inv_level(float *const *bands, int mr, int mc, const double *quads,
+                  int hlen, int orr, int oc, float *out) {
+  const int s = inv_shift_ns(hlen);
+  const long qsz = (long)hlen * hlen;
+  const long tr = 2L * mr, tc = 2L * mc;
+  for (int g1 = 0; g1 < orr; ++g1) {
+    for (int g2 = 0; g2 < oc; ++g2) {
+      double acc = 0.0;
+      for (int j = 0; j < hlen; ++j) {
+        long u1 = imod((long)g1 - s + j, tr);
+        if (u1 % 2) continue;
+        const long t1 = u1 / 2;
+        for (int k = 0; k < hlen; ++k) {
+          long u2 = imod((long)g2 - s + k, tc);
+          if (u2 % 2) continue;
+          const long t2 = u2 / 2;
+          const long qi = (long)(hlen - 1 - j) * hlen + (hlen - 1 - k);
+          const long ti = t1 * mc + t2;
+          acc += quads[0 * qsz + qi] * bands[0][ti] +
+                 quads[1 * qsz + qi] * bands[1][ti] +
+                 quads[2 * qsz + qi] * bands[2][ti] +
+                 quads[3 * qsz + qi] * bands[3][ti];
+        }
+      }
+      out[(long)g1 * oc + g2] = (float)acc;
+    }
+  }
+}
+
+/* one inverse level (a-trous): dilated correlation, 1/4 factor. */
+void ns_inv_swt_level(float *const *bands, int r, int c, const double *quads,
+                      int hlen, int f, float *out) {
+  const long qsz = (long)hlen * hlen;
+  const long cen = (long)(hlen / 2) * f;
+  for (int g1 = 0; g1 < r; ++g1) {
+    for (int g2 = 0; g2 < c; ++g2) {
+      double acc = 0.0;
+      for (int j = 0; j < hlen; ++j) {
+        const long t1 = imod((long)g1 - cen + (long)f * j, r);
+        for (int k = 0; k < hlen; ++k) {
+          const long t2 = imod((long)g2 - cen + (long)f * k, c);
+          const long qi = (long)(hlen - 1 - j) * hlen + (hlen - 1 - k);
+          const long ti = t1 * c + t2;
+          acc += quads[0 * qsz + qi] * bands[0][ti] +
+                 quads[1 * qsz + qi] * bands[1][ti] +
+                 quads[2 * qsz + qi] * bands[2][ti] +
+                 quads[3 * qsz + qi] * bands[3][ti];
+        }
+      }
+      out[(long)g1 * c + g2] = (float)(0.25 * acc);
+    }
+  }
+}
+
+} // namespace
+
+extern "C" {
+
+int pdwt_forward2d_ns(const float *img, int nr, int nc, const double *quads,
+                      int hlen, int levels, int swt, float **coeffs) {
+  if (!img || !quads || !coeffs || levels < 1) return 1;
+  std::vector<float> a(img, img + (long)nr * nc);
+  int r = nr, c = nc;
+  for (int l = 1; l <= levels; ++l) {
+    const int f = swt ? (1 << (l - 1)) : 1;
+    const int mr = swt ? r : pdwt_div2(r);
+    const int mc = swt ? c : pdwt_div2(c);
+    std::vector<float> anew((long)mr * mc);
+    float *outs[4] = {anew.data(), coeffs[3 * (l - 1) + 1],
+                      coeffs[3 * (l - 1) + 2], coeffs[3 * (l - 1) + 3]};
+    ns_fwd_level(a.data(), r, c, quads, hlen, f, swt ? 0 : 1, outs);
+    a.swap(anew);
+    r = mr;
+    c = mc;
+  }
+  std::memcpy(coeffs[0], a.data(), a.size() * sizeof(float));
+  return 0;
+}
+
+int pdwt_inverse2d_ns(float *const *coeffs, int nr, int nc,
+                      const double *quads_inv, int hlen, int levels, int swt,
+                      float *img_out) {
+  if (!coeffs || !quads_inv || !img_out || levels < 1) return 1;
+  std::vector<int> rs(levels + 1), cs(levels + 1);
+  rs[0] = nr;
+  cs[0] = nc;
+  for (int i = 1; i <= levels; ++i) {
+    rs[i] = swt ? nr : pdwt_div2(rs[i - 1]);
+    cs[i] = swt ? nc : pdwt_div2(cs[i - 1]);
+  }
+  std::vector<float> a(coeffs[0], coeffs[0] + (long)rs[levels] * cs[levels]);
+  for (int l = levels; l >= 1; --l) {
+    std::vector<float> anew((long)rs[l - 1] * cs[l - 1]);
+    float *bands[4] = {a.data(), coeffs[3 * (l - 1) + 1],
+                       coeffs[3 * (l - 1) + 2], coeffs[3 * (l - 1) + 3]};
+    if (!swt) {
+      ns_inv_level(bands, rs[l], cs[l], quads_inv, hlen, rs[l - 1],
+                   cs[l - 1], anew.data());
+    } else {
+      ns_inv_swt_level(bands, rs[l], cs[l], quads_inv, hlen, 1 << (l - 1),
+                       anew.data());
+    }
+    a.swap(anew);
+  }
+  std::memcpy(img_out, a.data(), (long)nr * nc * sizeof(float));
+  return 0;
+}
+
+void pdwt_shrink(float *x, long n, float beta) {
+  const float s = 1.0f / (1.0f + beta);
+  for (long i = 0; i < n; ++i) x[i] *= s;
+}
+
+void pdwt_group_soft_threshold(float *h, float *v, float *d, float *a,
+                               long n, float beta) {
+  for (long i = 0; i < n; ++i) {
+    double n2 = (double)h[i] * h[i] + (double)v[i] * v[i] +
+                (double)d[i] * d[i];
+    if (a) n2 += (double)a[i] * a[i];
+    const double norm = std::sqrt(n2);
+    const double fac = norm > 0 ? std::max(1.0 - beta / norm, 0.0) : 0.0;
+    h[i] = (float)(h[i] * fac);
+    v[i] = (float)(v[i] * fac);
+    d[i] = (float)(d[i] * fac);
+    if (a) a[i] = (float)(a[i] * fac);
+  }
+}
+
+void pdwt_axpy(float *y, const float *x, long n, float alpha) {
+  for (long i = 0; i < n; ++i) y[i] += alpha * x[i];
+}
+
+} /* extern "C" */

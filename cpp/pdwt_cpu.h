@@ -90,3 +90,28 @@ int pdwt_max_level(int min_dim, int hlen);
 }
 #endif
 #endif /* PDWT_CPU_H */
+
+#ifdef __cplusplus
+extern "C" {
+#endif
+
+/* ---- non-separable 2D engine (true 2D quads) ----
+ * quads: 4 row-major (hlen x hlen) filters [LL, LH, HL, HH]
+ * (H = highpass along rows; reference: src/nonseparable.cu:114-225). */
+int pdwt_forward2d_ns(const float *img, int nr, int nc, const double *quads,
+                      int hlen, int levels, int swt, float **coeffs);
+int pdwt_inverse2d_ns(float *const *coeffs, int nr, int nc,
+                      const double *quads_inv, int hlen, int levels, int swt,
+                      float *img_out);
+
+/* ---- remaining proximal ops (in place) ---- */
+void pdwt_shrink(float *x, long n, float beta);          /* x /= 1+beta */
+/* group soft threshold over 3 detail buffers (+ optional approx) of the
+ * same size (reference: src/common.cu:145-198). */
+void pdwt_group_soft_threshold(float *h, float *v, float *d, float *a,
+                               long n, float beta);
+void pdwt_axpy(float *y, const float *x, long n, float alpha);
+
+#ifdef __cplusplus
+}
+#endif

@@ -195,12 +195,9 @@ def _fwd_call(xp, taps, hlen, tiles, mshape):
     B = xp.shape[0]
     mr, mc = mshape
     kernel, rows, cols = _make_fwd_kernel(taps_lo, taps_hi, hlen, TR, TC)
-    del rows, cols
     out_spec = pl.BlockSpec((1, TR, TC), lambda b, i, j: (b, i, j),
                             memory_space=pltpu.VMEM)
     shape = jax.ShapeDtypeStruct((B, mr, mc), xp.dtype)
-    rows = _ceil_to(2 * TR + hlen - 2, 8)
-    cols = _ceil_to(2 * TC + hlen - 2, 128)
     return pl.pallas_call(
         kernel,
         grid=(B, mr // TR, mc // TC),

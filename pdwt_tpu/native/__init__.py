@@ -5,19 +5,26 @@ CLI backend; the JAX engine is the TPU compute path.  The shared object
 is built on demand with the repo Makefile (g++; no pip deps).
 """
 from .lib import (
+    axpy,
     build,
     dwt1d,
     dwt2d,
+    dwt2d_ns,
+    group_soft_threshold,
     idwt1d,
     idwt2d,
+    idwt2d_ns,
     is_available,
     norm1,
     norm2sq,
+    shrink,
     soft_threshold,
 )
 
 __all__ = [
     "build", "is_available",
     "dwt2d", "idwt2d", "dwt1d", "idwt1d",
-    "soft_threshold", "norm1", "norm2sq",
+    "dwt2d_ns", "idwt2d_ns",
+    "soft_threshold", "group_soft_threshold", "shrink", "axpy",
+    "norm1", "norm2sq",
 ]

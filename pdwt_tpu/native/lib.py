@@ -163,3 +163,74 @@ def norm2sq(x: np.ndarray) -> float:
     lib = _load()
     x = np.ascontiguousarray(x, np.float32)
     return float(lib.pdwt_norm2sq(_fptr(x), ctypes.c_long(x.size)))
+
+
+def dwt2d_ns(img: np.ndarray, quads: np.ndarray, levels: int, *,
+             swt: bool = False) -> Coeffs2D:
+    """Non-separable 2D forward with true-2D quads (4, hlen, hlen)."""
+    lib = _load()
+    img = np.ascontiguousarray(img, dtype=np.float32)
+    q = np.ascontiguousarray(quads, dtype=np.float64)
+    hlen = q.shape[-1]
+    nr, nc = img.shape
+    a_shape, det_shapes = coeff_shapes_2d(nr, nc, levels, swt)
+    bufs = [np.empty(a_shape, np.float32)]
+    for s in det_shapes:
+        bufs.extend(np.empty(s, np.float32) for _ in range(3))
+    rc = lib.pdwt_forward2d_ns(_fptr(img), nr, nc, _dptr(q), hlen, levels,
+                               int(swt), _ptr_array(bufs))
+    if rc:
+        raise RuntimeError(f"pdwt_forward2d_ns failed ({rc})")
+    details = tuple(
+        (bufs[3 * i + 1], bufs[3 * i + 2], bufs[3 * i + 3])
+        for i in range(levels)
+    )
+    return Coeffs2D(bufs[0], details)
+
+
+def idwt2d_ns(coeffs: Coeffs2D, quads_inv: np.ndarray,
+              shape: Tuple[int, int], *, swt: bool = False) -> np.ndarray:
+    lib = _load()
+    q = np.ascontiguousarray(quads_inv, dtype=np.float64)
+    hlen = q.shape[-1]
+    nr, nc = shape
+    bufs = [np.ascontiguousarray(coeffs.approx, np.float32)]
+    for det in coeffs.details:
+        bufs.extend(np.ascontiguousarray(b, np.float32) for b in det)
+    out = np.empty((nr, nc), np.float32)
+    rc = lib.pdwt_inverse2d_ns(_ptr_array(bufs), nr, nc, _dptr(q), hlen,
+                               coeffs.levels, int(swt), _fptr(out))
+    if rc:
+        raise RuntimeError(f"pdwt_inverse2d_ns failed ({rc})")
+    return out
+
+
+def shrink(x: np.ndarray, beta: float) -> np.ndarray:
+    lib = _load()
+    x = np.ascontiguousarray(x, np.float32).copy()
+    lib.pdwt_shrink(_fptr(x), ctypes.c_long(x.size), ctypes.c_float(beta))
+    return x
+
+
+def group_soft_threshold(h, v, d, beta: float, a=None):
+    """Group-lasso shrink over (h, v, d[, a]); returns new arrays."""
+    lib = _load()
+    h = np.ascontiguousarray(h, np.float32).copy()
+    v = np.ascontiguousarray(v, np.float32).copy()
+    d = np.ascontiguousarray(d, np.float32).copy()
+    ap = None
+    if a is not None:
+        a = np.ascontiguousarray(a, np.float32).copy()
+        ap = _fptr(a)
+    lib.pdwt_group_soft_threshold(_fptr(h), _fptr(v), _fptr(d), ap,
+                                  ctypes.c_long(h.size), ctypes.c_float(beta))
+    return (h, v, d) if a is None else (h, v, d, a)
+
+
+def axpy(y: np.ndarray, x: np.ndarray, alpha: float) -> np.ndarray:
+    lib = _load()
+    y = np.ascontiguousarray(y, np.float32).copy()
+    x = np.ascontiguousarray(x, np.float32)
+    lib.pdwt_axpy(_fptr(y), _fptr(x), ctypes.c_long(y.size),
+                  ctypes.c_float(alpha))
+    return y

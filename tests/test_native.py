@@ -66,3 +66,31 @@ def test_native_ops(rng):
     assert np.abs(st - ref).max() < 1e-6
     assert abs(native.norm1(x) - np.abs(x).sum()) < 1e-2
     assert abs(native.norm2sq(x) - (x.astype(np.float64) ** 2).sum()) < 1e-2
+
+
+def test_native_nonseparable_matches_jax(rng):
+    from pdwt_tpu.core import nonseparable as ns
+    from pdwt_tpu.filters import quad_filters
+
+    w = get_wavelet("db4")
+    qf = quad_filters(w.dec_lo, w.dec_hi)
+    qi = quad_filters(w.rec_lo, w.rec_hi)
+    x = rng.standard_normal((47, 61)).astype(np.float32)
+    cn = native.dwt2d_ns(x, qf, 2)
+    cj = ns.dwt2d_ns(jnp.asarray(x), qf, 2)
+    assert _diff(cn, cj) < 1e-5
+    y = native.idwt2d_ns(cn, qi, (47, 61))
+    assert np.abs(y - x).max() < 1e-5
+    cs = native.dwt2d_ns(x, qf, 2, swt=True)
+    ys = native.idwt2d_ns(cs, qi, (47, 61), swt=True)
+    assert np.abs(ys - x).max() < 1e-5
+
+
+def test_native_extra_ops(rng):
+    h, v, d = rng.standard_normal((3, 256)).astype(np.float32)
+    gh, gv, gd = native.group_soft_threshold(h, v, d, 0.5)
+    nrm = np.sqrt(h * h + v * v + d * d)
+    fac = np.where(nrm > 0, np.maximum(1 - 0.5 / nrm, 0), 0)
+    assert np.abs(gh - h * fac).max() < 1e-6
+    assert np.abs(native.shrink(h, 2.0) - h / 3.0).max() < 1e-6
+    assert np.abs(native.axpy(h, v, 1.5) - (h + 1.5 * v)).max() < 1e-6
