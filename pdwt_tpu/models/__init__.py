@@ -1,4 +1,6 @@
 """Application-level models built on the wavelet engine."""
 from .denoiser import cycle_spin_denoise, denoise_step, sharded_denoise_step
+from .solver import ista
 
-__all__ = ["denoise_step", "cycle_spin_denoise", "sharded_denoise_step"]
+__all__ = ["denoise_step", "cycle_spin_denoise", "sharded_denoise_step",
+           "ista"]

@@ -1,0 +1,42 @@
+"""Wavelet-regularized (F)ISTA solver — the reference's target workload
+(sparse regularization of inverse problems, reference: README.md:9-10,
+91-103) as one jitted program."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pdwt_tpu.models import ista
+
+
+def test_ista_denoising_identity(rng):
+    clean = np.zeros((128, 128), np.float32)
+    clean[30:90, 40:100] = 100.0
+    noisy = jnp.asarray(clean + 20 * rng.standard_normal((128, 128)),
+                        dtype=jnp.float32)
+    x, trace = jax.jit(
+        lambda y: ista(y, wav="db4", levels=3, lam=25.0, iters=5))(noisy)
+    e_noisy = float(jnp.abs(noisy - clean).mean())
+    e_rec = float(jnp.abs(x - clean).mean())
+    assert e_rec < 0.7 * e_noisy
+    assert np.isfinite(np.asarray(trace)).all()
+
+
+def test_fista_deconvolution_decreases_objective(rng):
+    clean = np.zeros((64, 64), np.float32)
+    clean[20:45, 15:50] = 100.0
+    k = jnp.asarray(np.outer(*(np.hanning(7),) * 2), jnp.float32)
+    k = k / jnp.sum(k)
+
+    def blur(v):
+        return jax.scipy.signal.convolve2d(v, k, mode="same")
+
+    y = blur(jnp.asarray(clean)) + 2.0 * jnp.asarray(
+        rng.standard_normal((64, 64)), jnp.float32)
+    x, trace = jax.jit(lambda yy: ista(
+        yy, op=blur, op_t=blur, wav="db2", levels=2, lam=1.0,
+        iters=25))(y)
+    tr = np.asarray(trace)
+    assert tr[-1] < tr[0]
+    e_blur = float(jnp.abs(y - clean).mean())
+    e_rec = float(jnp.abs(x - clean).mean())
+    assert e_rec < e_blur
