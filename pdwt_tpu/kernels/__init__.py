@@ -6,10 +6,14 @@ fused in VMEM (one HBM read of the input, one write per subband), selected
 via ``backend="pallas"`` (the default on TPU).
 """
 from .separable_pallas import (
+    fwd_geometry,
     fwd_level_2d,
     fwd_level_2d_ad,
+    fwd_level_2d_padded,
+    inv_geometry,
     inv_level_2d,
     inv_level_2d_ad,
+    inv_level_2d_padded,
     pallas_supported_fwd,
     pallas_supported_inv,
 )
@@ -30,6 +34,7 @@ from .swt_pallas import (
 
 __all__ = [
     "fwd_level_2d", "inv_level_2d", "fwd_level_2d_ad", "inv_level_2d_ad",
+    "fwd_geometry", "inv_geometry", "fwd_level_2d_padded", "inv_level_2d_padded",
     "pallas_supported_fwd", "pallas_supported_inv",
     "swt_fwd_level_2d", "swt_inv_level_2d",
     "swt_fwd_level_1d", "swt_inv_level_1d",

@@ -49,6 +49,10 @@ _SUB_TILES = (256, 128, 64, 32, 16, 8)     # sublane-axis output tile
 _LANE_TILES = (256, 128)                   # lane-axis output tile
 _VMEM_BUDGET = 11 * 1024 * 1024            # stack budget per kernel body
 
+# Interpreter mode: lets the kernels run on the CPU backend (slowly) so
+# the sharded pallas path can be validated on the virtual test mesh.
+_INTERPRET = __import__("os").environ.get("PDWT_PALLAS_INTERPRET") == "1"
+
 
 def _pick_tile(m: int, candidates) -> Optional[int]:
     for t in candidates:
@@ -208,6 +212,7 @@ def _fwd_call(xp, taps, hlen, tiles, mshape):
             pltpu.VMEM((rows, cols), xp.dtype),
             pltpu.SemaphoreType.DMA(()),
         ],
+        interpret=_INTERPRET,
     )(xp)
 
 
@@ -218,14 +223,17 @@ def pallas_supported_fwd(shape: Tuple[int, int], hlen: int) -> bool:
     return _pick_tiles_2d(r // 2, c // 2, hlen, inv=False) is not None
 
 
-def fwd_level_2d(x: jnp.ndarray, dec_lo: np.ndarray, dec_hi: np.ndarray):
-    """One forward level on (B, R, C) even-sized input -> (a, h, v, d)
-    each (B, R/2, C/2); None if the geometry is unsupported."""
-    B, r, c = x.shape
-    hlen = len(dec_lo)
-    if x.dtype != jnp.float32 or not pallas_supported_fwd((r, c), hlen):
+def fwd_geometry(r: int, c: int, hlen: int):
+    """(lo, hi_r, hi_c) padding a forward level's kernel expects around an
+    even (r, c) input — periodic support + DMA alignment margin — or None
+    if unsupported.  The distributed engine fetches these amounts via
+    ring halo exchange instead of local wrap padding."""
+    if hlen % 2 or r % 2 or c % 2:
         return None
-    TR, TC = _pick_tiles_2d(r // 2, c // 2, hlen, inv=False)
+    tiles = _pick_tiles_2d(r // 2, c // 2, hlen, inv=False)
+    if tiles is None:
+        return None
+    TR, TC = tiles
     cen = conv.fwd_center(hlen)
     rows_al = _ceil_to(2 * TR + hlen - 2, 8)
     cols_al = _ceil_to(2 * TC + hlen - 2, 128)
@@ -233,10 +241,33 @@ def fwd_level_2d(x: jnp.ndarray, dec_lo: np.ndarray, dec_hi: np.ndarray):
     # the last tile: total rows = (r - 2*TR) + rows_al, etc.
     hi_r = (r - 2 * TR + rows_al) - r - cen
     hi_c = (c - 2 * TC + cols_al) - c - cen
+    return cen, hi_r, hi_c
+
+
+def fwd_level_2d_padded(xp: jnp.ndarray, dec_lo, dec_hi,
+                        mshape: Tuple[int, int]):
+    """Forward level on an already-padded input (see fwd_geometry)."""
+    hlen = len(dec_lo)
+    mr, mc = mshape
+    TR, TC = _pick_tiles_2d(mr, mc, hlen, inv=False)
+    return _fwd_call(xp, (_taps(dec_lo), _taps(dec_hi)), hlen, (TR, TC),
+                     (mr, mc))
+
+
+def fwd_level_2d(x: jnp.ndarray, dec_lo: np.ndarray, dec_hi: np.ndarray):
+    """One forward level on (B, R, C) even-sized input -> (a, h, v, d)
+    each (B, R/2, C/2); None if the geometry is unsupported."""
+    B, r, c = x.shape
+    hlen = len(dec_lo)
+    if x.dtype != jnp.float32:
+        return None
+    geo = fwd_geometry(r, c, hlen)
+    if geo is None:
+        return None
+    cen, hi_r, hi_c = geo
     xp = conv.wrap_pad(x, -1, cen, hi_c)
     xp = conv.wrap_pad(xp, -2, cen, hi_r)
-    return _fwd_call(xp, (_taps(dec_lo), _taps(dec_hi)), hlen, (TR, TC),
-                     (r // 2, c // 2))
+    return fwd_level_2d_padded(xp, dec_lo, dec_hi, (r // 2, c // 2))
 
 
 # ---------------------------------------------------------------------------
@@ -294,6 +325,7 @@ def _inv_call(ap, hp, vp, dp, taps, hlen, tiles, pad, mshape):
         out_specs=out_spec,
         scratch_shapes=[tile(), tile(), tile(), tile(),
                         pltpu.SemaphoreType.DMA((4,))],
+        interpret=_INTERPRET,
     )(ap, hp, vp, dp)
 
 
@@ -304,28 +336,52 @@ def pallas_supported_inv(mshape: Tuple[int, int], hlen: int) -> bool:
     return _pick_tiles_2d(mr, mc, hlen, inv=True) is not None
 
 
+def inv_geometry(mr: int, mc: int, hlen: int):
+    """(lo, hi_r, hi_c) coefficient-domain padding the inverse kernel
+    expects around (mr, mc) subbands, or None if unsupported."""
+    if hlen % 2:
+        return None
+    tiles = _pick_tiles_2d(mr, mc, hlen, inv=True)
+    if tiles is None:
+        return None
+    TR, TC = tiles
+    _, _, lo_pad, hi_pad = _poly_geometry(hlen)
+    rows_al = _ceil_to(TR + lo_pad + hi_pad, 8)
+    cols_al = _ceil_to(TC + lo_pad + hi_pad, 128)
+    hi_r = (mr - TR + rows_al) - mr - lo_pad
+    hi_c = (mc - TC + cols_al) - mc - lo_pad
+    return lo_pad, hi_r, hi_c
+
+
+def inv_level_2d_padded(ap, hp, vp, dp, rec_lo, rec_hi,
+                        mshape: Tuple[int, int]):
+    """Inverse level on already-padded subbands (see inv_geometry)."""
+    hlen = len(rec_lo)
+    mr, mc = mshape
+    TR, TC = _pick_tiles_2d(mr, mc, hlen, inv=True)
+    _, _, lo_pad, hi_pad = _poly_geometry(hlen)
+    return _inv_call(ap, hp, vp, dp, (_taps(rec_lo), _taps(rec_hi)), hlen,
+                     (TR, TC), (lo_pad, hi_pad), (mr, mc))
+
+
 def inv_level_2d(a, h, v, d, rec_lo: np.ndarray, rec_hi: np.ndarray):
     """One inverse level: subbands (B, Mr, Mc) -> (B, 2Mr, 2Mc); None if
     unsupported (caller slices to odd out_len when needed)."""
     B, mr, mc = a.shape
     hlen = len(rec_lo)
-    if a.dtype != jnp.float32 or not pallas_supported_inv((mr, mc), hlen):
+    if a.dtype != jnp.float32:
         return None
-    TR, TC = _pick_tiles_2d(mr, mc, hlen, inv=True)
-    _, _, lo_pad, hi_pad = _poly_geometry(hlen)
-
-    rows_al = _ceil_to(TR + lo_pad + hi_pad, 8)
-    cols_al = _ceil_to(TC + lo_pad + hi_pad, 128)
-    hi_r = (mr - TR + rows_al) - mr - lo_pad
-    hi_c = (mc - TC + cols_al) - mc - lo_pad
+    geo = inv_geometry(mr, mc, hlen)
+    if geo is None:
+        return None
+    lo_pad, hi_r, hi_c = geo
 
     def pad2(arr):
         arr = conv.wrap_pad(arr, -1, lo_pad, hi_c)
         return conv.wrap_pad(arr, -2, lo_pad, hi_r)
 
-    return _inv_call(pad2(a), pad2(h), pad2(v), pad2(d),
-                     (_taps(rec_lo), _taps(rec_hi)), hlen, (TR, TC),
-                     (lo_pad, hi_pad), (mr, mc))
+    return inv_level_2d_padded(pad2(a), pad2(h), pad2(v), pad2(d),
+                               rec_lo, rec_hi, (mr, mc))
 
 
 # ---------------------------------------------------------------------------

@@ -24,6 +24,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..core import conv
 from .separable_pallas import (
+    _INTERPRET,
     _ceil_to,
     _fir_decim_sub,
     _fir_synth_sub,
@@ -126,6 +127,7 @@ def _swt_fwd_call(xp, taps, hlen, f, tiles, nshape):
         out_specs=(out_spec, out_spec, out_spec, out_spec),
         scratch_shapes=[pltpu.VMEM((rows, cols), xp.dtype),
                         pltpu.SemaphoreType.DMA(())],
+        interpret=_INTERPRET,
     )(xp)
 
 
@@ -205,6 +207,7 @@ def _swt_inv_call(ap, hp, vp, dp, taps, hlen, f, tiles, nshape):
         out_specs=out_spec,
         scratch_shapes=[tile(), tile(), tile(), tile(),
                         pltpu.SemaphoreType.DMA((4,))],
+        interpret=_INTERPRET,
     )(ap, hp, vp, dp)
 
 
@@ -290,6 +293,7 @@ def _fwd1d_call(xp, taps, hlen, tiles, m):
         out_specs=(out_spec, out_spec),
         scratch_shapes=[pltpu.VMEM((TB, cols), xp.dtype),
                         pltpu.SemaphoreType.DMA(())],
+        interpret=_INTERPRET,
     )(xp)
 
 
@@ -351,6 +355,7 @@ def _inv1d_call(lp, hp, taps, hlen, tiles, pad, m):
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 2,
         out_specs=out_spec,
         scratch_shapes=[tile(), tile(), pltpu.SemaphoreType.DMA((2,))],
+        interpret=_INTERPRET,
     )(lp, hp)
 
 
@@ -417,6 +422,7 @@ def _swt1d_fwd_call(xp, taps, hlen, f, tiles, n):
         out_specs=(out_spec, out_spec),
         scratch_shapes=[pltpu.VMEM((TB, cols), xp.dtype),
                         pltpu.SemaphoreType.DMA(())],
+        interpret=_INTERPRET,
     )(xp)
 
 
@@ -481,6 +487,7 @@ def _swt1d_inv_call(lp, hp, taps, hlen, f, tiles, n):
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 2,
         out_specs=out_spec,
         scratch_shapes=[tile(), tile(), pltpu.SemaphoreType.DMA((2,))],
+        interpret=_INTERPRET,
     )(lp, hp)
 
 

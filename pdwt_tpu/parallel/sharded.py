@@ -34,8 +34,10 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from ..core import conv
 from ..core import separable as sep_core
 from ..core.separable import Coeffs1D, Coeffs2D
 from ..filters import Wavelet
@@ -86,6 +88,83 @@ def _validate2d(x, mesh, data_axis, row_axis, col_axis, levels, swt):
 # 2D
 # ---------------------------------------------------------------------------
 
+def _use_local_pallas(backend: Optional[str]) -> bool:
+    if backend == "pallas":
+        return True
+    return backend is None and jax.default_backend() == "tpu"
+
+
+def _local_pallas_dwt2d(xl, wav, levels, pad_fn):
+    """Per-level: ring-halo exchange the kernel's exact padding needs
+    (periodic support + DMA alignment margin), then run the fused Pallas
+    level kernel on the local shard.  Falls back per level to the conv
+    passes with the same pad_fn when a local geometry is unsupported."""
+    from .. import kernels
+
+    batch = xl.shape[:-2]
+    b = int(np.prod(batch, dtype=np.int64)) if batch else 1
+    a = xl.reshape((b,) + xl.shape[-2:])
+    dec = (wav.dec_lo, wav.dec_hi)
+    tl = tuple(float(v) for v in wav.dec_lo)
+    th = tuple(float(v) for v in wav.dec_hi)
+    details = []
+    for _ in range(levels):
+        r, c = a.shape[-2:]
+        geo = (kernels.fwd_geometry(r, c, wav.hlen)
+               if a.dtype == jnp.float32 else None)
+        if geo is not None:
+            cen, hi_r, hi_c = geo
+            xp = pad_fn(a, -1, cen, hi_c)
+            xp = pad_fn(xp, -2, cen, hi_r)
+            a, h, v, d = kernels.fwd_level_2d_padded(xp, tl, th,
+                                                     (r // 2, c // 2))
+        else:
+            z = conv.analysis_pass(a[:, None], dec, axis=-1, backend="fma",
+                                   pad_fn=pad_fn)
+            z = conv.analysis_pass(z, dec, axis=-2, backend="fma",
+                                   pad_fn=pad_fn)
+            a, h, v, d = z[:, 0], z[:, 1], z[:, 2], z[:, 3]
+        details.append(tuple(t.reshape(batch + t.shape[1:])
+                             for t in (h, v, d)))
+    return sep_core.Coeffs2D(a.reshape(batch + a.shape[1:]), tuple(details))
+
+
+def _local_pallas_idwt2d(cl, wav, local_shape, pad_fn):
+    from .. import kernels
+
+    levels = cl.levels
+    rows = [local_shape[0] >> k for k in range(levels + 1)]
+    cols = [local_shape[1] >> k for k in range(levels + 1)]
+    rec = (wav.rec_lo, wav.rec_hi)
+    rl = tuple(float(v) for v in wav.rec_lo)
+    rh = tuple(float(v) for v in wav.rec_hi)
+    batch = cl.approx.shape[:-2]
+    b = int(np.prod(batch, dtype=np.int64)) if batch else 1
+    flat = lambda t: t.reshape((b,) + t.shape[len(batch):])
+    a = flat(cl.approx)
+    for i in range(levels - 1, -1, -1):
+        h, v, d = (flat(t) for t in cl.details[i])
+        mr, mc = a.shape[-2:]
+        geo = (kernels.inv_geometry(mr, mc, wav.hlen)
+               if a.dtype == jnp.float32 else None)
+        if geo is not None:
+            lo_pad, hi_r, hi_c = geo
+
+            def pad2(arr):
+                arr = pad_fn(arr, -1, lo_pad, hi_c)
+                return pad_fn(arr, -2, lo_pad, hi_r)
+
+            a = kernels.inv_level_2d_padded(pad2(a), pad2(h), pad2(v),
+                                            pad2(d), rl, rh, (mr, mc))
+        else:
+            z = jnp.concatenate([t[:, None] for t in (a, h, v, d)], axis=1)
+            t2 = conv.synthesis_pass(z, rec, axis=-2, out_len=rows[i],
+                                     backend="fma", pad_fn=pad_fn)
+            a = conv.synthesis_pass(t2, rec, axis=-1, out_len=cols[i],
+                                    backend="fma", pad_fn=pad_fn)[:, 0]
+    return a.reshape(batch + a.shape[1:])
+
+
 def dwt2d(x, wav: Wavelet, levels: int, mesh: Mesh, *,
           data_axis: Optional[str] = None, row_axis: Optional[str] = None,
           col_axis: Optional[str] = None, backend: Optional[str] = None,
@@ -94,10 +173,16 @@ def dwt2d(x, wav: Wavelet, levels: int, mesh: Mesh, *,
     _validate2d(x, mesh, data_axis, row_axis, col_axis, levels, swt)
     spec = _spec2d(x.ndim, data_axis, row_axis, col_axis)
     pad_fn = make_pad_fn(dict(mesh.shape), row_axis, col_axis)
-    core = sep_core.swt2d if swt else sep_core.dwt2d
 
-    def local(xl):
-        return core(xl, wav, levels, backend=backend, pad_fn=pad_fn)
+    if not swt and _use_local_pallas(backend):
+        def local(xl):
+            return _local_pallas_dwt2d(xl, wav, levels, pad_fn)
+    else:
+        core = sep_core.swt2d if swt else sep_core.dwt2d
+        be = None if backend == "pallas" else backend
+
+        def local(xl):
+            return core(xl, wav, levels, backend=be, pad_fn=pad_fn)
 
     f = jax.shard_map(local, mesh=mesh, in_specs=spec, out_specs=spec,
                       check_vma=False)
@@ -121,11 +206,17 @@ def idwt2d(coeffs: Coeffs2D, wav: Wavelet, shape: Tuple[int, int],
     local_shape = (shape[0] // _axis_size(mesh, row_axis),
                    shape[1] // _axis_size(mesh, col_axis))
 
-    def local(cl):
-        if swt:
-            return sep_core.iswt2d(cl, wav, backend=backend, pad_fn=pad_fn)
-        return sep_core.idwt2d(cl, wav, local_shape, backend=backend,
-                               pad_fn=pad_fn)
+    if not swt and _use_local_pallas(backend):
+        def local(cl):
+            return _local_pallas_idwt2d(cl, wav, local_shape, pad_fn)
+    else:
+        be = None if backend == "pallas" else backend
+
+        def local(cl):
+            if swt:
+                return sep_core.iswt2d(cl, wav, backend=be, pad_fn=pad_fn)
+            return sep_core.idwt2d(cl, wav, local_shape, backend=be,
+                                   pad_fn=pad_fn)
 
     f = jax.shard_map(local, mesh=mesh, in_specs=spec, out_specs=spec,
                       check_vma=False)

@@ -111,3 +111,19 @@ def test_norms_on_sharded_coeffs(mesh, rng):
     n_sh = float(jax.jit(ops.norm1)(c_sh))
     n_ref = float(ops.norm1(c_ref))
     assert abs(n_sh - n_ref) / n_ref < 1e-5
+
+
+@pytest.mark.skipif(
+    __import__("os").environ.get("PDWT_PALLAS_INTERPRET") != "1",
+    reason="pallas interpret mode not enabled (set PDWT_PALLAS_INTERPRET=1)")
+def test_sharded_pallas_matches_single_device(mesh, rng):
+    """The multi-chip fast path: ring halo exchange feeding the fused
+    Pallas level kernels (interpret mode on the virtual mesh)."""
+    w = get_wavelet("db7")
+    x = rng.standard_normal((4, 256, 512)).astype(np.float32)
+    xs = par.shard_image(x, mesh, **AXES)
+    c_sh = par.dwt2d(xs, w, 2, mesh, backend="pallas", **AXES)
+    c_ref = sep.dwt2d(jnp.asarray(x), w, 2, backend="gather")
+    assert _max_err(c_sh, c_ref) < 1e-5
+    y = par.idwt2d(c_sh, w, (256, 512), mesh, backend="pallas", **AXES)
+    assert float(jnp.abs(y - x).max()) < 1e-5
