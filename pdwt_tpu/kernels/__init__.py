@@ -22,14 +22,18 @@ from .swt_pallas import (
     fwd_level_1d_ad,
     inv_level_1d,
     inv_level_1d_ad,
+    swt_fwd_geometry,
     swt_fwd_level_1d,
     swt_fwd_level_1d_ad,
     swt_fwd_level_2d,
     swt_fwd_level_2d_ad,
+    swt_fwd_level_2d_padded,
+    swt_inv_geometry,
     swt_inv_level_1d,
     swt_inv_level_1d_ad,
     swt_inv_level_2d,
     swt_inv_level_2d_ad,
+    swt_inv_level_2d_padded,
 )
 
 __all__ = [
@@ -42,4 +46,6 @@ __all__ = [
     "fwd_level_1d_ad", "inv_level_1d_ad",
     "swt_fwd_level_1d_ad", "swt_inv_level_1d_ad",
     "swt_fwd_level_2d_ad", "swt_inv_level_2d_ad",
+    "swt_fwd_geometry", "swt_inv_geometry",
+    "swt_fwd_level_2d_padded", "swt_inv_level_2d_padded",
 ]

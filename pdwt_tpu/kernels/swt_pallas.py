@@ -710,3 +710,60 @@ def _swt_inv1d_bwd(rec_lo_t, rec_hi_t, level, _, ct):
 
 
 swt_inv_level_1d_ad.defvjp(_swt_inv1d_fwd, _swt_inv1d_bwd)
+
+
+# ---------------------------------------------------------------------------
+# padded entry points for the distributed engine (see separable_pallas
+# fwd_geometry): the sharded path ring-halo-exchanges exactly these
+# amounts and calls the kernels on pre-padded local shards.
+# ---------------------------------------------------------------------------
+
+def swt_fwd_geometry(r: int, c: int, hlen: int, level: int):
+    """(lo, hi_r, hi_c) padding the à-trous forward kernel expects, or
+    None if unsupported."""
+    f = 1 << (level - 1)
+    tiles = _swt_tiles(r, c, hlen, f)
+    if tiles is None:
+        return None
+    TR, TC = tiles
+    span = (hlen - 1) * f
+    cen = conv.fwd_center(hlen) * f
+    rows_al = _ceil_to(TR + span, 8)
+    cols_al = _ceil_to(TC + span, 128)
+    hi_r = (r - TR + rows_al) - r - cen
+    hi_c = (c - TC + cols_al) - c - cen
+    return cen, hi_r, hi_c
+
+
+def swt_fwd_level_2d_padded(xp, dec_lo, dec_hi, level: int, nshape):
+    hlen = len(dec_lo)
+    f = 1 << (level - 1)
+    nr, nc = nshape
+    TR, TC = _swt_tiles(nr, nc, hlen, f)
+    return _swt_fwd_call(xp, (_taps(dec_lo), _taps(dec_hi)), hlen, f,
+                         (TR, TC), (nr, nc))
+
+
+def swt_inv_geometry(r: int, c: int, hlen: int, level: int):
+    f = 1 << (level - 1)
+    tiles = _swt_tiles(r, c, hlen, f)
+    if tiles is None:
+        return None
+    TR, TC = tiles
+    span = (hlen - 1) * f
+    cen = (hlen // 2) * f
+    rows_al = _ceil_to(TR + span, 8)
+    cols_al = _ceil_to(TC + span, 128)
+    hi_r = (r - TR + rows_al) - r - cen
+    hi_c = (c - TC + cols_al) - c - cen
+    return cen, hi_r, hi_c
+
+
+def swt_inv_level_2d_padded(ap, hp, vp, dp, rec_lo, rec_hi, level: int,
+                            nshape):
+    hlen = len(rec_lo)
+    f = 1 << (level - 1)
+    nr, nc = nshape
+    TR, TC = _swt_tiles(nr, nc, hlen, f)
+    taps = (_taps(np.asarray(rec_lo) * 0.5), _taps(np.asarray(rec_hi) * 0.5))
+    return _swt_inv_call(ap, hp, vp, dp, taps, hlen, f, (TR, TC), (nr, nc))

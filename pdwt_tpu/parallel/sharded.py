@@ -165,6 +165,77 @@ def _local_pallas_idwt2d(cl, wav, local_shape, pad_fn):
     return a.reshape(batch + a.shape[1:])
 
 
+def _local_pallas_swt2d(xl, wav, levels, pad_fn):
+    from .. import kernels
+
+    batch = xl.shape[:-2]
+    b = int(np.prod(batch, dtype=np.int64)) if batch else 1
+    a = xl.reshape((b,) + xl.shape[-2:])
+    dec = (wav.dec_lo, wav.dec_hi)
+    tl = tuple(float(v) for v in wav.dec_lo)
+    th = tuple(float(v) for v in wav.dec_hi)
+    details = []
+    for lvl in range(1, levels + 1):
+        r, c = a.shape[-2:]
+        geo = (kernels.swt_fwd_geometry(r, c, wav.hlen, lvl)
+               if a.dtype == jnp.float32 and wav.hlen % 2 == 0 else None)
+        if geo is not None:
+            cen, hi_r, hi_c = geo
+            xp = pad_fn(a, -1, cen, hi_c)
+            xp = pad_fn(xp, -2, cen, hi_r)
+            a, h, v, d = kernels.swt_fwd_level_2d_padded(xp, tl, th, lvl,
+                                                         (r, c))
+        else:
+            f = 1 << (lvl - 1)
+            z = conv.analysis_pass(a[:, None], dec, axis=-1, dilation=f,
+                                   decimate=False, backend="fma",
+                                   pad_fn=pad_fn)
+            z = conv.analysis_pass(z, dec, axis=-2, dilation=f,
+                                   decimate=False, backend="fma",
+                                   pad_fn=pad_fn)
+            a, h, v, d = z[:, 0], z[:, 1], z[:, 2], z[:, 3]
+        details.append(tuple(t.reshape(batch + t.shape[1:])
+                             for t in (h, v, d)))
+    return sep_core.Coeffs2D(a.reshape(batch + a.shape[1:]), tuple(details))
+
+
+def _local_pallas_iswt2d(cl, wav, pad_fn):
+    from .. import kernels
+
+    rec = (wav.rec_lo * 0.5, wav.rec_hi * 0.5)
+    rl = tuple(float(v) for v in wav.rec_lo)
+    rh = tuple(float(v) for v in wav.rec_hi)
+    batch = cl.approx.shape[:-2]
+    b = int(np.prod(batch, dtype=np.int64)) if batch else 1
+    flat = lambda t: t.reshape((b,) + t.shape[len(batch):])
+    a = flat(cl.approx)
+    for i in range(cl.levels - 1, -1, -1):
+        h, v, d = (flat(t) for t in cl.details[i])
+        r, c = a.shape[-2:]
+        geo = (kernels.swt_inv_geometry(r, c, wav.hlen, i + 1)
+               if a.dtype == jnp.float32 and wav.hlen % 2 == 0 else None)
+        if geo is not None:
+            cen, hi_r, hi_c = geo
+
+            def pad2(arr):
+                arr = pad_fn(arr, -1, cen, hi_c)
+                return pad_fn(arr, -2, cen, hi_r)
+
+            a = kernels.swt_inv_level_2d_padded(pad2(a), pad2(h), pad2(v),
+                                                pad2(d), rl, rh, i + 1,
+                                                (r, c))
+        else:
+            f = 1 << i
+            z = jnp.concatenate([t[:, None] for t in (a, h, v, d)], axis=1)
+            t2 = conv.synthesis_pass(z, rec, axis=-2, dilation=f,
+                                     decimated=False, backend="fma",
+                                     pad_fn=pad_fn)
+            a = conv.synthesis_pass(t2, rec, axis=-1, dilation=f,
+                                    decimated=False, backend="fma",
+                                    pad_fn=pad_fn)[:, 0]
+    return a.reshape(batch + a.shape[1:])
+
+
 def dwt2d(x, wav: Wavelet, levels: int, mesh: Mesh, *,
           data_axis: Optional[str] = None, row_axis: Optional[str] = None,
           col_axis: Optional[str] = None, backend: Optional[str] = None,
@@ -174,9 +245,13 @@ def dwt2d(x, wav: Wavelet, levels: int, mesh: Mesh, *,
     spec = _spec2d(x.ndim, data_axis, row_axis, col_axis)
     pad_fn = make_pad_fn(dict(mesh.shape), row_axis, col_axis)
 
-    if not swt and _use_local_pallas(backend):
-        def local(xl):
-            return _local_pallas_dwt2d(xl, wav, levels, pad_fn)
+    if _use_local_pallas(backend):
+        if swt:
+            def local(xl):
+                return _local_pallas_swt2d(xl, wav, levels, pad_fn)
+        else:
+            def local(xl):
+                return _local_pallas_dwt2d(xl, wav, levels, pad_fn)
     else:
         core = sep_core.swt2d if swt else sep_core.dwt2d
         be = None if backend == "pallas" else backend
@@ -206,9 +281,13 @@ def idwt2d(coeffs: Coeffs2D, wav: Wavelet, shape: Tuple[int, int],
     local_shape = (shape[0] // _axis_size(mesh, row_axis),
                    shape[1] // _axis_size(mesh, col_axis))
 
-    if not swt and _use_local_pallas(backend):
-        def local(cl):
-            return _local_pallas_idwt2d(cl, wav, local_shape, pad_fn)
+    if _use_local_pallas(backend):
+        if swt:
+            def local(cl):
+                return _local_pallas_iswt2d(cl, wav, pad_fn)
+        else:
+            def local(cl):
+                return _local_pallas_idwt2d(cl, wav, local_shape, pad_fn)
     else:
         be = None if backend == "pallas" else backend
 

@@ -127,3 +127,17 @@ def test_sharded_pallas_matches_single_device(mesh, rng):
     assert _max_err(c_sh, c_ref) < 1e-5
     y = par.idwt2d(c_sh, w, (256, 512), mesh, backend="pallas", **AXES)
     assert float(jnp.abs(y - x).max()) < 1e-5
+
+
+@pytest.mark.skipif(
+    __import__("os").environ.get("PDWT_PALLAS_INTERPRET") != "1",
+    reason="pallas interpret mode not enabled (set PDWT_PALLAS_INTERPRET=1)")
+def test_sharded_pallas_swt_matches_single_device(mesh, rng):
+    w = get_wavelet("db7")
+    x = rng.standard_normal((2, 128, 256)).astype(np.float32)
+    xs = par.shard_image(x, mesh, **AXES)
+    c_sh = par.swt2d(xs, w, 3, mesh, backend="pallas", **AXES)
+    c_ref = sep.swt2d(jnp.asarray(x), w, 3, backend="gather")
+    assert _max_err(c_sh, c_ref) < 1e-5
+    y = par.iswt2d(c_sh, w, (128, 256), mesh, backend="pallas", **AXES)
+    assert float(jnp.abs(y - x).max()) < 1e-5
