@@ -43,7 +43,14 @@ from .filters import (
 
 
 class WState(enum.Enum):
-    """Reference: src/wt.h:8-17."""
+    """Reference: src/wt.h:8-17.
+
+    The four ``*_ERROR`` members mirror the reference enum for API
+    parity, but this framework raises real ``ValueError``s for
+    configuration errors instead of parking the object in an error
+    state (SURVEY.md §5 "failure detection"), so nothing here ever
+    *sets* them; user code matching on the reference states still
+    imports cleanly."""
 
     INIT = "W_INIT"
     FORWARD = "W_FORWARD"
@@ -83,6 +90,12 @@ class Wavelets:
 
     >>> W = Wavelets(img, wname="db7", levels=5)
     >>> W.forward(); W.soft_threshold(10.0); img_dn = W.inverse()
+
+    Like the reference, the facade holds exactly ONE 1D signal or 2D
+    image.  For batched throughput (image stacks, batched-1D with
+    arbitrary leading dims) use the functional core directly
+    (``pdwt_tpu.core.dwt2d`` et al. broadcast over leading axes) or the
+    sharded entry points in ``pdwt_tpu.parallel``.
     """
 
     def __init__(
@@ -182,6 +195,22 @@ class Wavelets:
         # configuration compiles ONCE into a single fused XLA program —
         # eager per-op dispatch would be a host round-trip per slice.
         self._jit_cache: dict = {}
+
+    def copy(self) -> "Wavelets":
+        """Deep copy (reference copy constructor: src/wt.cu:191-222).
+
+        JAX arrays are immutable, so "deep copy" is a pytree re-reference;
+        the clone shares the jit cache (compiled programs are stateless)
+        but nothing mutable."""
+        import copy as _copy
+
+        w = object.__new__(Wavelets)
+        w.__dict__.update(self.__dict__)
+        w._rng = _copy.deepcopy(self._rng)
+        return w
+
+    def __copy__(self) -> "Wavelets":
+        return self.copy()
 
     def _jitted(self, key, make):
         fn = self._jit_cache.get(key)
@@ -283,6 +312,8 @@ class Wavelets:
         """Compute the coefficient pytree from the current image
         (reference: src/wt.cu:236-271)."""
         s = self.spec
+        if s.do_separable or s.ndim == 1:
+            self._fwd_wavelet()  # friendly error before tracing
         if s.do_cycle_spinning:
             # host-side draw like the reference's rand() (src/wt.cu:243-244),
             # but from a seeded generator; shift itself runs on device

@@ -67,13 +67,18 @@ _default_backend: Optional[str] = (
 
 def set_default_backend(name: Optional[str]) -> None:
     global _default_backend
-    if name is not None and name not in _BACKENDS:
-        raise ValueError(f"unknown backend {name!r}; expected one of {_BACKENDS}")
+    if name is not None and name not in _BACKENDS + ("pallas",):
+        raise ValueError(
+            f"unknown backend {name!r}; expected one of "
+            f"{_BACKENDS + ('pallas',)}")
     _default_backend = name
 
 
 def get_default_backend() -> str:
-    if _default_backend is not None:
+    """Default backend for the conv passes.  A "pallas" override applies
+    only to the top-level transforms (core/separable.py); here it maps to
+    the fma formulation the kernels themselves fall back to."""
+    if _default_backend is not None and _default_backend in _BACKENDS:
         return _default_backend
     return "fma" if jax.default_backend() == "tpu" else "xla"
 

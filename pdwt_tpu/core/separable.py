@@ -84,6 +84,28 @@ def _ftup(f):
     return tuple(float(v) for v in f)
 
 
+def _auto_backend(backend: Optional[str], pad_fn) -> Optional[str]:
+    """Resolve ``backend=None``: the PDWT_TPU_BACKEND env var /
+    conv.set_default_backend override wins; otherwise the fused Pallas
+    level kernels on TPU.  Distributed calls (pad_fn given) stay on the
+    conv backends unless explicitly asked for pallas — the sharded
+    engine has its own pallas composition (parallel/sharded.py)."""
+    import jax
+
+    if backend is not None:
+        return backend
+    override = conv._default_backend
+    if override is not None:
+        # "pallas" with a pad_fn cannot be honored here; fall through to
+        # the conv backends (get_default_backend maps it to "fma").
+        if override == "pallas" and pad_fn is not None:
+            return None
+        return override
+    if pad_fn is None and jax.default_backend() == "tpu":
+        return "pallas"
+    return None
+
+
 
 def _dwt2d_pallas(x: jnp.ndarray, wav: Wavelet, levels: int) -> Coeffs2D:
     """Per-level fused Pallas kernels; falls back to the (bit-identical)
@@ -143,10 +165,7 @@ def _idwt2d_pallas(coeffs: Coeffs2D, wav: Wavelet,
 def dwt2d(x: jnp.ndarray, wav: Wavelet, levels: int, *,
           backend: Optional[str] = None, pad_fn=None) -> Coeffs2D:
     """Multi-level separable 2D DWT over the trailing two axes."""
-    import jax
-
-    if backend is None and pad_fn is None and jax.default_backend() == "tpu":
-        backend = "pallas"  # fused level kernels; per-level fma fallback
+    backend = _auto_backend(backend, pad_fn)
     if backend == "pallas":
         if pad_fn is not None:
             raise ValueError("pallas backend does not support pad_fn")
@@ -168,10 +187,7 @@ def dwt2d(x: jnp.ndarray, wav: Wavelet, levels: int, *,
 def idwt2d(coeffs: Coeffs2D, wav: Wavelet, shape: Tuple[int, int], *,
            backend: Optional[str] = None, pad_fn=None) -> jnp.ndarray:
     """Inverse of :func:`dwt2d`; ``shape`` = (Nr, Nc) of the original image."""
-    import jax
-
-    if backend is None and pad_fn is None and jax.default_backend() == "tpu":
-        backend = "pallas"
+    backend = _auto_backend(backend, pad_fn)
     if backend == "pallas":
         if pad_fn is not None:
             raise ValueError("pallas backend does not support pad_fn")
@@ -221,10 +237,7 @@ def _swt2d_pallas(x: jnp.ndarray, wav: Wavelet, levels: int) -> Coeffs2D:
 
 def swt2d(x: jnp.ndarray, wav: Wavelet, levels: int, *,
           backend: Optional[str] = None, pad_fn=None) -> Coeffs2D:
-    import jax
-
-    if backend is None and pad_fn is None and jax.default_backend() == "tpu":
-        backend = "pallas"
+    backend = _auto_backend(backend, pad_fn)
     if backend == "pallas":
         if pad_fn is not None:
             raise ValueError("pallas backend does not support pad_fn")
@@ -271,10 +284,7 @@ def _iswt2d_pallas(coeffs: Coeffs2D, wav: Wavelet) -> jnp.ndarray:
 
 def iswt2d(coeffs: Coeffs2D, wav: Wavelet, *,
            backend: Optional[str] = None, pad_fn=None) -> jnp.ndarray:
-    import jax
-
-    if backend is None and pad_fn is None and jax.default_backend() == "tpu":
-        backend = "pallas"
+    backend = _auto_backend(backend, pad_fn)
     if backend == "pallas":
         if pad_fn is not None:
             raise ValueError("pallas backend does not support pad_fn")
@@ -321,10 +331,7 @@ def _dwt1d_pallas(x: jnp.ndarray, wav: Wavelet, levels: int) -> Coeffs1D:
 
 def dwt1d(x: jnp.ndarray, wav: Wavelet, levels: int, *,
           backend: Optional[str] = None, pad_fn=None) -> Coeffs1D:
-    import jax
-
-    if backend is None and pad_fn is None and jax.default_backend() == "tpu":
-        backend = "pallas"
+    backend = _auto_backend(backend, pad_fn)
     if backend == "pallas":
         if pad_fn is not None:
             raise ValueError("pallas backend does not support pad_fn")
@@ -365,10 +372,7 @@ def _idwt1d_pallas(coeffs: Coeffs1D, wav: Wavelet, length: int) -> jnp.ndarray:
 
 def idwt1d(coeffs: Coeffs1D, wav: Wavelet, length: int, *,
            backend: Optional[str] = None, pad_fn=None) -> jnp.ndarray:
-    import jax
-
-    if backend is None and pad_fn is None and jax.default_backend() == "tpu":
-        backend = "pallas"
+    backend = _auto_backend(backend, pad_fn)
     if backend == "pallas":
         if pad_fn is not None:
             raise ValueError("pallas backend does not support pad_fn")
@@ -408,10 +412,7 @@ def _swt1d_pallas(x: jnp.ndarray, wav: Wavelet, levels: int) -> Coeffs1D:
 
 def swt1d(x: jnp.ndarray, wav: Wavelet, levels: int, *,
           backend: Optional[str] = None, pad_fn=None) -> Coeffs1D:
-    import jax
-
-    if backend is None and pad_fn is None and jax.default_backend() == "tpu":
-        backend = "pallas"
+    backend = _auto_backend(backend, pad_fn)
     if backend == "pallas":
         if pad_fn is not None:
             raise ValueError("pallas backend does not support pad_fn")
@@ -451,10 +452,7 @@ def _iswt1d_pallas(coeffs: Coeffs1D, wav: Wavelet) -> jnp.ndarray:
 
 def iswt1d(coeffs: Coeffs1D, wav: Wavelet, *,
            backend: Optional[str] = None, pad_fn=None) -> jnp.ndarray:
-    import jax
-
-    if backend is None and pad_fn is None and jax.default_backend() == "tpu":
-        backend = "pallas"
+    backend = _auto_backend(backend, pad_fn)
     if backend == "pallas":
         if pad_fn is not None:
             raise ValueError("pallas backend does not support pad_fn")

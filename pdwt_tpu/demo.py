@@ -37,7 +37,31 @@ def main(argv=None) -> int:
     p.add_argument("--out", default="res.dat")
     p.add_argument("--native", action="store_true",
                    help="use the C++ CPU engine instead of JAX")
+    p.add_argument("--interactive", action="store_true",
+                   help="prompt for the configuration like the reference "
+                        "demo does when run without arguments "
+                        "(reference: src/demo.cpp:48-78)")
     args = p.parse_args(argv)
+
+    if args.interactive:
+        def ask(label, default, cast):
+            raw = input(f"{label} [{default}]: ").strip()
+            try:
+                return cast(raw) if raw else default
+            except ValueError:
+                print(f"  invalid value {raw!r}; keeping {default}")
+                return default
+
+        print("Interactive configuration (empty line keeps the default)")
+        args.scenario = ask("Scenario (1=fwd, 2=fwd+inv, 3=fwd+thresh+inv)",
+                            args.scenario, int)
+        args.wavelet = ask("Wavelet name", args.wavelet, str)
+        args.levels = ask("Number of levels", args.levels, int)
+        args.swt = bool(ask("Use SWT (0/1)", int(args.swt), int))
+        args.cycle_spinning = bool(
+            ask("Use cycle spinning (0/1)", int(args.cycle_spinning), int))
+        if args.scenario == 3:
+            args.beta = ask("Threshold beta", args.beta, float)
 
     from pdwt_tpu.utils import read_dat, write_dat
 

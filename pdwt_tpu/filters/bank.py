@@ -223,8 +223,11 @@ def factor_quads(quads, rtol: float = 1e-9):
     a = float(np.vdot(base, q[1])) / denom
     if abs(a) < rtol:
         return None
-    if not np.allclose(q[1], a * base, atol=rtol * scale):
+    # rtol=0: the atol = rtol*scale bound must be the only tolerance, or
+    # numpy's default rtol=1e-5 silently loosens the advertised strictness.
+    if not np.allclose(q[1], a * base, rtol=0.0, atol=rtol * scale):
         return None
-    if not np.allclose(q[2], np.outer(lo_r, hi_c) / a, atol=rtol * scale):
+    if not np.allclose(q[2], np.outer(lo_r, hi_c) / a, rtol=0.0,
+                       atol=rtol * scale):
         return None
     return lo_r, a * hi_r, lo_c, hi_c / a

@@ -51,7 +51,9 @@ _VMEM_BUDGET = 11 * 1024 * 1024            # stack budget per kernel body
 
 # Interpreter mode: lets the kernels run on the CPU backend (slowly) so
 # the sharded pallas path can be validated on the virtual test mesh.
-_INTERPRET = __import__("os").environ.get("PDWT_PALLAS_INTERPRET") == "1"
+# Read at call time so the default test suite can toggle it per-test.
+def _INTERPRET() -> bool:
+    return __import__("os").environ.get("PDWT_PALLAS_INTERPRET") == "1"
 
 
 def _pick_tile(m: int, candidates) -> Optional[int]:
@@ -212,7 +214,7 @@ def _fwd_call(xp, taps, hlen, tiles, mshape):
             pltpu.VMEM((rows, cols), xp.dtype),
             pltpu.SemaphoreType.DMA(()),
         ],
-        interpret=_INTERPRET,
+        interpret=_INTERPRET(),
     )(xp)
 
 
@@ -325,7 +327,7 @@ def _inv_call(ap, hp, vp, dp, taps, hlen, tiles, pad, mshape):
         out_specs=out_spec,
         scratch_shapes=[tile(), tile(), tile(), tile(),
                         pltpu.SemaphoreType.DMA((4,))],
-        interpret=_INTERPRET,
+        interpret=_INTERPRET(),
     )(ap, hp, vp, dp)
 
 

@@ -127,7 +127,7 @@ def _swt_fwd_call(xp, taps, hlen, f, tiles, nshape):
         out_specs=(out_spec, out_spec, out_spec, out_spec),
         scratch_shapes=[pltpu.VMEM((rows, cols), xp.dtype),
                         pltpu.SemaphoreType.DMA(())],
-        interpret=_INTERPRET,
+        interpret=_INTERPRET(),
     )(xp)
 
 
@@ -207,7 +207,7 @@ def _swt_inv_call(ap, hp, vp, dp, taps, hlen, f, tiles, nshape):
         out_specs=out_spec,
         scratch_shapes=[tile(), tile(), tile(), tile(),
                         pltpu.SemaphoreType.DMA((4,))],
-        interpret=_INTERPRET,
+        interpret=_INTERPRET(),
     )(ap, hp, vp, dp)
 
 
@@ -293,7 +293,7 @@ def _fwd1d_call(xp, taps, hlen, tiles, m):
         out_specs=(out_spec, out_spec),
         scratch_shapes=[pltpu.VMEM((TB, cols), xp.dtype),
                         pltpu.SemaphoreType.DMA(())],
-        interpret=_INTERPRET,
+        interpret=_INTERPRET(),
     )(xp)
 
 
@@ -355,7 +355,7 @@ def _inv1d_call(lp, hp, taps, hlen, tiles, pad, m):
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 2,
         out_specs=out_spec,
         scratch_shapes=[tile(), tile(), pltpu.SemaphoreType.DMA((2,))],
-        interpret=_INTERPRET,
+        interpret=_INTERPRET(),
     )(lp, hp)
 
 
@@ -422,7 +422,7 @@ def _swt1d_fwd_call(xp, taps, hlen, f, tiles, n):
         out_specs=(out_spec, out_spec),
         scratch_shapes=[pltpu.VMEM((TB, cols), xp.dtype),
                         pltpu.SemaphoreType.DMA(())],
-        interpret=_INTERPRET,
+        interpret=_INTERPRET(),
     )(xp)
 
 
@@ -487,7 +487,7 @@ def _swt1d_inv_call(lp, hp, taps, hlen, f, tiles, n):
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 2,
         out_specs=out_spec,
         scratch_shapes=[tile(), tile(), pltpu.SemaphoreType.DMA((2,))],
-        interpret=_INTERPRET,
+        interpret=_INTERPRET(),
     )(lp, hp)
 
 

@@ -60,8 +60,16 @@ def ista(
     nr, nc = y.shape[-2:]
     if op is None:
         op = lambda x: x
-    if op_t is None:
-        op_t = op  # identity / self-adjoint default
+        if op_t is None:
+            op_t = op  # identity: trivially self-adjoint
+    elif op_t is None:
+        # A missing adjoint silently computes a wrong gradient for any
+        # non-self-adjoint operator; derive it instead of guessing (op is
+        # linear by the problem statement; x0/y fixes the primal shape).
+        import jax as _jax
+
+        _op_t = _jax.linear_transpose(op, y if x0 is None else x0)
+        op_t = lambda r: _op_t(r)[0]
 
     def w_fwd(x):
         return sep_core.dwt2d(x, wav, levels, backend=backend)

@@ -113,12 +113,10 @@ def test_norms_on_sharded_coeffs(mesh, rng):
     assert abs(n_sh - n_ref) / n_ref < 1e-5
 
 
-@pytest.mark.skipif(
-    __import__("os").environ.get("PDWT_PALLAS_INTERPRET") != "1",
-    reason="pallas interpret mode not enabled (set PDWT_PALLAS_INTERPRET=1)")
-def test_sharded_pallas_matches_single_device(mesh, rng):
+def test_sharded_pallas_matches_single_device(mesh, rng, monkeypatch):
     """The multi-chip fast path: ring halo exchange feeding the fused
     Pallas level kernels (interpret mode on the virtual mesh)."""
+    monkeypatch.setenv("PDWT_PALLAS_INTERPRET", "1")
     w = get_wavelet("db7")
     x = rng.standard_normal((4, 256, 512)).astype(np.float32)
     xs = par.shard_image(x, mesh, **AXES)
@@ -129,10 +127,8 @@ def test_sharded_pallas_matches_single_device(mesh, rng):
     assert float(jnp.abs(y - x).max()) < 1e-5
 
 
-@pytest.mark.skipif(
-    __import__("os").environ.get("PDWT_PALLAS_INTERPRET") != "1",
-    reason="pallas interpret mode not enabled (set PDWT_PALLAS_INTERPRET=1)")
-def test_sharded_pallas_swt_matches_single_device(mesh, rng):
+def test_sharded_pallas_swt_matches_single_device(mesh, rng, monkeypatch):
+    monkeypatch.setenv("PDWT_PALLAS_INTERPRET", "1")
     w = get_wavelet("db7")
     x = rng.standard_normal((2, 128, 256)).astype(np.float32)
     xs = par.shard_image(x, mesh, **AXES)
