@@ -68,6 +68,34 @@ def main() -> None:
     mpix_s = (N * N) / t / 1e6
     log(f"device time per roundtrip: {t*1e3:.3f} ms")
 
+    # reduced-precision modes (same workload): bf16 arrays end-to-end on
+    # the MXU banded-matmul kernels, and f32 arrays with bf16x3 compute
+    extras = {}
+    try:
+        imgb = img.astype(jnp.bfloat16)
+        outb = jax.jit(roundtrip)(imgb)
+        errb = float(jnp.max(jnp.abs(outb.astype(jnp.float32)
+                                     - imgb.astype(jnp.float32))))
+        tb = device_time(roundtrip, imgb)
+        extras["bf16_mpix_s"] = round((N * N) / tb / 1e6, 1)
+        extras["bf16_max_recon_error"] = errb
+        log(f"bf16 roundtrip: {tb*1e3:.3f} ms, err {errb:.3f}")
+
+        import os
+
+        os.environ["PDWT_TPU_PRECISION"] = "mixed"
+        try:
+            outm = jax.jit(lambda x: roundtrip(x) * 1.0)(img)
+            errm = float(jnp.max(jnp.abs(outm - img)))
+            tm = device_time(lambda x: roundtrip(x) * 1.0, img)
+            extras["mixed_mpix_s"] = round((N * N) / tm / 1e6, 1)
+            extras["mixed_max_recon_error"] = errm
+            log(f"mixed roundtrip: {tm*1e3:.3f} ms, err {errm:.4f}")
+        finally:
+            del os.environ["PDWT_TPU_PRECISION"]
+    except Exception as e:  # reduced-precision paths must never break the bench
+        log(f"reduced-precision bench skipped: {e!r}")
+
     print(json.dumps({
         "metric": f"Mpix/s/chip, 2D {WNAME} {LEVELS}-level fwd+inv ({N}x{N})",
         "value": round(mpix_s, 1),
@@ -75,6 +103,7 @@ def main() -> None:
         "vs_baseline": round(mpix_s / REFERENCE_GPU_ESTIMATE_MPIX_S, 3),
         "max_recon_error": err,
         "device": f"{dev.platform}:{dev.device_kind}",
+        **extras,
     }))
 
 

@@ -7,6 +7,7 @@ from .separable import (
     idwt2d,
     iswt1d,
     iswt2d,
+    iswt2d_denoise,
     swt1d,
     swt2d,
 )
@@ -18,7 +19,7 @@ from . import conv
 __all__ = [
     "Coeffs1D", "Coeffs2D",
     "dwt1d", "dwt2d", "idwt1d", "idwt2d",
-    "swt1d", "swt2d", "iswt1d", "iswt2d",
+    "swt1d", "swt2d", "iswt1d", "iswt2d", "iswt2d_denoise",
     "dwt2d_ns", "idwt2d_ns", "swt2d_ns", "iswt2d_ns",
     "haar_dwt1d", "haar_dwt2d", "haar_idwt1d", "haar_idwt2d",
     "coeff_shapes_1d", "coeff_shapes_2d", "div2", "level_sizes", "max_level",

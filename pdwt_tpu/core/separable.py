@@ -84,6 +84,23 @@ def _ftup(f):
     return tuple(float(v) for v in f)
 
 
+def _mxu_mode(dtype) -> Optional[str]:
+    """MXU kernel mode for the pallas 2D path: "bf16" for bf16 arrays
+    (half-traffic serving; one bf16 matmul per pass, f32 accumulation),
+    "mixed" for f32 arrays when PDWT_TPU_PRECISION=mixed (bf16x3 compute,
+    ~1e-5 relative coefficient error, ~2.5x faster than exact), or None
+    for the exact-f32 VPU kernels."""
+    import os
+
+    if dtype == jnp.bfloat16:
+        return "bf16"
+    if (dtype == jnp.float32
+            and os.environ.get("PDWT_TPU_PRECISION", "").lower()
+            in ("mixed", "bf16x3")):
+        return "mixed"
+    return None
+
+
 def _auto_backend(backend: Optional[str], pad_fn) -> Optional[str]:
     """Resolve ``backend=None``: the PDWT_TPU_BACKEND env var /
     conv.set_default_backend override wins; otherwise the fused Pallas
@@ -118,20 +135,41 @@ def _dwt2d_pallas(x: jnp.ndarray, wav: Wavelet, levels: int) -> Coeffs2D:
     b = int(np.prod(batch, dtype=np.int64)) if batch else 1
     a = x.reshape((b,) + x.shape[-2:])
     dec = (wav.dec_lo, wav.dec_hi)
+    lo_t, hi_t = _ftup(wav.dec_lo), _ftup(wav.dec_hi)
+    mode = _mxu_mode(x.dtype)
     details = []
-    for _ in range(levels):
+    lvl = 0
+    while lvl < levels:
         # odd sizes: virtual extension (reference: src/separable.cu:116-121)
         # applied up front so the fused kernel sees even sizes.
         ae = conv.odd_extend(conv.odd_extend(a, -1), -2)
-        res = kernels.fwd_level_2d_ad(ae, _ftup(wav.dec_lo), _ftup(wav.dec_hi))
+        remaining = levels - lvl
+        res = None
+        if mode is not None:
+            res = kernels.fwd_level_2d_mxu_ad(ae, lo_t, hi_t, mode)
+        if res is None and ae.dtype == jnp.float32:
+            # once the approximation fits in VMEM, fuse ALL remaining
+            # levels in one kernel (no pads / dispatch / fma tail).
+            tail = kernels.fwd_tail_2d_ad(ae, lo_t, hi_t, remaining)
+            if tail is not None:
+                a, dets = tail
+                for (h, v, d) in dets:
+                    details.append(tuple(t.reshape(batch + t.shape[1:])
+                                         for t in (h, v, d)))
+                lvl = levels
+                break
+            res = kernels.fwd_level_2d_ad(ae, lo_t, hi_t)
         if res is None:
-            z = conv.analysis_pass(a[:, None], dec, axis=-1, backend="fma")
+            af = a.astype(jnp.float32) if a.dtype != jnp.float32 else a
+            z = conv.analysis_pass(af[:, None], dec, axis=-1, backend="fma")
             z = conv.analysis_pass(z, dec, axis=-2, backend="fma")
+            z = z.astype(a.dtype)
             a, h, v, d = z[:, 0], z[:, 1], z[:, 2], z[:, 3]
         else:
             a, h, v, d = res
         details.append(tuple(t.reshape(batch + t.shape[1:])
                              for t in (h, v, d)))
+        lvl += 1
     return Coeffs2D(a.reshape(batch + a.shape[1:]), tuple(details))
 
 
@@ -143,19 +181,52 @@ def _idwt2d_pallas(coeffs: Coeffs2D, wav: Wavelet,
     rows = level_sizes(shape[0], levels)
     cols = level_sizes(shape[1], levels)
     rec = (wav.rec_lo, wav.rec_hi)
+    lo_t, hi_t = _ftup(wav.rec_lo), _ftup(wav.rec_hi)
     batch = coeffs.approx.shape[:-2]
     b = int(np.prod(batch, dtype=np.int64)) if batch else 1
     flat = lambda t: t.reshape((b,) + t.shape[len(batch):])
     a = flat(coeffs.approx)
-    for i in range(levels - 1, -1, -1):
+    mode = _mxu_mode(a.dtype)
+
+    # Fuse the deepest k levels into one VMEM-resident kernel when their
+    # sizes halve exactly (no odd-size slicing among them).
+    mr, mc = a.shape[-2], a.shape[-1]
+    k = 0
+    hlen = len(wav.rec_lo)
+    if mode is None:
+        while k < levels:
+            i = levels - 1 - k  # level produced by fusing one more
+            if rows[i] != mr << (k + 1) or cols[i] != mc << (k + 1):
+                break
+            if not kernels.tail_supported((mr << (k + 1), mc << (k + 1)),
+                                          hlen, k + 1):
+                break
+            k += 1
+    start = levels - 1
+    if k >= 1:
+        flat_details = []
+        for i in range(levels - 1, levels - 1 - k, -1):  # deepest first
+            flat_details.extend(flat(t) for t in coeffs.details[i])
+        y = kernels.inv_tail_2d_ad(a, tuple(flat_details), lo_t, hi_t, k)
+        if y is not None:
+            a = y
+            start = levels - 1 - k
+    for i in range(start, -1, -1):
         h, v, d = (flat(t) for t in coeffs.details[i])
-        y = kernels.inv_level_2d_ad(a, h, v, d, _ftup(wav.rec_lo), _ftup(wav.rec_hi))
+        y = None
+        if mode is not None:
+            y = kernels.inv_level_2d_mxu_ad(a, h, v, d, lo_t, hi_t, mode)
+        if y is None and a.dtype == jnp.float32:
+            y = kernels.inv_level_2d_ad(a, h, v, d, lo_t, hi_t)
         if y is None:
-            z = jnp.concatenate([t[:, None] for t in (a, h, v, d)], axis=1)
+            f32 = lambda t: (t.astype(jnp.float32)
+                             if t.dtype != jnp.float32 else t)
+            z = jnp.concatenate(
+                [f32(t)[:, None] for t in (a, h, v, d)], axis=1)
             t2 = conv.synthesis_pass(z, rec, axis=-2, out_len=rows[i],
                                      backend="fma")
             y = conv.synthesis_pass(t2, rec, axis=-1, out_len=cols[i],
-                                    backend="fma")[:, 0]
+                                    backend="fma")[:, 0].astype(a.dtype)
         else:
             y = y[:, :rows[i], :cols[i]]
         a = y
@@ -387,6 +458,63 @@ def idwt1d(coeffs: Coeffs1D, wav: Wavelet, length: int, *,
         a = conv.synthesis_pass(z, rec, axis=-1, out_len=sizes[i],
                                 backend=backend, pad_fn=pad_fn)
     return _from_nchw(a, batch, 1)
+
+
+def iswt2d_denoise(coeffs: Coeffs2D, wav: Wavelet, beta, *,
+                   mode: str = "soft", normalize: bool = False,
+                   do_thresh_appcoeffs: bool = False,
+                   backend: Optional[str] = None) -> jnp.ndarray:
+    """Fused detail-threshold + inverse 2D SWT.
+
+    On the pallas path the per-level detail threshold happens inside the
+    synthesis kernels' tile reads, eliminating the separate elementwise
+    pass over 3 full-size subbands per level and its HBM round-trip
+    (the reference launches one threshold kernel per subband,
+    src/common.cu:219-249, then re-reads everything in the inverse).
+    Semantics identical to ops.soft/hard_threshold followed by iswt2d.
+    NOT differentiable on the fused path (use the unfused ops for
+    gradients)."""
+    import math as _math
+
+    from ..ops.threshold import _app_beta, _hard, _soft
+
+    backend = _auto_backend(backend, None)
+    levels = coeffs.levels
+    lvl_beta = lambda i: (beta / (_math.sqrt(2.0) ** (i + 1))
+                          if normalize else beta)
+    if backend != "pallas":
+        from .. import ops as _ops
+
+        fn = _ops.soft_threshold if mode == "soft" else _ops.hard_threshold
+        c2 = fn(coeffs, beta, normalize=normalize,
+                do_thresh_appcoeffs=do_thresh_appcoeffs)
+        return iswt2d(c2, wav, backend=backend)
+
+    from .. import kernels
+
+    thr = _soft if mode == "soft" else _hard
+    batch = coeffs.approx.shape[:-2]
+    b = int(np.prod(batch, dtype=np.int64)) if batch else 1
+    flat = lambda t: t.reshape((b,) + t.shape[len(batch):])
+    a = flat(coeffs.approx)
+    if do_thresh_appcoeffs:
+        a = thr(a, _app_beta(beta, levels, normalize))
+    rec = (wav.rec_lo * 0.5, wav.rec_hi * 0.5)
+    for i in range(levels - 1, -1, -1):
+        h, v, d = (flat(t) for t in coeffs.details[i])
+        bi = lvl_beta(i)
+        y = kernels.swt_inv_level_2d(a, h, v, d, wav.rec_lo, wav.rec_hi,
+                                     i + 1, threshold=(mode, bi))
+        if y is None:
+            f = 1 << i
+            h, v, d = thr(h, bi), thr(v, bi), thr(d, bi)
+            z = jnp.concatenate([t[:, None] for t in (a, h, v, d)], axis=1)
+            t2 = conv.synthesis_pass(z, rec, axis=-2, dilation=f,
+                                     decimated=False, backend="fma")
+            y = conv.synthesis_pass(t2, rec, axis=-1, dilation=f,
+                                    decimated=False, backend="fma")[:, 0]
+        a = y
+    return a.reshape(batch + a.shape[1:])
 
 
 def _swt1d_pallas(x: jnp.ndarray, wav: Wavelet, levels: int) -> Coeffs1D:

@@ -7,6 +7,11 @@ via ``backend="pallas"`` (the default on TPU).
 """
 from .separable_pallas import (
     fwd_geometry,
+    fwd_tail_2d,
+    fwd_tail_2d_ad,
+    inv_tail_2d,
+    inv_tail_2d_ad,
+    _tail_supported as tail_supported,
     fwd_level_2d,
     fwd_level_2d_ad,
     fwd_level_2d_padded,
@@ -17,8 +22,22 @@ from .separable_pallas import (
     pallas_supported_fwd,
     pallas_supported_inv,
 )
+from .matmul_pallas import (
+    fwd_level_2d_mxu,
+    fwd_level_2d_mxu_ad,
+    inv_level_2d_mxu,
+    inv_level_2d_mxu_ad,
+)
 from .swt_pallas import (
+    fwd1d_geometry,
     fwd_level_1d,
+    fwd_level_1d_padded,
+    inv1d_geometry,
+    inv_level_1d_padded,
+    swt1d_fwd_geometry,
+    swt1d_inv_geometry,
+    swt_fwd_level_1d_padded,
+    swt_inv_level_1d_padded,
     fwd_level_1d_ad,
     inv_level_1d,
     inv_level_1d_ad,
@@ -40,6 +59,10 @@ __all__ = [
     "fwd_level_2d", "inv_level_2d", "fwd_level_2d_ad", "inv_level_2d_ad",
     "fwd_geometry", "inv_geometry", "fwd_level_2d_padded", "inv_level_2d_padded",
     "pallas_supported_fwd", "pallas_supported_inv",
+    "fwd_tail_2d", "inv_tail_2d", "fwd_tail_2d_ad", "inv_tail_2d_ad",
+    "tail_supported",
+    "fwd_level_2d_mxu", "inv_level_2d_mxu",
+    "fwd_level_2d_mxu_ad", "inv_level_2d_mxu_ad",
     "swt_fwd_level_2d", "swt_inv_level_2d",
     "swt_fwd_level_1d", "swt_inv_level_1d",
     "fwd_level_1d", "inv_level_1d",
@@ -48,4 +71,8 @@ __all__ = [
     "swt_fwd_level_2d_ad", "swt_inv_level_2d_ad",
     "swt_fwd_geometry", "swt_inv_geometry",
     "swt_fwd_level_2d_padded", "swt_inv_level_2d_padded",
+    "fwd1d_geometry", "fwd_level_1d_padded",
+    "inv1d_geometry", "inv_level_1d_padded",
+    "swt1d_fwd_geometry", "swt_fwd_level_1d_padded",
+    "swt1d_inv_geometry", "swt_inv_level_1d_padded",
 ]

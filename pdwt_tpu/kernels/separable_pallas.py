@@ -110,21 +110,26 @@ def _fir_decim_sub(x, taps_lo, taps_hi, n_out):
     """Dual decimate-by-2 FIR along axis 0 (sublanes).
 
     x: (2*n_out + hlen - 2, C).  out[m] = sum_j t[j] * x[2m + j] via the
-    free parity reshape; returns (lo, hi) each (n_out, C)."""
+    free parity reshape; returns (lo, hi) each (n_out, C).
+
+    Each tap's misaligned sublane slice costs a vreg-shift of the whole
+    tile — the dominant kernel cost — so the slice is formed ONCE and
+    shared by both filters (the lo/hi taps read identical windows)."""
     hlen = len(taps_lo)
     rows, c = x.shape
     xr = x.reshape(rows // 2, 2, c)
     even, odd = xr[:, 0, :], xr[:, 1, :]
 
-    def run(taps):
-        acc = None
-        for j, t in enumerate(taps):
-            src, a = (even, j // 2) if j % 2 == 0 else (odd, j // 2)
-            term = t * src[a:a + n_out, :]
-            acc = term if acc is None else acc + term
-        return acc
-
-    return run(taps_lo), run(taps_hi)
+    acc_lo = acc_hi = None
+    for j in range(hlen):
+        src = even if j % 2 == 0 else odd
+        a = j // 2
+        sl = src[a:a + n_out, :]
+        tl = taps_lo[j] * sl
+        th = taps_hi[j] * sl
+        acc_lo = tl if acc_lo is None else acc_lo + tl
+        acc_hi = th if acc_hi is None else acc_hi + th
+    return acc_lo, acc_hi
 
 
 def _poly_geometry(hlen: int):
@@ -141,16 +146,28 @@ def _poly_geometry(hlen: int):
 
 def _fir_synth_sub(lo_band, hi_band, taps_lo, taps_hi, m_out):
     """Stuff-free synthesis along axis 0: bands (m_out + lo + hi, C) ->
-    upsampled (2*m_out, C), parities interleaved via sublane reshape."""
+    upsampled (2*m_out, C), parities interleaved via sublane reshape.
+
+    Slices are cached by (band, start): when both parities' offset sets
+    overlap (they coincide for every even-hlen wavelet), each shifted
+    window is materialized once instead of once per parity."""
     hlen = len(taps_lo)
     p, o, lo_pad, _ = _poly_geometry(hlen)
+    cache = {}
+
+    def window(bi, band, start):
+        key = (bi, start)
+        if key not in cache:
+            cache[key] = band[start:start + m_out, :]
+        return cache[key]
+
     outs = []
     for q in (0, 1):
         acc = None
-        for band, taps in ((lo_band, taps_lo), (hi_band, taps_hi)):
+        for bi, (band, taps) in enumerate(((lo_band, taps_lo),
+                                           (hi_band, taps_hi))):
             for b, j in enumerate(range(p[q], hlen, 2)):
-                start = lo_pad + o[q] + b
-                term = taps[j] * band[start:start + m_out, :]
+                term = taps[j] * window(bi, band, lo_pad + o[q] + b)
                 acc = term if acc is None else acc + term
         outs.append(acc)
     c = outs[0].shape[1]
@@ -161,35 +178,73 @@ def _fir_synth_sub(lo_band, hi_band, taps_lo, taps_hi, m_out):
 # forward level
 # ---------------------------------------------------------------------------
 
-def _make_fwd_kernel(taps_lo, taps_hi, hlen, TR, TC):
+def _decode3(t, g1, g2):
+    """Linear grid step -> (b, i, j) for a (B, g1, g2) grid."""
+    b = t // (g1 * g2)
+    r = t % (g1 * g2)
+    return b, r // g2, r % g2
+
+
+def _make_fwd_kernel(taps_lo, taps_hi, hlen, TR, TC, grid):
     # DMA windows must be tile-aligned (8 sublanes x 128 lanes); the
     # padded input carries the extra alignment margin.  The FIRs only read
     # the valid leading region of each (aligned) tile.
+    B, GI, GJ = grid
+    nsteps = B * GI * GJ
     rows = _ceil_to(2 * TR + hlen - 2, 8)
     cols = _ceil_to(2 * TC + hlen - 2, 128)
 
-    def kernel(xp_hbm, a_ref, h_ref, v_ref, d_ref, xt, sem):
+    def copy_for(xp_hbm, xt2, sems, t):
+        b, i, j = _decode3(t, GI, GJ)
+        slot = t % 2
+        return pltpu.make_async_copy(
+            xp_hbm.at[b, pl.ds(2 * TR * i, rows), pl.ds(2 * TC * j, cols)],
+            xt2.at[slot], sems.at[slot])
+
+    def kernel(xp_hbm, a_ref, h_ref, v_ref, d_ref, xt2, sems):
         b = pl.program_id(0)
         i = pl.program_id(1)
         j = pl.program_id(2)
-        dma = pltpu.make_async_copy(
-            xp_hbm.at[b, pl.ds(2 * TR * i, rows), pl.ds(2 * TC * j, cols)],
-            xt, sem)
-        dma.start()
-        dma.wait()
-        x = xt[:]
-        # pass 1: along rows (sublanes), keeping the column halo.  The
-        # separable passes commute, so running the row axis first is
-        # equivalent to the reference's column-first order.
-        tlo, thi = _fir_decim_sub(x, taps_lo, taps_hi, TR)     # (TR, cols)
-        # pass 2: columns -> transpose so the FIR runs on sublanes.
-        # H = highpass along rows = hi row-pass + lo col-pass.
-        a_t, v_t = _fir_decim_sub(tlo.T, taps_lo, taps_hi, TC)  # (TC, TR)
-        h_t, d_t = _fir_decim_sub(thi.T, taps_lo, taps_hi, TC)
-        a_ref[0] = a_t.T
-        h_ref[0] = h_t.T
-        v_ref[0] = v_t.T
-        d_ref[0] = d_t.T
+        t = (b * GI + i) * GJ + j
+
+        # double-buffered input pipeline: tile t was prefetched at step
+        # t-1 (t=0 fetches synchronously); tile t+1 starts now and lands
+        # while this tile computes.
+        @pl.when(t == 0)
+        def _():
+            copy_for(xp_hbm, xt2, sems, t).start()
+
+        @pl.when(t + 1 < nsteps)
+        def _():
+            copy_for(xp_hbm, xt2, sems, t + 1).start()
+
+        copy_for(xp_hbm, xt2, sems, t).wait()
+
+        def compute(x):
+            # pass 1: along rows (sublanes), keeping the column halo.
+            # The separable passes commute, so running the row axis
+            # first is equivalent to the reference's column-first order.
+            tlo, thi = _fir_decim_sub(x, taps_lo, taps_hi, TR)  # (TR, cols)
+            # pass 2: columns -> transpose so the FIR runs on sublanes.
+            # H = highpass along rows = hi row-pass + lo col-pass.
+            a_t, v_t = _fir_decim_sub(tlo.T, taps_lo, taps_hi, TC)
+            h_t, d_t = _fir_decim_sub(thi.T, taps_lo, taps_hi, TC)
+            a_ref[0] = a_t.T
+            h_ref[0] = h_t.T
+            v_ref[0] = v_t.T
+            d_ref[0] = d_t.T
+
+        # static slot indices: dynamic VMEM addressing taxes every FIR
+        # slice, so the body is instantiated per slot under pl.when.
+        slot = t % 2
+
+        @pl.when(slot == 0)
+        def _():
+            compute(xt2[0])
+
+        @pl.when(slot == 1)
+        def _():
+            compute(xt2[1])
 
     return kernel, rows, cols
 
@@ -200,19 +255,21 @@ def _fwd_call(xp, taps, hlen, tiles, mshape):
     TR, TC = tiles
     B = xp.shape[0]
     mr, mc = mshape
-    kernel, rows, cols = _make_fwd_kernel(taps_lo, taps_hi, hlen, TR, TC)
+    grid = (B, mr // TR, mc // TC)
+    kernel, rows, cols = _make_fwd_kernel(taps_lo, taps_hi, hlen, TR, TC,
+                                          grid)
     out_spec = pl.BlockSpec((1, TR, TC), lambda b, i, j: (b, i, j),
                             memory_space=pltpu.VMEM)
     shape = jax.ShapeDtypeStruct((B, mr, mc), xp.dtype)
     return pl.pallas_call(
         kernel,
-        grid=(B, mr // TR, mc // TC),
+        grid=grid,
         out_shape=(shape, shape, shape, shape),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
         out_specs=(out_spec, out_spec, out_spec, out_spec),
         scratch_shapes=[
-            pltpu.VMEM((rows, cols), xp.dtype),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((2, rows, cols), xp.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=_INTERPRET(),
     )(xp)
@@ -276,31 +333,61 @@ def fwd_level_2d(x: jnp.ndarray, dec_lo: np.ndarray, dec_hi: np.ndarray):
 # inverse level
 # ---------------------------------------------------------------------------
 
-def _make_inv_kernel(taps_lo, taps_hi, hlen, TR, TC, pad):
+def _make_inv_kernel(taps_lo, taps_hi, hlen, TR, TC, pad, grid):
     lo_pad, hi_pad = pad
+    B, GI, GJ = grid
+    nsteps = B * GI * GJ
     rows = _ceil_to(TR + lo_pad + hi_pad, 8)
     cols = _ceil_to(TC + lo_pad + hi_pad, 128)
+
+    def copies_for(srcs, tiles, sems, t):
+        b, i, j = _decode3(t, GI, GJ)
+        slot = t % 2
+        return [
+            pltpu.make_async_copy(
+                src.at[b, pl.ds(TR * i, rows), pl.ds(TC * j, cols)],
+                tile.at[slot], sems.at[slot, idx])
+            for idx, (src, tile) in enumerate(zip(srcs, tiles))
+        ]
 
     def kernel(a_hbm, h_hbm, v_hbm, d_hbm, out_ref, at, ht, vt, dt, sems):
         b = pl.program_id(0)
         i = pl.program_id(1)
         j = pl.program_id(2)
-        copies = []
-        for idx, (src, dst) in enumerate(
-                ((a_hbm, at), (h_hbm, ht), (v_hbm, vt), (d_hbm, dt))):
-            dma = pltpu.make_async_copy(
-                src.at[b, pl.ds(TR * i, rows), pl.ds(TC * j, cols)],
-                dst, sems.at[idx])
-            dma.start()
-            copies.append(dma)
-        for dma in copies:
+        t = (b * GI + i) * GJ + j
+        srcs = (a_hbm, h_hbm, v_hbm, d_hbm)
+        tiles = (at, ht, vt, dt)
+
+        @pl.when(t == 0)
+        def _():
+            for dma in copies_for(srcs, tiles, sems, t):
+                dma.start()
+
+        @pl.when(t + 1 < nsteps)
+        def _():
+            for dma in copies_for(srcs, tiles, sems, t + 1):
+                dma.start()
+
+        for dma in copies_for(srcs, tiles, sems, t):
             dma.wait()
-        # pass 1: rows (sublanes), column halo kept: (2TR, cols)
-        t1 = _fir_synth_sub(at[:], ht[:], taps_lo, taps_hi, TR)
-        t2 = _fir_synth_sub(vt[:], dt[:], taps_lo, taps_hi, TR)
-        # pass 2: columns via transpose: (2TC, 2TR) -> out (2TR, 2TC)
-        out_t = _fir_synth_sub(t1.T, t2.T, taps_lo, taps_hi, TC)
-        out_ref[0] = out_t.T
+
+        def compute(s):
+            # pass 1: rows (sublanes), column halo kept: (2TR, cols)
+            t1 = _fir_synth_sub(at[s], ht[s], taps_lo, taps_hi, TR)
+            t2 = _fir_synth_sub(vt[s], dt[s], taps_lo, taps_hi, TR)
+            # pass 2: columns via transpose: (2TC, 2TR) -> out (2TR, 2TC)
+            out_t = _fir_synth_sub(t1.T, t2.T, taps_lo, taps_hi, TC)
+            out_ref[0] = out_t.T
+
+        slot = t % 2
+
+        @pl.when(slot == 0)
+        def _():
+            compute(0)
+
+        @pl.when(slot == 1)
+        def _():
+            compute(1)
 
     return kernel, rows, cols
 
@@ -313,20 +400,21 @@ def _inv_call(ap, hp, vp, dp, taps, hlen, tiles, pad, mshape):
     lo_pad, hi_pad = pad
     B = ap.shape[0]
     mr, mc = mshape
+    grid = (B, mr // TR, mc // TC)
     kernel, rows, cols = _make_inv_kernel(taps_lo, taps_hi, hlen, TR, TC,
-                                          pad)
+                                          pad, grid)
     out_spec = pl.BlockSpec((1, 2 * TR, 2 * TC), lambda b, i, j: (b, i, j),
                             memory_space=pltpu.VMEM)
     shape = jax.ShapeDtypeStruct((B, 2 * mr, 2 * mc), ap.dtype)
-    tile = lambda: pltpu.VMEM((rows, cols), ap.dtype)
+    tile = lambda: pltpu.VMEM((2, rows, cols), ap.dtype)
     return pl.pallas_call(
         kernel,
-        grid=(B, mr // TR, mc // TC),
+        grid=grid,
         out_shape=shape,
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 4,
         out_specs=out_spec,
         scratch_shapes=[tile(), tile(), tile(), tile(),
-                        pltpu.SemaphoreType.DMA((4,))],
+                        pltpu.SemaphoreType.DMA((2, 4))],
         interpret=_INTERPRET(),
     )(ap, hp, vp, dp)
 
@@ -387,6 +475,198 @@ def inv_level_2d(a, h, v, d, rec_lo: np.ndarray, rec_hi: np.ndarray):
 
 
 # ---------------------------------------------------------------------------
+# trailing-level fusion: once the approximation fits in VMEM, every
+# remaining level runs inside ONE kernel invocation — periodic wrap
+# becomes a value concatenate, there is no XLA pad, no per-level
+# dispatch, and no tile-divisibility constraint (so the 64^2-and-below
+# levels that used to fall back to the fma path stay fused).  The
+# reference launches 2 kernels + an HBM round-trip per level regardless
+# of size (reference: src/separable.cu:199-207).
+# ---------------------------------------------------------------------------
+
+_TAIL_BUDGET = 9 * 1024 * 1024
+
+
+def _tail_supported(shape: Tuple[int, int], hlen: int, levels: int) -> bool:
+    r, c = shape
+    if hlen % 2 or levels < 1:
+        return False
+    if r % (1 << levels) or c % (1 << levels):
+        return False
+    if r % 8 or c % 128 or r < 8 or c < 128:
+        return False  # whole-image DMA window must be tile-aligned
+    est = (r + hlen + 8) * c * 4 * (hlen // 2 + 8)
+    return est <= _TAIL_BUDGET
+
+
+def _wrap_sub(x, lo: int, hi: int):
+    """Periodic extension along axis 0 as a value concatenate."""
+    parts = []
+    if lo:
+        parts.append(x[x.shape[0] - lo:, :])
+    parts.append(x)
+    if hi:
+        parts.append(x[:hi, :])
+    return jnp.concatenate(parts, axis=0) if len(parts) > 1 else x
+
+
+def _make_tail_fwd_kernel(taps_lo, taps_hi, hlen, shape, levels):
+    R, C = shape
+    cen = conv.fwd_center(hlen)
+    hi_ext = hlen - 2 - cen
+
+    def kernel(x_hbm, *refs):
+        a_ref = refs[0]
+        det_refs = refs[1:3 * levels + 1]
+        xt, sem = refs[3 * levels + 1], refs[3 * levels + 2]
+        b = pl.program_id(0)
+        dma = pltpu.make_async_copy(x_hbm.at[b], xt, sem)
+        dma.start()
+        dma.wait()
+        a = xt[:]
+        for lvl in range(levels):
+            r, c = a.shape
+            u = _wrap_sub(a, cen, hi_ext)
+            tlo, thi = _fir_decim_sub(u, taps_lo, taps_hi, r // 2)
+            ul = _wrap_sub(tlo.T, cen, hi_ext)
+            uh = _wrap_sub(thi.T, cen, hi_ext)
+            a_t, v_t = _fir_decim_sub(ul, taps_lo, taps_hi, c // 2)
+            h_t, d_t = _fir_decim_sub(uh, taps_lo, taps_hi, c // 2)
+            det_refs[3 * lvl][0] = h_t.T
+            det_refs[3 * lvl + 1][0] = v_t.T
+            det_refs[3 * lvl + 2][0] = d_t.T
+            a = a_t.T
+        a_ref[0] = a
+
+    return kernel
+
+
+def fwd_tail_2d(x: jnp.ndarray, dec_lo, dec_hi, levels: int):
+    """All remaining `levels` on a VMEM-resident (B, R, C) approx in one
+    kernel.  Returns (a, [(h, v, d), ...]) or None if unsupported."""
+    B, R, C = x.shape
+    hlen = len(dec_lo)
+    if x.dtype != jnp.float32 or not _tail_supported((R, C), hlen, levels):
+        return None
+    return _tail_fwd_call(x, (_taps(dec_lo), _taps(dec_hi)), hlen, levels)
+
+
+@functools.partial(jax.jit, static_argnames=("taps", "hlen", "levels"))
+def _tail_fwd_call(x, taps, hlen, levels):
+    taps_lo, taps_hi = taps
+    B, R, C = x.shape
+    kernel = _make_tail_fwd_kernel(taps_lo, taps_hi, hlen, (R, C), levels)
+    out_shapes = [jax.ShapeDtypeStruct((B, R >> levels, C >> levels),
+                                       x.dtype)]
+    out_specs = [pl.BlockSpec((1, R >> levels, C >> levels),
+                              lambda b: (b, 0, 0), memory_space=pltpu.VMEM)]
+    for lvl in range(1, levels + 1):
+        shp = (B, R >> lvl, C >> lvl)
+        spec = pl.BlockSpec((1, R >> lvl, C >> lvl), lambda b: (b, 0, 0),
+                            memory_space=pltpu.VMEM)
+        for _ in range(3):
+            out_shapes.append(jax.ShapeDtypeStruct(shp, x.dtype))
+            out_specs.append(spec)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(B,),
+        out_shape=tuple(out_shapes),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=tuple(out_specs),
+        scratch_shapes=[pltpu.VMEM((R, C), x.dtype),
+                        pltpu.SemaphoreType.DMA(())],
+        interpret=_INTERPRET(),
+    )(x)
+    a = outs[0]
+    details = [tuple(outs[1 + 3 * k:4 + 3 * k]) for k in range(levels)]
+    return a, details
+
+
+def _make_tail_inv_kernel(taps_lo, taps_hi, hlen, levels, batch):
+    # The subbands are too small for sliced DMA windows (lane dims drop
+    # under 128), so the whole (B, m, m') arrays are copied in one go
+    # and the batch loop is unrolled in the kernel body.
+    _, _, lo_pad, hi_pad = _poly_geometry(hlen)
+
+    def kernel(*refs):
+        # inputs: a, (h, v, d) x levels (deepest first); output: image
+        srcs = refs[:3 * levels + 1]
+        out_ref = refs[3 * levels + 1]
+        tiles = refs[3 * levels + 2:6 * levels + 3]
+        sems = refs[6 * levels + 3]
+        copies = [pltpu.make_async_copy(src, tile, sems.at[k])
+                  for k, (src, tile) in enumerate(zip(srcs, tiles))]
+        for dma in copies:
+            dma.start()
+        for dma in copies:
+            dma.wait()
+        for b in range(batch):
+            a = tiles[0][b]
+            for lvl in range(levels):  # deepest first
+                h = tiles[1 + 3 * lvl][b]
+                v = tiles[2 + 3 * lvl][b]
+                d = tiles[3 + 3 * lvl][b]
+                m_r, m_c = a.shape
+                ua = _wrap_sub(a, lo_pad, hi_pad)
+                uh = _wrap_sub(h, lo_pad, hi_pad)
+                uv = _wrap_sub(v, lo_pad, hi_pad)
+                ud = _wrap_sub(d, lo_pad, hi_pad)
+                t1 = _fir_synth_sub(ua, uh, taps_lo, taps_hi, m_r)
+                t2 = _fir_synth_sub(uv, ud, taps_lo, taps_hi, m_r)
+                u1 = _wrap_sub(t1.T, lo_pad, hi_pad)
+                u2 = _wrap_sub(t2.T, lo_pad, hi_pad)
+                out_t = _fir_synth_sub(u1, u2, taps_lo, taps_hi, m_c)
+                a = out_t.T
+            out_ref[b] = a
+
+    return kernel
+
+
+def inv_tail_2d(a: jnp.ndarray, details, rec_lo, rec_hi):
+    """Inverse of fwd_tail_2d: a (B, m, m') + details (deepest-first list
+    of (h, v, d)) -> (B, m<<levels, m'<<levels); None if unsupported."""
+    levels = len(details)
+    B, mr, mc = a.shape
+    hlen = len(rec_lo)
+    if a.dtype != jnp.float32:
+        return None
+    R, C = mr << levels, mc << levels
+    # whole-array DMA: the batch rides along, so it scales the budget
+    if not _tail_supported((R, C), hlen, levels) or \
+            B * (R + hlen + 8) * C * 4 * (hlen // 2 + 8) > _TAIL_BUDGET:
+        return None
+    flat = []
+    for (h, v, d) in details:
+        flat.extend((h, v, d))
+    return _tail_inv_call(a, tuple(flat), (_taps(rec_lo), _taps(rec_hi)),
+                          hlen, levels)
+
+
+@functools.partial(jax.jit, static_argnames=("taps", "hlen", "levels"))
+def _tail_inv_call(a, flat_details, taps, hlen, levels):
+    taps_lo, taps_hi = taps
+    B, mr, mc = a.shape
+    R, C = mr << levels, mc << levels
+    kernel = _make_tail_inv_kernel(taps_lo, taps_hi, hlen, levels, B)
+    scratch = [pltpu.VMEM((B, mr, mc), a.dtype)]
+    for lvl in range(levels):
+        for _ in range(3):
+            scratch.append(pltpu.VMEM((B, mr << lvl, mc << lvl), a.dtype))
+    scratch.append(pltpu.SemaphoreType.DMA((3 * levels + 1,)))
+    out = pl.pallas_call(
+        kernel,
+        grid=(1,),
+        out_shape=jax.ShapeDtypeStruct((B, R, C), a.dtype),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * (3 * levels + 1),
+        out_specs=pl.BlockSpec((B, R, C), lambda i: (0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=scratch,
+        interpret=_INTERPRET(),
+    )(a, *flat_details)
+    return out
+
+
+# ---------------------------------------------------------------------------
 # autodiff: the transforms are linear; the adjoint of the decimated
 # analysis with filters f is the (stuff-free polyphase) synthesis with
 # taps f[::-1] — for even hlen the synthesis shift inv_shift(hlen) ==
@@ -437,6 +717,65 @@ def _inv2d_bwd(rec_lo_t, rec_hi_t, _, ct):
 
 
 inv_level_2d_ad.defvjp(_inv2d_fwd, _inv2d_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def fwd_tail_2d_ad(x, dec_lo_t, dec_hi_t, levels):
+    return fwd_tail_2d(x, np.asarray(dec_lo_t), np.asarray(dec_hi_t),
+                       levels)
+
+
+def _tail_fwd_fwd(x, dec_lo_t, dec_hi_t, levels):
+    return fwd_tail_2d_ad(x, dec_lo_t, dec_hi_t, levels), None
+
+
+def _tail_fwd_bwd(dec_lo_t, dec_hi_t, levels, _, ct):
+    ct_a, ct_details = ct
+    lo_r = np.asarray(dec_lo_t)[::-1]
+    hi_r = np.asarray(dec_hi_t)[::-1]
+    # adjoint of the fused analysis = fused synthesis with reversed taps
+    dets = list(reversed(list(ct_details)))  # deepest first
+    y = inv_tail_2d(ct_a, dets, lo_r, hi_r)
+    if y is None:
+        a = ct_a
+        for (h, v, d) in dets:
+            a = _fma_inv_level(a, h, v, d, lo_r, hi_r)
+        y = a
+    return (y,)
+
+
+fwd_tail_2d_ad.defvjp(_tail_fwd_fwd, _tail_fwd_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def inv_tail_2d_ad(a, flat_details, rec_lo_t, rec_hi_t, levels):
+    dets = [tuple(flat_details[3 * k:3 * k + 3]) for k in range(levels)]
+    return inv_tail_2d(a, dets, np.asarray(rec_lo_t), np.asarray(rec_hi_t))
+
+
+def _tail_inv_fwd(a, flat_details, rec_lo_t, rec_hi_t, levels):
+    return inv_tail_2d_ad(a, flat_details, rec_lo_t, rec_hi_t, levels), None
+
+
+def _tail_inv_bwd(rec_lo_t, rec_hi_t, levels, _, ct):
+    lo_r = np.asarray(rec_lo_t)[::-1]
+    hi_r = np.asarray(rec_hi_t)[::-1]
+    res = fwd_tail_2d(ct, lo_r, hi_r, levels)
+    if res is None:
+        a, dets = ct, []
+        for _ in range(levels):
+            r = _fma_fwd_level(a, lo_r, hi_r)
+            a = r[0]
+            dets.append((r[1], r[2], r[3]))
+        res = a, dets
+    a_ct, det_ct = res
+    flat = []
+    for (h, v, d) in reversed(det_ct):  # back to deepest-first
+        flat.extend((h, v, d))
+    return a_ct, tuple(flat)
+
+
+inv_tail_2d_ad.defvjp(_tail_inv_fwd, _tail_inv_bwd)
 
 
 def _fma_fwd_level(x, lo, hi):

@@ -38,15 +38,18 @@ from .separable_pallas import (
 
 
 def _fir_atrous_sub(x, taps_lo, taps_hi, n_out, f):
-    """Dual à-trous FIR along axis 0: out[m] = sum_j t[j] * x[m + f*j]."""
-    def run(taps):
-        acc = None
-        for j, t in enumerate(taps):
-            term = t * x[f * j:f * j + n_out, :]
-            acc = term if acc is None else acc + term
-        return acc
+    """Dual à-trous FIR along axis 0: out[m] = sum_j t[j] * x[m + f*j].
 
-    return run(taps_lo), run(taps_hi)
+    The shifted window is formed once per tap and shared by both
+    filters (the vreg-shift per misaligned slice dominates the FMA)."""
+    acc_lo = acc_hi = None
+    for j in range(len(taps_lo)):
+        sl = x[f * j:f * j + n_out, :]
+        tl = taps_lo[j] * sl
+        th = taps_hi[j] * sl
+        acc_lo = tl if acc_lo is None else acc_lo + tl
+        acc_hi = th if acc_hi is None else acc_hi + th
+    return acc_lo, acc_hi
 
 
 def _fir_atrous_pair_sub(lo_band, hi_band, taps_lo, taps_hi, n_out, f):
@@ -82,27 +85,56 @@ def _swt_tiles(nr: int, nc: int, hlen: int, f: int):
 # SWT forward level
 # ---------------------------------------------------------------------------
 
-def _make_swt_fwd_kernel(taps_lo, taps_hi, hlen, f, TR, TC):
+def _make_swt_fwd_kernel(taps_lo, taps_hi, hlen, f, TR, TC, grid):
+    from .separable_pallas import _decode3
+
     span = (hlen - 1) * f
+    B, GI, GJ = grid
+    nsteps = B * GI * GJ
     rows = _ceil_to(TR + span, 8)
     cols = _ceil_to(TC + span, 128)
 
-    def kernel(xp_hbm, a_ref, h_ref, v_ref, d_ref, xt, sem):
+    def copy_for(xp_hbm, xt2, sems, t):
+        b, i, j = _decode3(t, GI, GJ)
+        slot = t % 2
+        return pltpu.make_async_copy(
+            xp_hbm.at[b, pl.ds(TR * i, rows), pl.ds(TC * j, cols)],
+            xt2.at[slot], sems.at[slot])
+
+    def kernel(xp_hbm, a_ref, h_ref, v_ref, d_ref, xt2, sems):
         b = pl.program_id(0)
         i = pl.program_id(1)
         j = pl.program_id(2)
-        dma = pltpu.make_async_copy(
-            xp_hbm.at[b, pl.ds(TR * i, rows), pl.ds(TC * j, cols)], xt, sem)
-        dma.start()
-        dma.wait()
-        x = xt[:]
-        tlo, thi = _fir_atrous_sub(x, taps_lo, taps_hi, TR, f)
-        a_t, v_t = _fir_atrous_sub(tlo.T, taps_lo, taps_hi, TC, f)
-        h_t, d_t = _fir_atrous_sub(thi.T, taps_lo, taps_hi, TC, f)
-        a_ref[0] = a_t.T
-        h_ref[0] = h_t.T
-        v_ref[0] = v_t.T
-        d_ref[0] = d_t.T
+        t = (b * GI + i) * GJ + j
+
+        @pl.when(t == 0)
+        def _():
+            copy_for(xp_hbm, xt2, sems, t).start()
+
+        @pl.when(t + 1 < nsteps)
+        def _():
+            copy_for(xp_hbm, xt2, sems, t + 1).start()
+
+        copy_for(xp_hbm, xt2, sems, t).wait()
+
+        def compute(x):
+            tlo, thi = _fir_atrous_sub(x, taps_lo, taps_hi, TR, f)
+            a_t, v_t = _fir_atrous_sub(tlo.T, taps_lo, taps_hi, TC, f)
+            h_t, d_t = _fir_atrous_sub(thi.T, taps_lo, taps_hi, TC, f)
+            a_ref[0] = a_t.T
+            h_ref[0] = h_t.T
+            v_ref[0] = v_t.T
+            d_ref[0] = d_t.T
+
+        slot = t % 2
+
+        @pl.when(slot == 0)
+        def _():
+            compute(xt2[0])
+
+        @pl.when(slot == 1)
+        def _():
+            compute(xt2[1])
 
     return kernel, rows, cols
 
@@ -114,19 +146,20 @@ def _swt_fwd_call(xp, taps, hlen, f, tiles, nshape):
     TR, TC = tiles
     B = xp.shape[0]
     nr, nc = nshape
+    grid = (B, nr // TR, nc // TC)
     kernel, rows, cols = _make_swt_fwd_kernel(taps_lo, taps_hi, hlen, f,
-                                              TR, TC)
+                                              TR, TC, grid)
     out_spec = pl.BlockSpec((1, TR, TC), lambda b, i, j: (b, i, j),
                             memory_space=pltpu.VMEM)
     shape = jax.ShapeDtypeStruct((B, nr, nc), xp.dtype)
     return pl.pallas_call(
         kernel,
-        grid=(B, nr // TR, nc // TC),
+        grid=grid,
         out_shape=(shape, shape, shape, shape),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
         out_specs=(out_spec, out_spec, out_spec, out_spec),
-        scratch_shapes=[pltpu.VMEM((rows, cols), xp.dtype),
-                        pltpu.SemaphoreType.DMA(())],
+        scratch_shapes=[pltpu.VMEM((2, rows, cols), xp.dtype),
+                        pltpu.SemaphoreType.DMA((2,))],
         interpret=_INTERPRET(),
     )(xp)
 
@@ -159,61 +192,128 @@ def swt_fwd_level_2d(x, dec_lo, dec_hi, level: int):
 # SWT inverse level
 # ---------------------------------------------------------------------------
 
-def _make_swt_inv_kernel(taps_lo, taps_hi, hlen, f, TR, TC):
+def _thresh_tile(x, mode, beta):
+    if mode == "soft":
+        return jnp.sign(x) * jnp.maximum(jnp.abs(x) - beta, 0.0)
+    if mode == "hard":
+        return jnp.where(jnp.abs(x) > beta, x, 0.0)
+    raise ValueError(mode)
+
+
+def _make_swt_inv_kernel(taps_lo, taps_hi, hlen, f, TR, TC, grid,
+                         thresh_mode):
+    from .separable_pallas import _decode3
+
     span = (hlen - 1) * f
+    B, GI, GJ = grid
+    nsteps = B * GI * GJ
     rows = _ceil_to(TR + span, 8)
     cols = _ceil_to(TC + span, 128)
 
-    def kernel(a_hbm, h_hbm, v_hbm, d_hbm, out_ref, at, ht, vt, dt, sems):
+    def copies_for(srcs, tiles, sems, t):
+        b, i, j = _decode3(t, GI, GJ)
+        slot = t % 2
+        return [
+            pltpu.make_async_copy(
+                src.at[b, pl.ds(TR * i, rows), pl.ds(TC * j, cols)],
+                tile.at[slot], sems.at[slot, idx])
+            for idx, (src, tile) in enumerate(zip(srcs, tiles))
+        ]
+
+    def kernel(*refs):
+        if thresh_mode is not None:
+            beta_ref = refs[0]
+            refs = refs[1:]
+        a_hbm, h_hbm, v_hbm, d_hbm, out_ref, at, ht, vt, dt, sems = refs
         b = pl.program_id(0)
         i = pl.program_id(1)
         j = pl.program_id(2)
-        copies = []
-        for idx, (src, dst) in enumerate(
-                ((a_hbm, at), (h_hbm, ht), (v_hbm, vt), (d_hbm, dt))):
-            dma = pltpu.make_async_copy(
-                src.at[b, pl.ds(TR * i, rows), pl.ds(TC * j, cols)],
-                dst, sems.at[idx])
-            dma.start()
-            copies.append(dma)
-        for dma in copies:
+        t = (b * GI + i) * GJ + j
+        srcs = (a_hbm, h_hbm, v_hbm, d_hbm)
+        tiles = (at, ht, vt, dt)
+
+        @pl.when(t == 0)
+        def _():
+            for dma in copies_for(srcs, tiles, sems, t):
+                dma.start()
+
+        @pl.when(t + 1 < nsteps)
+        def _():
+            for dma in copies_for(srcs, tiles, sems, t + 1):
+                dma.start()
+
+        for dma in copies_for(srcs, tiles, sems, t):
             dma.wait()
-        t1 = _fir_atrous_pair_sub(at[:], ht[:], taps_lo, taps_hi, TR, f)
-        t2 = _fir_atrous_pair_sub(vt[:], dt[:], taps_lo, taps_hi, TR, f)
-        out_t = _fir_atrous_pair_sub(t1.T, t2.T, taps_lo, taps_hi, TC, f)
-        out_ref[0] = out_t.T
+
+        def compute(s):
+            a, h, v, d = at[s], ht[s], vt[s], dt[s]
+            if thresh_mode is not None:
+                # fused detail threshold: the separate elementwise pass
+                # over 3 full-size subbands per level (and its HBM
+                # round-trip) disappears into the tile read.
+                bval = beta_ref[0]
+                h = _thresh_tile(h, thresh_mode, bval)
+                v = _thresh_tile(v, thresh_mode, bval)
+                d = _thresh_tile(d, thresh_mode, bval)
+            t1 = _fir_atrous_pair_sub(a, h, taps_lo, taps_hi, TR, f)
+            t2 = _fir_atrous_pair_sub(v, d, taps_lo, taps_hi, TR, f)
+            out_t = _fir_atrous_pair_sub(t1.T, t2.T, taps_lo, taps_hi,
+                                         TC, f)
+            out_ref[0] = out_t.T
+
+        slot = t % 2
+
+        @pl.when(slot == 0)
+        def _():
+            compute(0)
+
+        @pl.when(slot == 1)
+        def _():
+            compute(1)
 
     return kernel, rows, cols
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("taps", "hlen", "f", "tiles", "nshape"))
-def _swt_inv_call(ap, hp, vp, dp, taps, hlen, f, tiles, nshape):
+                   static_argnames=("taps", "hlen", "f", "tiles", "nshape",
+                                    "thresh_mode"))
+def _swt_inv_call(ap, hp, vp, dp, taps, hlen, f, tiles, nshape,
+                  thresh_mode=None, beta=None):
     taps_lo, taps_hi = taps
     TR, TC = tiles
     B = ap.shape[0]
     nr, nc = nshape
+    grid = (B, nr // TR, nc // TC)
     kernel, rows, cols = _make_swt_inv_kernel(taps_lo, taps_hi, hlen, f,
-                                              TR, TC)
+                                              TR, TC, grid, thresh_mode)
     out_spec = pl.BlockSpec((1, TR, TC), lambda b, i, j: (b, i, j),
                             memory_space=pltpu.VMEM)
     shape = jax.ShapeDtypeStruct((B, nr, nc), ap.dtype)
-    tile = lambda: pltpu.VMEM((rows, cols), ap.dtype)
+    tile = lambda: pltpu.VMEM((2, rows, cols), ap.dtype)
+    in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)] * 4
+    args = (ap, hp, vp, dp)
+    if thresh_mode is not None:
+        in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] + in_specs
+        args = (jnp.asarray(beta, ap.dtype).reshape(1),) + args
     return pl.pallas_call(
         kernel,
-        grid=(B, nr // TR, nc // TC),
+        grid=grid,
         out_shape=shape,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 4,
+        in_specs=in_specs,
         out_specs=out_spec,
         scratch_shapes=[tile(), tile(), tile(), tile(),
-                        pltpu.SemaphoreType.DMA((4,))],
+                        pltpu.SemaphoreType.DMA((2, 4))],
         interpret=_INTERPRET(),
-    )(ap, hp, vp, dp)
+    )(*args)
 
 
-def swt_inv_level_2d(a, h, v, d, rec_lo, rec_hi, level: int):
+def swt_inv_level_2d(a, h, v, d, rec_lo, rec_hi, level: int,
+                     threshold=None):
     """One à-trous inverse level (1/2-per-pass normalization included);
-    None if unsupported."""
+    None if unsupported.  ``threshold=("soft"|"hard", beta)`` fuses the
+    detail threshold into the tile read (beta may be traced); note the
+    fused form is NOT differentiable — use the _ad wrapper without
+    threshold for gradients."""
     B, r, c = a.shape
     hlen = len(rec_lo)
     f = 1 << (level - 1)
@@ -235,8 +335,9 @@ def swt_inv_level_2d(a, h, v, d, rec_lo, rec_hi, level: int):
         return conv.wrap_pad(arr, -2, cen, hi_r)
 
     taps = (_taps(np.asarray(rec_lo) * 0.5), _taps(np.asarray(rec_hi) * 0.5))
+    mode, beta = (None, None) if threshold is None else threshold
     return _swt_inv_call(pad2(a), pad2(h), pad2(v), pad2(d), taps, hlen, f,
-                         (TR, TC), (r, c))
+                         (TR, TC), (r, c), thresh_mode=mode, beta=beta)
 
 
 # ---------------------------------------------------------------------------
@@ -767,3 +868,102 @@ def swt_inv_level_2d_padded(ap, hp, vp, dp, rec_lo, rec_hi, level: int,
     TR, TC = _swt_tiles(nr, nc, hlen, f)
     taps = (_taps(np.asarray(rec_lo) * 0.5), _taps(np.asarray(rec_hi) * 0.5))
     return _swt_inv_call(ap, hp, vp, dp, taps, hlen, f, (TR, TC), (nr, nc))
+
+
+# ---------------------------------------------------------------------------
+# padded 1D entry points for the distributed engine — mirrors the 2D
+# fwd/inv_geometry + *_padded pairs: the sharded path ring-halo-exchanges
+# exactly these amounts along the signal axis and calls the kernels on
+# pre-padded local shards (reference batched-1D: src/separable.cu:213-236,
+# 366-395, 519-537, 653-672).
+# ---------------------------------------------------------------------------
+
+def fwd1d_geometry(bsz: int, n: int, hlen: int):
+    """(lo, hi) signal-axis padding the 1D forward kernel expects, or
+    None if unsupported (tile pick depends on the local batch size)."""
+    if hlen % 2 or n % 2:
+        return None
+    m = n // 2
+    tiles = _tiles_1d(bsz, m, hlen,
+                      lambda tc: _ceil_to(2 * tc + hlen - 2, 128))
+    if tiles is None:
+        return None
+    _, TC = tiles
+    cols_al = _ceil_to(2 * TC + hlen - 2, 128)
+    cen = conv.fwd_center(hlen)
+    return cen, (n - 2 * TC + cols_al) - n - cen
+
+
+def fwd_level_1d_padded(xp, dec_lo, dec_hi, m: int):
+    hlen = len(dec_lo)
+    B = xp.shape[0]
+    tiles = _tiles_1d(B, m, hlen,
+                      lambda tc: _ceil_to(2 * tc + hlen - 2, 128))
+    return _fwd1d_call(xp, (_taps(dec_lo), _taps(dec_hi)), hlen, tiles, m)
+
+
+def inv1d_geometry(bsz: int, m: int, hlen: int):
+    if hlen % 2:
+        return None
+    _, _, lo_pad, hi_pad = _poly_geometry(hlen)
+    tiles = _tiles_1d(bsz, m, hlen,
+                      lambda tc: _ceil_to(tc + lo_pad + hi_pad, 128))
+    if tiles is None:
+        return None
+    _, TC = tiles
+    cols_al = _ceil_to(TC + lo_pad + hi_pad, 128)
+    return lo_pad, (m - TC + cols_al) - m - lo_pad
+
+
+def inv_level_1d_padded(lp, hp, rec_lo, rec_hi, m: int):
+    hlen = len(rec_lo)
+    B = lp.shape[0]
+    _, _, lo_pad, hi_pad = _poly_geometry(hlen)
+    tiles = _tiles_1d(B, m, hlen,
+                      lambda tc: _ceil_to(tc + lo_pad + hi_pad, 128))
+    return _inv1d_call(lp, hp, (_taps(rec_lo), _taps(rec_hi)), hlen, tiles,
+                       (lo_pad, hi_pad), m)
+
+
+def swt1d_fwd_geometry(bsz: int, n: int, hlen: int, level: int):
+    f = 1 << (level - 1)
+    span = (hlen - 1) * f
+    tiles = _tiles_1d(bsz, n, hlen, lambda tc: _ceil_to(tc + span, 128))
+    if tiles is None:
+        return None
+    _, TC = tiles
+    cols_al = _ceil_to(TC + span, 128)
+    cen = conv.fwd_center(hlen) * f
+    return cen, (n - TC + cols_al) - n - cen
+
+
+def swt_fwd_level_1d_padded(xp, dec_lo, dec_hi, level: int, n: int):
+    hlen = len(dec_lo)
+    f = 1 << (level - 1)
+    B = xp.shape[0]
+    span = (hlen - 1) * f
+    tiles = _tiles_1d(B, n, hlen, lambda tc: _ceil_to(tc + span, 128))
+    return _swt1d_fwd_call(xp, (_taps(dec_lo), _taps(dec_hi)), hlen, f,
+                           tiles, n)
+
+
+def swt1d_inv_geometry(bsz: int, n: int, hlen: int, level: int):
+    f = 1 << (level - 1)
+    span = (hlen - 1) * f
+    tiles = _tiles_1d(bsz, n, hlen, lambda tc: _ceil_to(tc + span, 128))
+    if tiles is None:
+        return None
+    _, TC = tiles
+    cols_al = _ceil_to(TC + span, 128)
+    cen = (hlen // 2) * f
+    return cen, (n - TC + cols_al) - n - cen
+
+
+def swt_inv_level_1d_padded(lp, hp, rec_lo, rec_hi, level: int, n: int):
+    hlen = len(rec_lo)
+    f = 1 << (level - 1)
+    B = lp.shape[0]
+    span = (hlen - 1) * f
+    tiles = _tiles_1d(B, n, hlen, lambda tc: _ceil_to(tc + span, 128))
+    taps = (_taps(np.asarray(rec_lo) * 0.5), _taps(np.asarray(rec_hi) * 0.5))
+    return _swt1d_inv_call(lp, hp, taps, hlen, f, tiles, n)

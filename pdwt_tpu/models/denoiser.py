@@ -67,13 +67,25 @@ def denoise_step(
         img = jnp.roll(img, shift=(sr, sc), axis=(-2, -1))
     if swt:
         coeffs = sep_core.swt2d(img, wav, levels, backend=backend)
+        if mode in ("soft", "hard"):
+            # fused fast path: the detail threshold happens inside the
+            # synthesis kernels' tile reads and the norm is computed
+            # from the UN-thresholded coefficients by the identity
+            # norm1(soft(x, b)) = sum max(|x|-b, 0) — the thresholded
+            # pytree never touches HBM.
+            n1 = ops.thresholded_norm1(coeffs, beta, mode=mode,
+                                       normalize=normalize)
+            out = sep_core.iswt2d_denoise(coeffs, wav, beta, mode=mode,
+                                          normalize=normalize,
+                                          backend=backend)
+        else:
+            coeffs = _THRESH[mode](coeffs, beta, normalize=normalize)
+            n1 = ops.norm1(coeffs)
+            out = sep_core.iswt2d(coeffs, wav, backend=backend)
     else:
         coeffs = sep_core.dwt2d(img, wav, levels, backend=backend)
-    coeffs = _THRESH[mode](coeffs, beta, normalize=normalize)
-    n1 = ops.norm1(coeffs)
-    if swt:
-        out = sep_core.iswt2d(coeffs, wav, backend=backend)
-    else:
+        coeffs = _THRESH[mode](coeffs, beta, normalize=normalize)
+        n1 = ops.norm1(coeffs)
         out = sep_core.idwt2d(coeffs, wav, (nr, nc), backend=backend)
     if key is not None:
         out = jnp.roll(out, shift=(-sr, -sc), axis=(-2, -1))

@@ -47,3 +47,41 @@ def add_coeffs(dst: Coeffs, src: Coeffs, alpha=1.0) -> Coeffs:
     return jax.tree_util.tree_map(
         lambda a, b: a + jnp.asarray(alpha, a.dtype) * b, dst, src
     )
+
+
+def thresholded_norm1(coeffs: Coeffs, beta, *, mode: str = "soft",
+                      normalize: bool = False,
+                      do_thresh_appcoeffs: bool = False) -> jnp.ndarray:
+    """norm1(threshold(coeffs)) computed WITHOUT materializing the
+    thresholded pytree: norm1(soft(x, b)) = sum max(|x|-b, 0) and
+    norm1(hard(x, b)) = sum |x| * [|x| > b].  Pairs with the fused
+    threshold-in-inverse kernels (core.separable.iswt2d_denoise) so a
+    denoise step never writes thresholded coefficients to HBM."""
+    import math as _math
+
+    from .threshold import _app_beta
+
+    n = coeffs.levels
+
+    def term(x, b):
+        ax = jnp.abs(x).astype(_accum(x.dtype))
+        b = jnp.asarray(b, ax.dtype)
+        if mode == "soft":
+            return jnp.sum(jnp.maximum(ax - b, 0))
+        if mode == "hard":
+            return jnp.sum(jnp.where(ax > b, ax, 0))
+        raise ValueError(mode)
+
+    lvl_beta = lambda i: (beta / (_math.sqrt(2.0) ** (i + 1))
+                          if normalize else beta)
+    total = 0.0
+    for i, det in enumerate(coeffs.details):
+        bands = det if isinstance(det, tuple) else (det,)
+        for x in bands:
+            total = total + term(x, lvl_beta(i))
+    a = coeffs.approx
+    if do_thresh_appcoeffs:
+        total = total + term(a, _app_beta(beta, n, normalize))
+    else:
+        total = total + jnp.sum(jnp.abs(a).astype(_accum(a.dtype)))
+    return total

@@ -314,6 +314,125 @@ def iswt2d(coeffs, wav, shape, mesh, **kw) -> jnp.ndarray:
 # 1D (batched): batch over data_axis, signal length over col_axis
 # ---------------------------------------------------------------------------
 
+def _flat1d(x):
+    batch = x.shape[:-1]
+    b = int(np.prod(batch, dtype=np.int64)) if batch else 1
+    return x.reshape(b, x.shape[-1]), batch
+
+
+def _pad1d(pad_fn, arr, lo, hi):
+    """pad_fn operates on the trailing axis; 1D signals are (B, N), so
+    the W axis (-1) is the signal axis — matching make_pad_fn(col_axis)."""
+    return pad_fn(arr, -1, lo, hi)
+
+
+def _local_pallas_dwt1d(xl, wav, levels, pad_fn):
+    """Sharded batched-1D fast path: ring-halo exchange the kernel's
+    exact padding, then the fused 1D Pallas kernel on the local shard
+    (reference batched-1D: src/separable.cu:213-236)."""
+    from .. import kernels
+
+    a, batch = _flat1d(xl)
+    dec = (wav.dec_lo, wav.dec_hi)
+    tl = tuple(float(v) for v in wav.dec_lo)
+    th = tuple(float(v) for v in wav.dec_hi)
+    details = []
+    for _ in range(levels):
+        bsz, n = a.shape
+        geo = (kernels.fwd1d_geometry(bsz, n, wav.hlen)
+               if a.dtype == jnp.float32 else None)
+        if geo is not None:
+            cen, hi_c = geo
+            xp = _pad1d(pad_fn, a, cen, hi_c)
+            a, d = kernels.fwd_level_1d_padded(xp, tl, th, n // 2)
+        else:
+            z = conv.analysis_pass(a[:, None, None], dec, axis=-1,
+                                   backend="fma", pad_fn=pad_fn)
+            a, d = z[:, 0, 0], z[:, 1, 0]
+        details.append(d.reshape(batch + d.shape[1:]))
+    return Coeffs1D(a.reshape(batch + a.shape[1:]), tuple(details))
+
+
+def _local_pallas_idwt1d(cl, wav, local_len, pad_fn):
+    from .. import kernels
+
+    levels = cl.levels
+    sizes = [local_len >> k for k in range(levels + 1)]
+    rec = (wav.rec_lo, wav.rec_hi)
+    rl = tuple(float(v) for v in wav.rec_lo)
+    rh = tuple(float(v) for v in wav.rec_hi)
+    a, batch = _flat1d(cl.approx)
+    for i in range(levels - 1, -1, -1):
+        d, _ = _flat1d(cl.details[i])
+        bsz, m = a.shape
+        geo = (kernels.inv1d_geometry(bsz, m, wav.hlen)
+               if a.dtype == jnp.float32 else None)
+        if geo is not None:
+            lo_pad, hi_c = geo
+            a = kernels.inv_level_1d_padded(
+                _pad1d(pad_fn, a, lo_pad, hi_c),
+                _pad1d(pad_fn, d, lo_pad, hi_c), rl, rh, m)
+        else:
+            z = jnp.concatenate([a[:, None, None], d[:, None, None]],
+                                axis=1)
+            a = conv.synthesis_pass(z, rec, axis=-1, out_len=sizes[i],
+                                    backend="fma", pad_fn=pad_fn)[:, 0, 0]
+    return a.reshape(batch + a.shape[1:])
+
+
+def _local_pallas_swt1d(xl, wav, levels, pad_fn):
+    from .. import kernels
+
+    a, batch = _flat1d(xl)
+    dec = (wav.dec_lo, wav.dec_hi)
+    tl = tuple(float(v) for v in wav.dec_lo)
+    th = tuple(float(v) for v in wav.dec_hi)
+    details = []
+    for lvl in range(1, levels + 1):
+        bsz, n = a.shape
+        geo = (kernels.swt1d_fwd_geometry(bsz, n, wav.hlen, lvl)
+               if a.dtype == jnp.float32 and wav.hlen % 2 == 0 else None)
+        if geo is not None:
+            cen, hi_c = geo
+            xp = _pad1d(pad_fn, a, cen, hi_c)
+            a, d = kernels.swt_fwd_level_1d_padded(xp, tl, th, lvl, n)
+        else:
+            f = 1 << (lvl - 1)
+            z = conv.analysis_pass(a[:, None, None], dec, axis=-1,
+                                   dilation=f, decimate=False,
+                                   backend="fma", pad_fn=pad_fn)
+            a, d = z[:, 0, 0], z[:, 1, 0]
+        details.append(d.reshape(batch + d.shape[1:]))
+    return Coeffs1D(a.reshape(batch + a.shape[1:]), tuple(details))
+
+
+def _local_pallas_iswt1d(cl, wav, pad_fn):
+    from .. import kernels
+
+    rec = (wav.rec_lo * 0.5, wav.rec_hi * 0.5)
+    rl = tuple(float(v) for v in wav.rec_lo)
+    rh = tuple(float(v) for v in wav.rec_hi)
+    a, batch = _flat1d(cl.approx)
+    for i in range(cl.levels - 1, -1, -1):
+        d, _ = _flat1d(cl.details[i])
+        bsz, n = a.shape
+        geo = (kernels.swt1d_inv_geometry(bsz, n, wav.hlen, i + 1)
+               if a.dtype == jnp.float32 and wav.hlen % 2 == 0 else None)
+        if geo is not None:
+            cen, hi_c = geo
+            a = kernels.swt_inv_level_1d_padded(
+                _pad1d(pad_fn, a, cen, hi_c),
+                _pad1d(pad_fn, d, cen, hi_c), rl, rh, i + 1, n)
+        else:
+            f = 1 << i
+            z = jnp.concatenate([a[:, None, None], d[:, None, None]],
+                                axis=1)
+            a = conv.synthesis_pass(z, rec, axis=-1, dilation=f,
+                                    decimated=False, backend="fma",
+                                    pad_fn=pad_fn)[:, 0, 0]
+    return a.reshape(batch + a.shape[1:])
+
+
 def dwt1d(x, wav: Wavelet, levels: int, mesh: Mesh, *,
           data_axis: Optional[str] = None, col_axis: Optional[str] = None,
           backend: Optional[str] = None, swt: bool = False) -> Coeffs1D:
@@ -323,10 +442,20 @@ def dwt1d(x, wav: Wavelet, levels: int, mesh: Mesh, *,
         _check_div("signal", x.shape[-1], mesh.shape[col_axis], levels, swt)
     spec = _spec1d(x.ndim, data_axis, col_axis)
     pad_fn = make_pad_fn(dict(mesh.shape), None, col_axis)
-    core = sep_core.swt1d if swt else sep_core.dwt1d
 
-    def local(xl):
-        return core(xl, wav, levels, backend=backend, pad_fn=pad_fn)
+    if _use_local_pallas(backend):
+        if swt:
+            def local(xl):
+                return _local_pallas_swt1d(xl, wav, levels, pad_fn)
+        else:
+            def local(xl):
+                return _local_pallas_dwt1d(xl, wav, levels, pad_fn)
+    else:
+        core = sep_core.swt1d if swt else sep_core.dwt1d
+        be = None if backend == "pallas" else backend
+
+        def local(xl):
+            return core(xl, wav, levels, backend=be, pad_fn=pad_fn)
 
     f = jax.shard_map(local, mesh=mesh, in_specs=spec, out_specs=spec,
                       check_vma=False)
@@ -344,11 +473,21 @@ def idwt1d(coeffs: Coeffs1D, wav: Wavelet, length: int, mesh: Mesh, *,
     pad_fn = make_pad_fn(dict(mesh.shape), None, col_axis)
     local_len = length // _axis_size(mesh, col_axis)
 
-    def local(cl):
+    if _use_local_pallas(backend):
         if swt:
-            return sep_core.iswt1d(cl, wav, backend=backend, pad_fn=pad_fn)
-        return sep_core.idwt1d(cl, wav, local_len, backend=backend,
-                               pad_fn=pad_fn)
+            def local(cl):
+                return _local_pallas_iswt1d(cl, wav, pad_fn)
+        else:
+            def local(cl):
+                return _local_pallas_idwt1d(cl, wav, local_len, pad_fn)
+    else:
+        be = None if backend == "pallas" else backend
+
+        def local(cl):
+            if swt:
+                return sep_core.iswt1d(cl, wav, backend=be, pad_fn=pad_fn)
+            return sep_core.idwt1d(cl, wav, local_len, backend=be,
+                                   pad_fn=pad_fn)
 
     f = jax.shard_map(local, mesh=mesh, in_specs=spec, out_specs=spec,
                       check_vma=False)

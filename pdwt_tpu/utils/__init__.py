@@ -1,6 +1,6 @@
 from .checkpoint import load_coeffs, save_coeffs
 from .io import read_dat, write_dat
-from .profiling import device_time, trace
+from .profiling import device_time, device_time_any, trace
 
 __all__ = ["read_dat", "write_dat", "save_coeffs", "load_coeffs",
-           "device_time", "trace"]
+           "device_time", "device_time_any", "trace"]

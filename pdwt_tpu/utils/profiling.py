@@ -44,6 +44,54 @@ def device_time(fn, arg, *, K: int = 8, M1: int = 1, M2: int = 5,
     return (t2 - t1) / (K * (M2 - M1))
 
 
+def device_time_any(fn, *args, K: int = 24, M1: int = 1, M2: int = 4,
+                    reps: int = 3) -> float:
+    """Slope-method device time for a shape-changing ``fn(*args)``.
+
+    Chains calls by perturbing every input with a tiny scalar probe of
+    the previous output — forcing sequential execution without
+    requiring ``fn`` to be an endomorphism.  The M factor is unrolled
+    (program size scales with M) but the K factor is a ``fori_loop``
+    over the fixed-shape (inputs, probe) carry, so K can be large
+    enough to divide dispatch jitter down to ~10 us without blowing up
+    compile time.  The probe adds one elementwise add per input per
+    iteration, so results slightly overestimate cheap ops."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    def probe(out):
+        leaves = jax.tree_util.tree_leaves(out)
+        return sum(jnp.real(l.ravel()[0]).astype(jnp.float32)
+                   for l in leaves) * 1e-30
+
+    def timed(M):
+        @jax.jit
+        def lp(*xs):
+            def body(_, carry):
+                s = carry[-1]
+                vs = carry[:-1]
+                for _ in range(M):
+                    out = fn(*jax.tree_util.tree_map(
+                        lambda x: x + s.astype(x.dtype), vs))
+                    s = probe(out)
+                return vs + (s,)
+
+            return lax.fori_loop(0, K, body,
+                                 tuple(xs) + (jnp.float32(0.0),))[-1]
+
+        float(lp(*args))  # compile + warm
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            float(lp(*args))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t1, t2 = timed(M1), timed(M2)
+    return (t2 - t1) / (K * (M2 - M1))
+
+
 @contextlib.contextmanager
 def trace(log_dir: str = "/tmp/pdwt_trace"):
     """Profile a block: ``with trace("dir"): run()`` -> XProf trace."""

@@ -118,3 +118,49 @@ def test_pallas_grad_matches_fma(rng):
     gp = jax.jit(jax.grad(lambda v: loss_swt(v, "pallas")))(x)
     gf = jax.jit(jax.grad(lambda v: loss_swt(v, "fma")))(x)
     assert float(jnp.abs(gp - gf).max()) < 1e-4
+
+
+def test_tail_fusion_matches_gather(rng):
+    """Trailing-level fused kernel (all levels in one VMEM-resident
+    invocation for small images) vs the gather oracle."""
+    w = get_wavelet("db7")
+    x = jnp.asarray(rng.standard_normal((1, 256, 256)), dtype=jnp.float32)
+    cp = sep.dwt2d(x, w, 4, backend="pallas")   # whole transform fused
+    cg = sep.dwt2d(x, w, 4, backend="gather")
+    assert _max_err(cp, cg) < 1e-4
+    yp = sep.idwt2d(cp, w, (256, 256), backend="pallas")
+    assert float(jnp.abs(yp - x).max()) < 1e-4
+
+
+def test_bf16_mxu_pipeline(rng):
+    """bf16 serving mode: MXU banded-matmul kernels, bf16 arrays in/out.
+    Error bound: bf16 coefficient storage rounds at 2^-8 of the (growing)
+    approximation scale."""
+    w = get_wavelet("db7")
+    x32 = jnp.asarray(rng.uniform(0, 255, (1, 1024, 1024)), jnp.float32)
+    xb = x32.astype(jnp.bfloat16)
+    cb = sep.dwt2d(xb, w, 2, backend="pallas")
+    assert cb.approx.dtype == jnp.bfloat16
+    cg = sep.dwt2d(x32, w, 2, backend="gather")
+    rel = _max_err(jax.tree.map(lambda t: t.astype(jnp.float32), cb), cg)
+    rel /= float(jnp.abs(cg.approx).max())
+    assert rel < 3e-2
+    yb = sep.idwt2d(cb, w, (1024, 1024), backend="pallas")
+    assert yb.dtype == jnp.bfloat16
+    err = float(jnp.abs(yb.astype(jnp.float32)
+                        - xb.astype(jnp.float32)).max())
+    assert err < 0.05 * 255  # bf16 end-to-end bound on [0,255] data
+
+
+def test_mixed_precision_mxu(rng, monkeypatch):
+    """PDWT_TPU_PRECISION=mixed: f32 arrays, bf16x3 MXU compute ->
+    ~1e-5 relative coefficient error, ~1.5-2.5x faster than exact."""
+    monkeypatch.setenv("PDWT_TPU_PRECISION", "mixed")
+    w = get_wavelet("db7")
+    x = jnp.asarray(rng.uniform(0, 255, (1, 1024, 1024)), jnp.float32)
+    cm = sep.dwt2d(x, w, 2, backend="pallas")
+    cg = sep.dwt2d(x, w, 2, backend="gather")
+    rel = _max_err(cm, cg) / float(jnp.abs(cg.approx).max())
+    assert rel < 1e-4
+    ym = sep.idwt2d(cm, w, (1024, 1024), backend="pallas")
+    assert float(jnp.abs(ym - x).max()) < 1e-2 * 255

@@ -137,3 +137,30 @@ def test_sharded_pallas_swt_matches_single_device(mesh, rng, monkeypatch):
     assert _max_err(c_sh, c_ref) < 1e-5
     y = par.iswt2d(c_sh, w, (128, 256), mesh, backend="pallas", **AXES)
     assert float(jnp.abs(y - x).max()) < 1e-5
+
+
+@pytest.mark.parametrize("swt", [False, True])
+def test_sharded_pallas_1d_matches_single_device(mesh, rng, swt,
+                                                 monkeypatch):
+    """Sharded batched-1D x Pallas composition (ring halos along the
+    signal axis feeding the fused 1D kernels, interpret mode)."""
+    monkeypatch.setenv("PDWT_PALLAS_INTERPRET", "1")
+    w = get_wavelet("db7")
+    x = rng.standard_normal((16, 512)).astype(np.float32)
+    xs = par.shard_image(x, mesh, data_axis="data", col_axis="col")
+    if swt:
+        c_sh = par.swt1d(xs, w, 2, mesh, data_axis="data", col_axis="col",
+                         backend="pallas")
+        c_ref = sep.swt1d(jnp.asarray(x), w, 2, backend="gather")
+    else:
+        c_sh = par.dwt1d(xs, w, 2, mesh, data_axis="data", col_axis="col",
+                         backend="pallas")
+        c_ref = sep.dwt1d(jnp.asarray(x), w, 2, backend="gather")
+    assert _max_err(c_sh, c_ref) < 1e-5
+    if swt:
+        y = par.iswt1d(c_sh, w, 512, mesh, data_axis="data",
+                       col_axis="col", backend="pallas")
+    else:
+        y = par.idwt1d(c_sh, w, 512, mesh, data_axis="data",
+                       col_axis="col", backend="pallas")
+    assert float(jnp.abs(y - x).max()) < 1e-5

@@ -75,3 +75,34 @@ def test_swt_deep_levels_dilation_exceeds_size(rng):
     c = S.swt2d(x, w, 4)  # level 4: dilation 8, support 25 > 8 rows
     xr = S.iswt2d(c, w)
     assert float(jnp.abs(xr - x).max()) < 1e-7
+
+
+def test_iswt2d_denoise_fused_matches_unfused(rng, monkeypatch):
+    """Fused threshold-in-inverse (pallas interpret) == threshold then
+    iswt2d; thresholded_norm1 == norm1 of the thresholded pytree."""
+    import jax
+    import jax.numpy as jnp
+
+    from pdwt_tpu import ops
+    from pdwt_tpu.core import separable as sep
+    from pdwt_tpu.filters import get_wavelet
+
+    monkeypatch.setenv("PDWT_PALLAS_INTERPRET", "1")
+    w = get_wavelet("db4")
+    x = jnp.asarray(rng.standard_normal((1, 128, 128)) * 10,
+                    jnp.float32)
+    c = sep.swt2d(x, w, 2, backend="gather")
+    for mode in ("soft", "hard"):
+        for normalize in (False, True):
+            c_thr = (ops.soft_threshold if mode == "soft"
+                     else ops.hard_threshold)(c, 3.0, normalize=normalize)
+            y_ref = sep.iswt2d(c_thr, w, backend="gather")
+            y_fused = sep.iswt2d_denoise(c, w, 3.0, mode=mode,
+                                         normalize=normalize,
+                                         backend="pallas")
+            err = float(jnp.abs(y_fused - y_ref).max())
+            assert err < 1e-4, (mode, normalize, err)
+            n_ref = float(ops.norm1(c_thr))
+            n_fast = float(ops.thresholded_norm1(c, 3.0, mode=mode,
+                                                 normalize=normalize))
+            assert abs(n_fast - n_ref) / max(n_ref, 1) < 1e-6

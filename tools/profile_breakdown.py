@@ -35,7 +35,7 @@ def main():
     from pdwt_tpu.filters import get_wavelet
     from pdwt_tpu.kernels import separable_pallas as sp
     from pdwt_tpu.kernels import swt_pallas as swp
-    from pdwt_tpu.utils import device_time
+    from pdwt_tpu.utils import device_time, device_time_any
 
     N, L = args.n, args.levels
     wav = get_wavelet(args.wname)
@@ -44,7 +44,7 @@ def main():
     img = jnp.asarray(rng.standard_normal((1, N, N)), jnp.float32)
 
     def t(label, fn, *xs):
-        sec = device_time(lambda *a: fn(*a), *xs)
+        sec = device_time_any(fn, *xs)
         gpix = (N * N) / sec / 1e9
         print(f"{label:45s} {sec*1e3:8.3f} ms   ({gpix:6.2f} GPix/s @2048^2)")
         return sec
@@ -69,7 +69,7 @@ def main():
         r = N >> (lvl - 1)
         xl = x[:, :r, :r]
         geo = sp.fwd_geometry(r, r, hlen)
-        if geo is None:
+        if geo is None or not sp.pallas_supported_fwd((r, r), hlen):
             print(f"L{lvl} ({r}^2): unsupported geometry")
             continue
         cen, hi_r, hi_c = geo
@@ -88,12 +88,29 @@ def main():
     # --- per-level inverse ------------------------------------------------
     for lvl in range(1, L + 1):
         m = N >> lvl
+        if not sp.pallas_supported_inv((m, m), hlen):
+            print(f"L{lvl} inv ({m}^2): unsupported geometry")
+            continue
         bands = [jnp.asarray(rng.standard_normal((1, m, m)), jnp.float32)
                  for _ in range(4)]
         t(f"L{lvl} inv pad+kernel ({m}^2 subbands)",
           lambda a, h, v, d: sp.inv_level_2d(a, h, v, d, wav.rec_lo,
                                              wav.rec_hi), *bands)
+        if lvl == 1:
+            geo_i = sp.inv_geometry(m, m, hlen)
+            lo_pad, hi_ri, hi_ci = geo_i
 
+            def padi(t_, lo_pad=lo_pad, hi_ri=hi_ri, hi_ci=hi_ci):
+                t_ = conv.wrap_pad(t_, -1, lo_pad, hi_ci)
+                return conv.wrap_pad(t_, -2, lo_pad, hi_ri)
+
+            pb = [jax.jit(padi)(t_) for t_ in bands]
+            t(f"L{lvl} inv kernel only (padded in)",
+              lambda a, h, v, d: sp.inv_level_2d_padded(
+                  a, h, v, d, wav.rec_lo, wav.rec_hi, (m, m)), *pb)
+
+    if args.swt:
+        im2 = img[0]
     # --- full pipelines -----------------------------------------------------
     im2 = img[0]
     t("full fwd (5 levels)", lambda y: sep.dwt2d(y, wav, L), im2)
