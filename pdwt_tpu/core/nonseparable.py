@@ -80,6 +80,28 @@ def _try_factor(q: np.ndarray):
     return factor_quads(q)
 
 
+def _rank_decomp(q: np.ndarray, rtol: float = 1e-12):
+    """Joint separable-sum decomposition: Q_s = sum_k outer(a_k^(s), b_k).
+
+    One SVD of the stacked (4*hlen, hlen) matrix yields a COLUMN-filter
+    basis ``b_k`` shared by all four quads and per-subband row filters
+    ``a_k^(s)``; a genuinely 2D filter of rank r then costs r separable
+    pass-sets instead of an hlen^2-tap 2D convolution.  The XLA
+    ``conv_general_dilated`` lowering for (C=1, K=4) quads is ~1000x off
+    this chip's speed-of-light (CLAUDE.md), so even full-rank random
+    quads win by orders of magnitude; structured quads (quincunx,
+    directional) typically have rank 2-4.  Returns (A (4, r, hlen),
+    B (r, hlen)).  Reference true-2D path: src/nonseparable.cu:114-170.
+    """
+    four, h, _ = q.shape
+    M = q.reshape(4 * h, h)
+    U, S, Vt = np.linalg.svd(M, full_matrices=False)
+    r = max(1, int(np.sum(S > rtol * S[0])))
+    B = Vt[:r]                                          # (r, h) col filters
+    A = (U[:, :r] * S[:r]).reshape(4, h, r).transpose(0, 2, 1)
+    return A, B
+
+
 def _fwd_level(x, quads):
     """x: (B,1,H,W); quads: (4,hlen,hlen) forward-convention filters."""
     hlen = quads.shape[-1]
@@ -128,13 +150,36 @@ def dwt2d_ns(x: jnp.ndarray, quads, levels: int) -> Coeffs2D:
                 _from_nchw(z[:, k:k + 1], batch, 2) for k in (1, 2, 3)
             ))
         return Coeffs2D(_from_nchw(a, batch, 2), tuple(details))
+    A, Bc = _rank_decomp(q)
     for _ in range(levels):
-        z = _fwd_level(a, q)
+        z = _rank_fwd_level(a, A, Bc)
         a = z[:, 0:1]
         details.append(tuple(
             _from_nchw(z[:, k:k + 1], batch, 2) for k in (1, 2, 3)
         ))
     return Coeffs2D(_from_nchw(a, batch, 2), tuple(details))
+
+
+def _rank_fwd_level(a, A, Bc):
+    """One decimated level of the rank-r separable-sum (see _rank_decomp):
+    one K=r column pass, then r K=4 row passes accumulated."""
+    r = Bc.shape[0]
+    t = conv.analysis_pass(a, list(Bc), axis=-1)        # (B, r, H, W/2)
+    z = None
+    for k in range(r):
+        w4 = conv.analysis_pass(t[:, k:k + 1], list(A[:, k]), axis=-2)
+        z = w4 if z is None else z + w4
+    return z
+
+
+def _rank_inv_level(z, A, Bc, out_shape):
+    """Inverse of _rank_fwd_level: r K=4 row-synthesis calls (summing the
+    subbands), then one K=r column synthesis (summing the rank terms)."""
+    r = Bc.shape[0]
+    ts = [conv.synthesis_pass(z, list(A[:, k]), axis=-2,
+                              out_len=out_shape[0]) for k in range(r)]
+    t = jnp.concatenate(ts, axis=1)                     # (B, r, H, mc)
+    return conv.synthesis_pass(t, list(Bc), axis=-1, out_len=out_shape[1])
 
 
 def idwt2d_ns(coeffs: Coeffs2D, quads_inv, shape: Tuple[int, int]) -> jnp.ndarray:
@@ -161,10 +206,11 @@ def idwt2d_ns(coeffs: Coeffs2D, quads_inv, shape: Tuple[int, int]) -> jnp.ndarra
                                     out_len=cols[i])
         return _from_nchw(a, batch, 2)
     a, batch = _to_nchw(coeffs.approx, 2)
+    A, Bc = _rank_decomp(q)
     for i in range(levels - 1, -1, -1):
         h, v, d = (_to_nchw(c, 2)[0] for c in coeffs.details[i])
         z = jnp.concatenate([a, h, v, d], axis=1)
-        a = _inv_level(z, q, (rows[i], cols[i]))
+        a = _rank_inv_level(z, A, Bc, (rows[i], cols[i]))
     return _from_nchw(a, batch, 2)
 
 
@@ -217,8 +263,16 @@ def swt2d_ns(x: jnp.ndarray, quads, levels: int) -> Coeffs2D:
     arr, batch = _to_nchw(x, 2)
     details: List[Tuple[jnp.ndarray, ...]] = []
     a = arr
+    A, Bc = _rank_decomp(q)
     for lvl in range(1, levels + 1):
-        z = _fwd_swt_level(a, q, 1 << (lvl - 1))
+        f = 1 << (lvl - 1)
+        t = conv.analysis_pass(a, list(Bc), axis=-1, dilation=f,
+                               decimate=False)
+        z = None
+        for k in range(Bc.shape[0]):
+            w4 = conv.analysis_pass(t[:, k:k + 1], list(A[:, k]), axis=-2,
+                                    dilation=f, decimate=False)
+            z = w4 if z is None else z + w4
         a = z[:, 0:1]
         details.append(tuple(
             _from_nchw(z[:, k:k + 1], batch, 2) for k in (1, 2, 3)
@@ -251,8 +305,18 @@ def iswt2d_ns(coeffs: Coeffs2D, quads_inv) -> jnp.ndarray:
                                     decimated=False)
         return _from_nchw(a, batch, 2)
     a, batch = _to_nchw(coeffs.approx, 2)
+    # 1/4 normalization (reference: src/nonseparable.cu:393-396) carried
+    # on the shared column basis.
+    A, Bc = _rank_decomp(q)
+    Bc = Bc * 0.25
     for i in range(coeffs.levels - 1, -1, -1):
+        f = 1 << i
         h, v, d = (_to_nchw(c, 2)[0] for c in coeffs.details[i])
         z = jnp.concatenate([a, h, v, d], axis=1)
-        a = _inv_swt_level(z, q, 1 << i)
+        ts = [conv.synthesis_pass(z, list(A[:, k]), axis=-2, dilation=f,
+                                  decimated=False)
+              for k in range(A.shape[1])]
+        t = jnp.concatenate(ts, axis=1)
+        a = conv.synthesis_pass(t, list(Bc), axis=-1, dilation=f,
+                                decimated=False)
     return _from_nchw(a, batch, 2)

@@ -42,6 +42,7 @@ from ..core import conv
 from .separable_pallas import (
     _INTERPRET,
     _ceil_to,
+    _phases,
     _poly_geometry,
     _taps,
 )
@@ -58,46 +59,48 @@ def _split_bf16(m: np.ndarray):
     return hi, lo
 
 
-def _analysis_mats(dec_lo, dec_hi, rows: int, cols: int):
+def _analysis_mats(dec_lo, dec_hi, rows: int, cols: int, pr: int, pc: int):
     """A (2TR, rows): dual decimating FIR along sublanes; B (cols, 2TC):
-    dual decimating FIR along lanes.  out = [[a|v],[h|d]] = (A @ x) @ B."""
+    dual decimating FIR along lanes.  out = [[a|v],[h|d]] = (A @ x) @ B.
+    pr/pc are the aligned-lo-pad phases baked into the band offsets."""
     tl, th = _taps(dec_lo), _taps(dec_hi)
     hlen = len(tl)
     A = np.zeros((2 * _TR, rows), np.float32)
     for m in range(_TR):
         for j in range(hlen):
-            A[m, 2 * m + j] = tl[j]
-            A[_TR + m, 2 * m + j] = th[j]
+            A[m, pr + 2 * m + j] = tl[j]
+            A[_TR + m, pr + 2 * m + j] = th[j]
     B = np.zeros((cols, 2 * _TC), np.float32)
     for m in range(_TC):
         for j in range(hlen):
-            B[2 * m + j, m] = tl[j]
-            B[2 * m + j, _TC + m] = th[j]
+            B[pc + 2 * m + j, m] = tl[j]
+            B[pc + 2 * m + j, _TC + m] = th[j]
     return A, B
 
 
-def _synthesis_mats(rec_lo, rec_hi, hlen: int, rows: int, cols: int):
+def _synthesis_mats(rec_lo, rec_hi, hlen: int, rows: int, cols: int,
+                    pr: int, pc: int):
     """S (2TR, rows) with rows = band rows [lo | hi stacked]: pass-1
     synthesis out = S @ [lo_band; hi_band]; T (2*cols, 2TC): pass-2
-    synthesis out = [t1 | t2] @ T."""
+    synthesis out = [t1 | t2] @ T.  pr/pc are the aligned-lo phases."""
     tl, th = _taps(rec_lo), _taps(rec_hi)
     p, o, lo_pad, _ = _poly_geometry(hlen)
     band = rows // 2
 
-    def fill(S, m_out, stride_band):
+    def fill(S, m_out, stride_band, ph):
         for q in (0, 1):
             for bi, taps in enumerate((tl, th)):
                 for b, j in enumerate(range(p[q], hlen, 2)):
                     for m in range(m_out):
-                        S[2 * m + q, bi * stride_band + lo_pad + o[q] + b
-                          + m] += taps[j]
+                        S[2 * m + q, bi * stride_band + ph + lo_pad + o[q]
+                          + b + m] += taps[j]
 
     S = np.zeros((2 * _TR, rows), np.float32)
-    fill(S, _TR, band)
+    fill(S, _TR, band, pr)
     # pass 2 operates transposed: out[r, g] = sum_c t[r, c] * T[c, g]
     band2 = cols
     St = np.zeros((2 * _TC, 2 * band2), np.float32)
-    fill(St, _TC, band2)
+    fill(St, _TC, band2, pc)
     return S, St.T.copy()  # T: (2*cols, 2TC)
 
 
@@ -154,8 +157,11 @@ def _mxu_supported(r: int, c: int, hlen: int) -> bool:
 def _fwd_mxu_call(xp, mats, taps, hlen, mode, mshape):
     B = xp.shape[0]
     mr, mc = mshape
-    TRR = _ceil_to(2 * _TR + hlen - 2, 16)
-    COLS = _ceil_to(2 * _TC + hlen - 2, 128)
+    cen = conv.fwd_center(hlen)
+    pr = _ceil_to(cen, 16) - cen   # bf16 tiles: 16-sublane alignment
+    pc = _phases(cen)[3]
+    TRR = _ceil_to(2 * _TR + hlen - 2 + pr, 16)
+    COLS = _ceil_to(2 * _TC + hlen - 2 + pc, 128)
     kernel = _fwd_mxu_kernel(mode, TRR, COLS)
     out_spec = pl.BlockSpec((1, _TR, _TC), lambda b, i, j: (b, i, j),
                             memory_space=pltpu.VMEM)
@@ -185,14 +191,17 @@ def fwd_level_2d_mxu(x: jnp.ndarray, dec_lo, dec_hi, mode: str):
     hlen = len(dec_lo)
     if not _mxu_supported(r, c, hlen):
         return None
-    TRR = _ceil_to(2 * _TR + hlen - 2, 16)
-    COLS = _ceil_to(2 * _TC + hlen - 2, 128)
     cen = conv.fwd_center(hlen)
-    hi_r = (r - 2 * _TR + TRR) - r - cen
-    hi_c = (c - 2 * _TC + COLS) - c - cen
-    xp = conv.wrap_pad(x, -1, cen, hi_c)
-    xp = conv.wrap_pad(xp, -2, cen, hi_r)
-    A, Bm = _analysis_mats(dec_lo, dec_hi, TRR, COLS)
+    lo_r16 = _ceil_to(cen, 16)
+    lo_c, pc = _phases(cen)[1], _phases(cen)[3]
+    pr = lo_r16 - cen
+    TRR = _ceil_to(2 * _TR + hlen - 2 + pr, 16)
+    COLS = _ceil_to(2 * _TC + hlen - 2 + pc, 128)
+    hi_r = (r - 2 * _TR + TRR) - r - lo_r16
+    hi_c = (c - 2 * _TC + COLS) - c - lo_c
+    xp = conv.wrap_pad(x, -1, lo_c, hi_c)
+    xp = conv.wrap_pad(xp, -2, lo_r16, hi_r)
+    A, Bm = _analysis_mats(dec_lo, dec_hi, TRR, COLS, pr, pc)
     taps = (_taps(dec_lo), _taps(dec_hi))
     if mode == "mixed":
         Ah, Al = _split_bf16(A)
@@ -271,8 +280,10 @@ def _inv_mxu_call(ap, hp, vp, dp, mats, taps, hlen, mode, mshape):
     B = ap.shape[0]
     mr, mc = mshape
     _, _, lo_pad, hi_pad = _poly_geometry(hlen)
-    ROWS = _ceil_to(_TR + lo_pad + hi_pad, 16)
-    COLS = _ceil_to(_TC + lo_pad + hi_pad, 128)
+    pr = _ceil_to(lo_pad, 16) - lo_pad
+    pc = _phases(lo_pad)[3]
+    ROWS = _ceil_to(_TR + lo_pad + hi_pad + pr, 16)
+    COLS = _ceil_to(_TC + lo_pad + hi_pad + pc, 128)
     kernel = _inv_mxu_kernel(mode, ROWS, COLS)
     out_spec = pl.BlockSpec((1, 2 * _TR, 2 * _TC), lambda b, i, j: (b, i, j),
                             memory_space=pltpu.VMEM)
@@ -302,12 +313,15 @@ def inv_level_2d_mxu(a, h, v, d, rec_lo, rec_hi, mode: str):
     if not _mxu_supported(2 * mr, 2 * mc, hlen):
         return None
     _, _, lo_pad, hi_pad = _poly_geometry(hlen)
-    ROWS = _ceil_to(_TR + lo_pad + hi_pad, 16)
-    COLS = _ceil_to(_TC + lo_pad + hi_pad, 128)
-    hi_r = (mr - _TR + ROWS) - mr - lo_pad
-    hi_c = (mc - _TC + COLS) - mc - lo_pad
+    lo_r16 = _ceil_to(lo_pad, 16)
+    pr = lo_r16 - lo_pad
+    lo_c, pc = _phases(lo_pad)[1], _phases(lo_pad)[3]
+    ROWS = _ceil_to(_TR + lo_pad + hi_pad + pr, 16)
+    COLS = _ceil_to(_TC + lo_pad + hi_pad + pc, 128)
+    hi_r = (mr - _TR + ROWS) - mr - lo_r16
+    hi_c = (mc - _TC + COLS) - mc - lo_c
 
-    S, T = _synthesis_mats(rec_lo, rec_hi, hlen, 2 * ROWS, COLS)
+    S, T = _synthesis_mats(rec_lo, rec_hi, hlen, 2 * ROWS, COLS, pr, pc)
     taps = (_taps(rec_lo), _taps(rec_hi))
     if mode == "mixed":
         Sh, Sl = _split_bf16(S)
@@ -319,8 +333,8 @@ def inv_level_2d_mxu(a, h, v, d, rec_lo, rec_hi, mode: str):
         cast = lambda t: t.astype(jnp.bfloat16)
 
     def pad2(arr):
-        arr = conv.wrap_pad(arr, -1, lo_pad, hi_c)
-        return conv.wrap_pad(arr, -2, lo_pad, hi_r)
+        arr = conv.wrap_pad(arr, -1, lo_c, hi_c)
+        return conv.wrap_pad(arr, -2, lo_r16, hi_r)
 
     return _inv_mxu_call(pad2(cast(a)), pad2(cast(h)), pad2(cast(v)),
                          pad2(cast(d)), mats, taps, hlen, mode, (mr, mc))

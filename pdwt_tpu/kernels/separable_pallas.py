@@ -73,15 +73,27 @@ def _vmem_est(rows: int, cols: int, hlen: int) -> int:
     return rows * cols * 4 * (hlen // 2 + 8)
 
 
+def _phases(lo: int):
+    """Static phase of sublane/lane-ALIGNED lo pads.  An XLA wrap pad
+    whose lo amount is tile-aligned is a pure copy; unaligned lo shifts
+    the whole body (a relayout measured ~10x slower), so kernels pad by
+    the aligned amount and carry the phase in their slice arithmetic."""
+    lo_r = _ceil_to(lo, 8)
+    lo_c = _ceil_to(lo, 128)
+    return lo_r, lo_c, lo_r - lo, lo_c - lo
+
+
 def _pick_tiles_2d(mr: int, mc: int, hlen: int, *, inv: bool):
     """Largest (TR, TC) pair whose kernel body fits the VMEM budget."""
     if inv:
         _, _, lo, hi = _poly_geometry(hlen)
-        dims = lambda tr, tc: (_ceil_to(2 * tr, 8) + lo + hi,
-                               _ceil_to(tc + lo + hi, 128))
+        _, _, pr, pc = _phases(lo)
+        dims = lambda tr, tc: (_ceil_to(tr + lo + hi + pr, 8),
+                               _ceil_to(tc + lo + hi + pc, 128))
     else:
-        dims = lambda tr, tc: (_ceil_to(2 * tr + hlen - 2, 8),
-                               _ceil_to(2 * tc + hlen - 2, 128))
+        _, _, pr, pc = _phases(conv.fwd_center(hlen))
+        dims = lambda tr, tc: (_ceil_to(2 * tr + hlen - 2 + pr, 8),
+                               _ceil_to(2 * tc + hlen - 2 + pc, 128))
     best = None
     for tr in _SUB_TILES:
         if mr % tr:
@@ -106,11 +118,11 @@ def _taps(f: np.ndarray) -> Tuple[float, ...]:
 # in-kernel building blocks (operate on VMEM values)
 # ---------------------------------------------------------------------------
 
-def _fir_decim_sub(x, taps_lo, taps_hi, n_out):
+def _fir_decim_sub(x, taps_lo, taps_hi, n_out, off: int = 0):
     """Dual decimate-by-2 FIR along axis 0 (sublanes).
 
-    x: (2*n_out + hlen - 2, C).  out[m] = sum_j t[j] * x[2m + j] via the
-    free parity reshape; returns (lo, hi) each (n_out, C).
+    x: (2*n_out + hlen - 2 + off, C).  out[m] = sum_j t[j] * x[2m+j+off]
+    via the free parity reshape; returns (lo, hi) each (n_out, C).
 
     Each tap's misaligned sublane slice costs a vreg-shift of the whole
     tile — the dominant kernel cost — so the slice is formed ONCE and
@@ -122,8 +134,9 @@ def _fir_decim_sub(x, taps_lo, taps_hi, n_out):
 
     acc_lo = acc_hi = None
     for j in range(hlen):
-        src = even if j % 2 == 0 else odd
-        a = j // 2
+        jj = j + off  # static phase: aligned lo pads shift every window
+        src = even if jj % 2 == 0 else odd
+        a = jj // 2
         sl = src[a:a + n_out, :]
         tl = taps_lo[j] * sl
         th = taps_hi[j] * sl
@@ -144,9 +157,10 @@ def _poly_geometry(hlen: int):
     return p, o, lo, hi
 
 
-def _fir_synth_sub(lo_band, hi_band, taps_lo, taps_hi, m_out):
-    """Stuff-free synthesis along axis 0: bands (m_out + lo + hi, C) ->
-    upsampled (2*m_out, C), parities interleaved via sublane reshape.
+def _fir_synth_sub(lo_band, hi_band, taps_lo, taps_hi, m_out, off: int = 0):
+    """Stuff-free synthesis along axis 0: bands (m_out + lo + hi + off, C)
+    -> upsampled (2*m_out, C), parities interleaved via sublane reshape.
+    ``off`` is the static phase of an aligned lo pad.
 
     Slices are cached by (band, start): when both parities' offset sets
     overlap (they coincide for every even-hlen wavelet), each shifted
@@ -167,7 +181,7 @@ def _fir_synth_sub(lo_band, hi_band, taps_lo, taps_hi, m_out):
         for bi, (band, taps) in enumerate(((lo_band, taps_lo),
                                            (hi_band, taps_hi))):
             for b, j in enumerate(range(p[q], hlen, 2)):
-                term = taps[j] * window(bi, band, lo_pad + o[q] + b)
+                term = taps[j] * window(bi, band, off + lo_pad + o[q] + b)
                 acc = term if acc is None else acc + term
         outs.append(acc)
     c = outs[0].shape[1]
@@ -187,12 +201,13 @@ def _decode3(t, g1, g2):
 
 def _make_fwd_kernel(taps_lo, taps_hi, hlen, TR, TC, grid):
     # DMA windows must be tile-aligned (8 sublanes x 128 lanes); the
-    # padded input carries the extra alignment margin.  The FIRs only read
-    # the valid leading region of each (aligned) tile.
+    # padded input carries aligned lo pads (pure-copy XLA pad) and the
+    # alignment margin; the FIR slice arithmetic carries the phase.
     B, GI, GJ = grid
     nsteps = B * GI * GJ
-    rows = _ceil_to(2 * TR + hlen - 2, 8)
-    cols = _ceil_to(2 * TC + hlen - 2, 128)
+    _, _, pr, pc = _phases(conv.fwd_center(hlen))
+    rows = _ceil_to(2 * TR + hlen - 2 + pr, 8)
+    cols = _ceil_to(2 * TC + hlen - 2 + pc, 128)
 
     def copy_for(xp_hbm, xt2, sems, t):
         b, i, j = _decode3(t, GI, GJ)
@@ -224,11 +239,11 @@ def _make_fwd_kernel(taps_lo, taps_hi, hlen, TR, TC, grid):
             # pass 1: along rows (sublanes), keeping the column halo.
             # The separable passes commute, so running the row axis
             # first is equivalent to the reference's column-first order.
-            tlo, thi = _fir_decim_sub(x, taps_lo, taps_hi, TR)  # (TR, cols)
+            tlo, thi = _fir_decim_sub(x, taps_lo, taps_hi, TR, off=pr)
             # pass 2: columns -> transpose so the FIR runs on sublanes.
             # H = highpass along rows = hi row-pass + lo col-pass.
-            a_t, v_t = _fir_decim_sub(tlo.T, taps_lo, taps_hi, TC)
-            h_t, d_t = _fir_decim_sub(thi.T, taps_lo, taps_hi, TC)
+            a_t, v_t = _fir_decim_sub(tlo.T, taps_lo, taps_hi, TC, off=pc)
+            h_t, d_t = _fir_decim_sub(thi.T, taps_lo, taps_hi, TC, off=pc)
             a_ref[0] = a_t.T
             h_ref[0] = h_t.T
             v_ref[0] = v_t.T
@@ -283,24 +298,26 @@ def pallas_supported_fwd(shape: Tuple[int, int], hlen: int) -> bool:
 
 
 def fwd_geometry(r: int, c: int, hlen: int):
-    """(lo, hi_r, hi_c) padding a forward level's kernel expects around an
-    even (r, c) input — periodic support + DMA alignment margin — or None
-    if unsupported.  The distributed engine fetches these amounts via
-    ring halo exchange instead of local wrap padding."""
+    """(lo_r, lo_c, hi_r, hi_c) padding a forward level's kernel expects
+    around an even (r, c) input — periodic support rounded UP to aligned
+    lo pads (pure-copy XLA pad; the kernel carries the phase) + the DMA
+    alignment margin — or None if unsupported.  The distributed engine
+    fetches these amounts via ring halo exchange instead of local wrap
+    padding."""
     if hlen % 2 or r % 2 or c % 2:
         return None
     tiles = _pick_tiles_2d(r // 2, c // 2, hlen, inv=False)
     if tiles is None:
         return None
     TR, TC = tiles
-    cen = conv.fwd_center(hlen)
-    rows_al = _ceil_to(2 * TR + hlen - 2, 8)
-    cols_al = _ceil_to(2 * TC + hlen - 2, 128)
+    lo_r, lo_c, pr, pc = _phases(conv.fwd_center(hlen))
+    rows_al = _ceil_to(2 * TR + hlen - 2 + pr, 8)
+    cols_al = _ceil_to(2 * TC + hlen - 2 + pc, 128)
     # hi pad covers the filter support plus the DMA alignment margin of
-    # the last tile: total rows = (r - 2*TR) + rows_al, etc.
-    hi_r = (r - 2 * TR + rows_al) - r - cen
-    hi_c = (c - 2 * TC + cols_al) - c - cen
-    return cen, hi_r, hi_c
+    # the last tile: total rows = lo_r + r + hi_r = (r - 2*TR) + rows_al.
+    hi_r = (r - 2 * TR + rows_al) - r - lo_r
+    hi_c = (c - 2 * TC + cols_al) - c - lo_c
+    return lo_r, lo_c, hi_r, hi_c
 
 
 def fwd_level_2d_padded(xp: jnp.ndarray, dec_lo, dec_hi,
@@ -323,9 +340,9 @@ def fwd_level_2d(x: jnp.ndarray, dec_lo: np.ndarray, dec_hi: np.ndarray):
     geo = fwd_geometry(r, c, hlen)
     if geo is None:
         return None
-    cen, hi_r, hi_c = geo
-    xp = conv.wrap_pad(x, -1, cen, hi_c)
-    xp = conv.wrap_pad(xp, -2, cen, hi_r)
+    lo_r, lo_c, hi_r, hi_c = geo
+    xp = conv.wrap_pad(x, -1, lo_c, hi_c)
+    xp = conv.wrap_pad(xp, -2, lo_r, hi_r)
     return fwd_level_2d_padded(xp, dec_lo, dec_hi, (r // 2, c // 2))
 
 
@@ -337,8 +354,9 @@ def _make_inv_kernel(taps_lo, taps_hi, hlen, TR, TC, pad, grid):
     lo_pad, hi_pad = pad
     B, GI, GJ = grid
     nsteps = B * GI * GJ
-    rows = _ceil_to(TR + lo_pad + hi_pad, 8)
-    cols = _ceil_to(TC + lo_pad + hi_pad, 128)
+    _, _, pr, pc = _phases(lo_pad)
+    rows = _ceil_to(TR + lo_pad + hi_pad + pr, 8)
+    cols = _ceil_to(TC + lo_pad + hi_pad + pc, 128)
 
     def copies_for(srcs, tiles, sems, t):
         b, i, j = _decode3(t, GI, GJ)
@@ -373,10 +391,10 @@ def _make_inv_kernel(taps_lo, taps_hi, hlen, TR, TC, pad, grid):
 
         def compute(s):
             # pass 1: rows (sublanes), column halo kept: (2TR, cols)
-            t1 = _fir_synth_sub(at[s], ht[s], taps_lo, taps_hi, TR)
-            t2 = _fir_synth_sub(vt[s], dt[s], taps_lo, taps_hi, TR)
+            t1 = _fir_synth_sub(at[s], ht[s], taps_lo, taps_hi, TR, off=pr)
+            t2 = _fir_synth_sub(vt[s], dt[s], taps_lo, taps_hi, TR, off=pr)
             # pass 2: columns via transpose: (2TC, 2TR) -> out (2TR, 2TC)
-            out_t = _fir_synth_sub(t1.T, t2.T, taps_lo, taps_hi, TC)
+            out_t = _fir_synth_sub(t1.T, t2.T, taps_lo, taps_hi, TC, off=pc)
             out_ref[0] = out_t.T
 
         slot = t % 2
@@ -427,8 +445,9 @@ def pallas_supported_inv(mshape: Tuple[int, int], hlen: int) -> bool:
 
 
 def inv_geometry(mr: int, mc: int, hlen: int):
-    """(lo, hi_r, hi_c) coefficient-domain padding the inverse kernel
-    expects around (mr, mc) subbands, or None if unsupported."""
+    """(lo_r, lo_c, hi_r, hi_c) coefficient-domain padding the inverse
+    kernel expects around (mr, mc) subbands (aligned lo pads, see
+    fwd_geometry), or None if unsupported."""
     if hlen % 2:
         return None
     tiles = _pick_tiles_2d(mr, mc, hlen, inv=True)
@@ -436,11 +455,12 @@ def inv_geometry(mr: int, mc: int, hlen: int):
         return None
     TR, TC = tiles
     _, _, lo_pad, hi_pad = _poly_geometry(hlen)
-    rows_al = _ceil_to(TR + lo_pad + hi_pad, 8)
-    cols_al = _ceil_to(TC + lo_pad + hi_pad, 128)
-    hi_r = (mr - TR + rows_al) - mr - lo_pad
-    hi_c = (mc - TC + cols_al) - mc - lo_pad
-    return lo_pad, hi_r, hi_c
+    lo_r, lo_c, pr, pc = _phases(lo_pad)
+    rows_al = _ceil_to(TR + lo_pad + hi_pad + pr, 8)
+    cols_al = _ceil_to(TC + lo_pad + hi_pad + pc, 128)
+    hi_r = (mr - TR + rows_al) - mr - lo_r
+    hi_c = (mc - TC + cols_al) - mc - lo_c
+    return lo_r, lo_c, hi_r, hi_c
 
 
 def inv_level_2d_padded(ap, hp, vp, dp, rec_lo, rec_hi,
@@ -464,11 +484,11 @@ def inv_level_2d(a, h, v, d, rec_lo: np.ndarray, rec_hi: np.ndarray):
     geo = inv_geometry(mr, mc, hlen)
     if geo is None:
         return None
-    lo_pad, hi_r, hi_c = geo
+    lo_r, lo_c, hi_r, hi_c = geo
 
     def pad2(arr):
-        arr = conv.wrap_pad(arr, -1, lo_pad, hi_c)
-        return conv.wrap_pad(arr, -2, lo_pad, hi_r)
+        arr = conv.wrap_pad(arr, -1, lo_c, hi_c)
+        return conv.wrap_pad(arr, -2, lo_r, hi_r)
 
     return inv_level_2d_padded(pad2(a), pad2(h), pad2(v), pad2(d),
                                rec_lo, rec_hi, (mr, mc))

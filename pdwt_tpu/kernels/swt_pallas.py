@@ -28,6 +28,7 @@ from .separable_pallas import (
     _ceil_to,
     _fir_decim_sub,
     _fir_synth_sub,
+    _phases,
     _pick_tile,
     _poly_geometry,
     _taps,
@@ -37,14 +38,14 @@ from .separable_pallas import (
 )
 
 
-def _fir_atrous_sub(x, taps_lo, taps_hi, n_out, f):
-    """Dual à-trous FIR along axis 0: out[m] = sum_j t[j] * x[m + f*j].
+def _fir_atrous_sub(x, taps_lo, taps_hi, n_out, f, off=0):
+    """Dual à-trous FIR along axis 0: out[m] = sum_j t[j]*x[off+m+f*j].
 
     The shifted window is formed once per tap and shared by both
     filters (the vreg-shift per misaligned slice dominates the FMA)."""
     acc_lo = acc_hi = None
     for j in range(len(taps_lo)):
-        sl = x[f * j:f * j + n_out, :]
+        sl = x[off + f * j:off + f * j + n_out, :]
         tl = taps_lo[j] * sl
         th = taps_hi[j] * sl
         acc_lo = tl if acc_lo is None else acc_lo + tl
@@ -52,19 +53,21 @@ def _fir_atrous_sub(x, taps_lo, taps_hi, n_out, f):
     return acc_lo, acc_hi
 
 
-def _fir_atrous_pair_sub(lo_band, hi_band, taps_lo, taps_hi, n_out, f):
-    """À-trous synthesis combine: out[m] = sum_j tl[j]*lo[m+f*j] +
-    th[j]*hi[m+f*j] (taps carry the 1/2 factor)."""
+def _fir_atrous_pair_sub(lo_band, hi_band, taps_lo, taps_hi, n_out, f,
+                         off=0):
+    """À-trous synthesis combine: out[m] = sum_j tl[j]*lo[off+m+f*j] +
+    th[j]*hi[off+m+f*j] (taps carry the 1/2 factor)."""
     acc = None
     for j in range(len(taps_lo)):
-        term = (taps_lo[j] * lo_band[f * j:f * j + n_out, :]
-                + taps_hi[j] * hi_band[f * j:f * j + n_out, :])
+        term = (taps_lo[j] * lo_band[off + f * j:off + f * j + n_out, :]
+                + taps_hi[j] * hi_band[off + f * j:off + f * j + n_out, :])
         acc = term if acc is None else acc + term
     return acc
 
 
-def _swt_tiles(nr: int, nc: int, hlen: int, f: int):
+def _swt_tiles(nr: int, nc: int, hlen: int, f: int, lo: int = 0):
     span = (hlen - 1) * f
+    _, _, pr, pc = _phases(lo)
     best = None
     for tr in _SUB_TILES:
         if nr % tr:
@@ -72,8 +75,8 @@ def _swt_tiles(nr: int, nc: int, hlen: int, f: int):
         for tc in _LANE_TILES:
             if nc % tc:
                 continue
-            rows = _ceil_to(tr + span, 8)
-            cols = _ceil_to(tc + span, 128)
+            rows = _ceil_to(tr + span + pr, 8)
+            cols = _ceil_to(tc + span + pc, 128)
             if rows * cols * 4 * (hlen // 2 + 8) > _VMEM_BUDGET:
                 continue
             if best is None or tr * tc > best[0] * best[1]:
@@ -91,8 +94,9 @@ def _make_swt_fwd_kernel(taps_lo, taps_hi, hlen, f, TR, TC, grid):
     span = (hlen - 1) * f
     B, GI, GJ = grid
     nsteps = B * GI * GJ
-    rows = _ceil_to(TR + span, 8)
-    cols = _ceil_to(TC + span, 128)
+    _, _, pr, pc = _phases(conv.fwd_center(hlen) * f)
+    rows = _ceil_to(TR + span + pr, 8)
+    cols = _ceil_to(TC + span + pc, 128)
 
     def copy_for(xp_hbm, xt2, sems, t):
         b, i, j = _decode3(t, GI, GJ)
@@ -118,9 +122,11 @@ def _make_swt_fwd_kernel(taps_lo, taps_hi, hlen, f, TR, TC, grid):
         copy_for(xp_hbm, xt2, sems, t).wait()
 
         def compute(x):
-            tlo, thi = _fir_atrous_sub(x, taps_lo, taps_hi, TR, f)
-            a_t, v_t = _fir_atrous_sub(tlo.T, taps_lo, taps_hi, TC, f)
-            h_t, d_t = _fir_atrous_sub(thi.T, taps_lo, taps_hi, TC, f)
+            tlo, thi = _fir_atrous_sub(x, taps_lo, taps_hi, TR, f, off=pr)
+            a_t, v_t = _fir_atrous_sub(tlo.T, taps_lo, taps_hi, TC, f,
+                                       off=pc)
+            h_t, d_t = _fir_atrous_sub(thi.T, taps_lo, taps_hi, TC, f,
+                                       off=pc)
             a_ref[0] = a_t.T
             h_ref[0] = h_t.T
             v_ref[0] = v_t.T
@@ -172,18 +178,19 @@ def swt_fwd_level_2d(x, dec_lo, dec_hi, level: int):
     f = 1 << (level - 1)
     if x.dtype != jnp.float32:
         return None
-    tiles = _swt_tiles(r, c, hlen, f)
+    cen = conv.fwd_center(hlen) * f
+    tiles = _swt_tiles(r, c, hlen, f, cen)
     if tiles is None:
         return None
     TR, TC = tiles
     span = (hlen - 1) * f
-    cen = conv.fwd_center(hlen) * f
-    rows_al = _ceil_to(TR + span, 8)
-    cols_al = _ceil_to(TC + span, 128)
-    hi_r = (r - TR + rows_al) - r - cen
-    hi_c = (c - TC + cols_al) - c - cen
-    xp = conv.wrap_pad(x, -1, cen, hi_c)
-    xp = conv.wrap_pad(xp, -2, cen, hi_r)
+    lo_r, lo_c, pr, pc = _phases(cen)
+    rows_al = _ceil_to(TR + span + pr, 8)
+    cols_al = _ceil_to(TC + span + pc, 128)
+    hi_r = (r - TR + rows_al) - r - lo_r
+    hi_c = (c - TC + cols_al) - c - lo_c
+    xp = conv.wrap_pad(x, -1, lo_c, hi_c)
+    xp = conv.wrap_pad(xp, -2, lo_r, hi_r)
     return _swt_fwd_call(xp, (_taps(dec_lo), _taps(dec_hi)), hlen, f,
                          (TR, TC), (r, c))
 
@@ -207,8 +214,9 @@ def _make_swt_inv_kernel(taps_lo, taps_hi, hlen, f, TR, TC, grid,
     span = (hlen - 1) * f
     B, GI, GJ = grid
     nsteps = B * GI * GJ
-    rows = _ceil_to(TR + span, 8)
-    cols = _ceil_to(TC + span, 128)
+    _, _, pr, pc = _phases((hlen // 2) * f)
+    rows = _ceil_to(TR + span + pr, 8)
+    cols = _ceil_to(TC + span + pc, 128)
 
     def copies_for(srcs, tiles, sems, t):
         b, i, j = _decode3(t, GI, GJ)
@@ -255,10 +263,12 @@ def _make_swt_inv_kernel(taps_lo, taps_hi, hlen, f, TR, TC, grid,
                 h = _thresh_tile(h, thresh_mode, bval)
                 v = _thresh_tile(v, thresh_mode, bval)
                 d = _thresh_tile(d, thresh_mode, bval)
-            t1 = _fir_atrous_pair_sub(a, h, taps_lo, taps_hi, TR, f)
-            t2 = _fir_atrous_pair_sub(v, d, taps_lo, taps_hi, TR, f)
+            t1 = _fir_atrous_pair_sub(a, h, taps_lo, taps_hi, TR, f,
+                                      off=pr)
+            t2 = _fir_atrous_pair_sub(v, d, taps_lo, taps_hi, TR, f,
+                                      off=pr)
             out_t = _fir_atrous_pair_sub(t1.T, t2.T, taps_lo, taps_hi,
-                                         TC, f)
+                                         TC, f, off=pc)
             out_ref[0] = out_t.T
 
         slot = t % 2
@@ -319,20 +329,21 @@ def swt_inv_level_2d(a, h, v, d, rec_lo, rec_hi, level: int,
     f = 1 << (level - 1)
     if a.dtype != jnp.float32:
         return None
-    tiles = _swt_tiles(r, c, hlen, f)
+    cen = (hlen // 2) * f  # swt synthesis center (src/separable.cu:559-568)
+    tiles = _swt_tiles(r, c, hlen, f, cen)
     if tiles is None:
         return None
     TR, TC = tiles
     span = (hlen - 1) * f
-    cen = (hlen // 2) * f  # swt synthesis center (src/separable.cu:559-568)
-    rows_al = _ceil_to(TR + span, 8)
-    cols_al = _ceil_to(TC + span, 128)
-    hi_r = (r - TR + rows_al) - r - cen
-    hi_c = (c - TC + cols_al) - c - cen
+    lo_r, lo_c, pr, pc = _phases(cen)
+    rows_al = _ceil_to(TR + span + pr, 8)
+    cols_al = _ceil_to(TC + span + pc, 128)
+    hi_r = (r - TR + rows_al) - r - lo_r
+    hi_c = (c - TC + cols_al) - c - lo_c
 
     def pad2(arr):
-        arr = conv.wrap_pad(arr, -1, cen, hi_c)
-        return conv.wrap_pad(arr, -2, cen, hi_r)
+        arr = conv.wrap_pad(arr, -1, lo_c, hi_c)
+        return conv.wrap_pad(arr, -2, lo_r, hi_r)
 
     taps = (_taps(np.asarray(rec_lo) * 0.5), _taps(np.asarray(rec_hi) * 0.5))
     mode, beta = (None, None) if threshold is None else threshold
@@ -361,7 +372,8 @@ def _tiles_1d(B: int, m: int, hlen: int, cols_of_tc):
     return best
 
 def _make_1d_fwd_kernel(taps_lo, taps_hi, hlen, TB, TC):
-    cols = _ceil_to(2 * TC + hlen - 2, 128)
+    _, _, _, pc = _phases(conv.fwd_center(hlen))
+    cols = _ceil_to(2 * TC + hlen - 2 + pc, 128)
 
     def kernel(xp_hbm, lo_ref, hi_ref, xt, sem):
         b = pl.program_id(0)
@@ -370,7 +382,7 @@ def _make_1d_fwd_kernel(taps_lo, taps_hi, hlen, TB, TC):
             xp_hbm.at[pl.ds(TB * b, TB), pl.ds(2 * TC * j, cols)], xt, sem)
         dma.start()
         dma.wait()
-        lo_t, hi_t = _fir_decim_sub(xt[:].T, taps_lo, taps_hi, TC)
+        lo_t, hi_t = _fir_decim_sub(xt[:].T, taps_lo, taps_hi, TC, off=pc)
         lo_ref[:] = lo_t.T
         hi_ref[:] = hi_t.T
 
@@ -406,20 +418,23 @@ def fwd_level_1d(x, dec_lo, dec_hi):
     if x.dtype != jnp.float32 or hlen % 2 or n % 2:
         return None
     m = n // 2
-    tiles = _tiles_1d(B, m, hlen, lambda tc: _ceil_to(2 * tc + hlen - 2, 128))
+    _pc = _phases(conv.fwd_center(hlen))[3]
+    tiles = _tiles_1d(B, m, hlen,
+                      lambda tc: _ceil_to(2 * tc + hlen - 2 + _pc, 128))
     if tiles is None:
         return None
     TB, TC = tiles
-    cols_al = _ceil_to(2 * TC + hlen - 2, 128)
-    cen = conv.fwd_center(hlen)
-    hi_c = (n - 2 * TC + cols_al) - n - cen
-    xp = conv.wrap_pad(x, -1, cen, hi_c)
+    _, lo_c, _, pc = _phases(conv.fwd_center(hlen))
+    cols_al = _ceil_to(2 * TC + hlen - 2 + pc, 128)
+    hi_c = (n - 2 * TC + cols_al) - n - lo_c
+    xp = conv.wrap_pad(x, -1, lo_c, hi_c)
     return _fwd1d_call(xp, (_taps(dec_lo), _taps(dec_hi)), hlen, (TB, TC), m)
 
 
 def _make_1d_inv_kernel(taps_lo, taps_hi, hlen, TB, TC, pad):
     lo_pad, hi_pad = pad
-    cols = _ceil_to(TC + lo_pad + hi_pad, 128)
+    _, _, _, pc = _phases(lo_pad)
+    cols = _ceil_to(TC + lo_pad + hi_pad + pc, 128)
 
     def kernel(lo_hbm, hi_hbm, out_ref, lt, ht, sems):
         b = pl.program_id(0)
@@ -432,7 +447,8 @@ def _make_1d_inv_kernel(taps_lo, taps_hi, hlen, TB, TC, pad):
         d2.start()
         d1.wait()
         d2.wait()
-        out_t = _fir_synth_sub(lt[:].T, ht[:].T, taps_lo, taps_hi, TC)
+        out_t = _fir_synth_sub(lt[:].T, ht[:].T, taps_lo, taps_hi, TC,
+                               off=pc)
         out_ref[:] = out_t.T
 
     return kernel, cols
@@ -468,16 +484,17 @@ def inv_level_1d(lo, hi, rec_lo, rec_hi):
     if lo.dtype != jnp.float32 or hlen % 2:
         return None
     _, _, lo_pad, hi_pad = _poly_geometry(hlen)
+    _, lo_c, _, pc = _phases(lo_pad)
     tiles = _tiles_1d(B, m, hlen,
-                      lambda tc: _ceil_to(tc + lo_pad + hi_pad, 128))
+                      lambda tc: _ceil_to(tc + lo_pad + hi_pad + pc, 128))
     if tiles is None:
         return None
     TB, TC = tiles
-    cols_al = _ceil_to(TC + lo_pad + hi_pad, 128)
-    hi_c = (m - TC + cols_al) - m - lo_pad
+    cols_al = _ceil_to(TC + lo_pad + hi_pad + pc, 128)
+    hi_c = (m - TC + cols_al) - m - lo_c
 
     def pad1(arr):
-        return conv.wrap_pad(arr, -1, lo_pad, hi_c)
+        return conv.wrap_pad(arr, -1, lo_c, hi_c)
 
     return _inv1d_call(pad1(lo), pad1(hi), (_taps(rec_lo), _taps(rec_hi)),
                        hlen, (TB, TC), (lo_pad, hi_pad), m)
@@ -489,7 +506,8 @@ def inv_level_1d(lo, hi, rec_lo, rec_hi):
 
 def _make_swt1d_fwd_kernel(taps_lo, taps_hi, hlen, f, TB, TC):
     span = (hlen - 1) * f
-    cols = _ceil_to(TC + span, 128)
+    _, _, _, pc = _phases(conv.fwd_center(hlen) * f)
+    cols = _ceil_to(TC + span + pc, 128)
 
     def kernel(xp_hbm, lo_ref, hi_ref, xt, sem):
         b = pl.program_id(0)
@@ -498,7 +516,8 @@ def _make_swt1d_fwd_kernel(taps_lo, taps_hi, hlen, f, TB, TC):
             xp_hbm.at[pl.ds(TB * b, TB), pl.ds(TC * j, cols)], xt, sem)
         dma.start()
         dma.wait()
-        lo_t, hi_t = _fir_atrous_sub(xt[:].T, taps_lo, taps_hi, TC, f)
+        lo_t, hi_t = _fir_atrous_sub(xt[:].T, taps_lo, taps_hi, TC, f,
+                                     off=pc)
         lo_ref[:] = lo_t.T
         hi_ref[:] = hi_t.T
 
@@ -536,21 +555,24 @@ def swt_fwd_level_1d(x, dec_lo, dec_hi, level: int):
     if x.dtype != jnp.float32:
         return None
     span = (hlen - 1) * f
-    tiles = _tiles_1d(B, n, hlen, lambda tc: _ceil_to(tc + span, 128))
+    cen = conv.fwd_center(hlen) * f
+    _, lo_c, _, pc = _phases(cen)
+    tiles = _tiles_1d(B, n, hlen,
+                      lambda tc: _ceil_to(tc + span + pc, 128))
     if tiles is None:
         return None
     TB, TC = tiles
-    cols_al = _ceil_to(TC + span, 128)
-    cen = conv.fwd_center(hlen) * f
-    hi_c = (n - TC + cols_al) - n - cen
-    xp = conv.wrap_pad(x, -1, cen, hi_c)
+    cols_al = _ceil_to(TC + span + pc, 128)
+    hi_c = (n - TC + cols_al) - n - lo_c
+    xp = conv.wrap_pad(x, -1, lo_c, hi_c)
     return _swt1d_fwd_call(xp, (_taps(dec_lo), _taps(dec_hi)), hlen, f,
                            (TB, TC), n)
 
 
 def _make_swt1d_inv_kernel(taps_lo, taps_hi, hlen, f, TB, TC):
     span = (hlen - 1) * f
-    cols = _ceil_to(TC + span, 128)
+    _, _, _, pc = _phases((hlen // 2) * f)
+    cols = _ceil_to(TC + span + pc, 128)
 
     def kernel(lo_hbm, hi_hbm, out_ref, lt, ht, sems):
         b = pl.program_id(0)
@@ -564,7 +586,7 @@ def _make_swt1d_inv_kernel(taps_lo, taps_hi, hlen, f, TB, TC):
         d1.wait()
         d2.wait()
         out_t = _fir_atrous_pair_sub(lt[:].T, ht[:].T, taps_lo, taps_hi,
-                                     TC, f)
+                                     TC, f, off=pc)
         out_ref[:] = out_t.T
 
     return kernel, cols
@@ -601,16 +623,18 @@ def swt_inv_level_1d(lo, hi, rec_lo, rec_hi, level: int):
     if lo.dtype != jnp.float32:
         return None
     span = (hlen - 1) * f
-    tiles = _tiles_1d(B, n, hlen, lambda tc: _ceil_to(tc + span, 128))
+    cen = (hlen // 2) * f
+    _, lo_c, _, pc = _phases(cen)
+    tiles = _tiles_1d(B, n, hlen,
+                      lambda tc: _ceil_to(tc + span + pc, 128))
     if tiles is None:
         return None
     TB, TC = tiles
-    cols_al = _ceil_to(TC + span, 128)
-    cen = (hlen // 2) * f
-    hi_c = (n - TC + cols_al) - n - cen
+    cols_al = _ceil_to(TC + span + pc, 128)
+    hi_c = (n - TC + cols_al) - n - lo_c
 
     def pad1(arr):
-        return conv.wrap_pad(arr, -1, cen, hi_c)
+        return conv.wrap_pad(arr, -1, lo_c, hi_c)
 
     taps = (_taps(np.asarray(rec_lo) * 0.5), _taps(np.asarray(rec_hi) * 0.5))
     return _swt1d_inv_call(pad1(lo), pad1(hi), taps, hlen, f, (TB, TC), n)
@@ -820,44 +844,47 @@ swt_inv_level_1d_ad.defvjp(_swt_inv1d_fwd, _swt_inv1d_bwd)
 # ---------------------------------------------------------------------------
 
 def swt_fwd_geometry(r: int, c: int, hlen: int, level: int):
-    """(lo, hi_r, hi_c) padding the à-trous forward kernel expects, or
+    """(lo_r, lo_c, hi_r, hi_c) padding the à-trous forward kernel
+    expects (aligned lo pads, see separable_pallas.fwd_geometry), or
     None if unsupported."""
     f = 1 << (level - 1)
-    tiles = _swt_tiles(r, c, hlen, f)
+    cen = conv.fwd_center(hlen) * f
+    tiles = _swt_tiles(r, c, hlen, f, cen)
     if tiles is None:
         return None
     TR, TC = tiles
     span = (hlen - 1) * f
-    cen = conv.fwd_center(hlen) * f
-    rows_al = _ceil_to(TR + span, 8)
-    cols_al = _ceil_to(TC + span, 128)
-    hi_r = (r - TR + rows_al) - r - cen
-    hi_c = (c - TC + cols_al) - c - cen
-    return cen, hi_r, hi_c
+    lo_r, lo_c, pr, pc = _phases(cen)
+    rows_al = _ceil_to(TR + span + pr, 8)
+    cols_al = _ceil_to(TC + span + pc, 128)
+    hi_r = (r - TR + rows_al) - r - lo_r
+    hi_c = (c - TC + cols_al) - c - lo_c
+    return lo_r, lo_c, hi_r, hi_c
 
 
 def swt_fwd_level_2d_padded(xp, dec_lo, dec_hi, level: int, nshape):
     hlen = len(dec_lo)
     f = 1 << (level - 1)
     nr, nc = nshape
-    TR, TC = _swt_tiles(nr, nc, hlen, f)
+    TR, TC = _swt_tiles(nr, nc, hlen, f, conv.fwd_center(hlen) * f)
     return _swt_fwd_call(xp, (_taps(dec_lo), _taps(dec_hi)), hlen, f,
                          (TR, TC), (nr, nc))
 
 
 def swt_inv_geometry(r: int, c: int, hlen: int, level: int):
     f = 1 << (level - 1)
-    tiles = _swt_tiles(r, c, hlen, f)
+    cen = (hlen // 2) * f
+    tiles = _swt_tiles(r, c, hlen, f, cen)
     if tiles is None:
         return None
     TR, TC = tiles
     span = (hlen - 1) * f
-    cen = (hlen // 2) * f
-    rows_al = _ceil_to(TR + span, 8)
-    cols_al = _ceil_to(TC + span, 128)
-    hi_r = (r - TR + rows_al) - r - cen
-    hi_c = (c - TC + cols_al) - c - cen
-    return cen, hi_r, hi_c
+    lo_r, lo_c, pr, pc = _phases(cen)
+    rows_al = _ceil_to(TR + span + pr, 8)
+    cols_al = _ceil_to(TC + span + pc, 128)
+    hi_r = (r - TR + rows_al) - r - lo_r
+    hi_c = (c - TC + cols_al) - c - lo_c
+    return lo_r, lo_c, hi_r, hi_c
 
 
 def swt_inv_level_2d_padded(ap, hp, vp, dp, rec_lo, rec_hi, level: int,
@@ -865,7 +892,7 @@ def swt_inv_level_2d_padded(ap, hp, vp, dp, rec_lo, rec_hi, level: int,
     hlen = len(rec_lo)
     f = 1 << (level - 1)
     nr, nc = nshape
-    TR, TC = _swt_tiles(nr, nc, hlen, f)
+    TR, TC = _swt_tiles(nr, nc, hlen, f, (hlen // 2) * f)
     taps = (_taps(np.asarray(rec_lo) * 0.5), _taps(np.asarray(rec_hi) * 0.5))
     return _swt_inv_call(ap, hp, vp, dp, taps, hlen, f, (TR, TC), (nr, nc))
 
@@ -879,26 +906,28 @@ def swt_inv_level_2d_padded(ap, hp, vp, dp, rec_lo, rec_hi, level: int,
 # ---------------------------------------------------------------------------
 
 def fwd1d_geometry(bsz: int, n: int, hlen: int):
-    """(lo, hi) signal-axis padding the 1D forward kernel expects, or
-    None if unsupported (tile pick depends on the local batch size)."""
+    """(lo, hi) signal-axis padding the 1D forward kernel expects
+    (lane-aligned lo), or None if unsupported (tile pick depends on the
+    local batch size)."""
     if hlen % 2 or n % 2:
         return None
     m = n // 2
+    _, lo_c, _, pc = _phases(conv.fwd_center(hlen))
     tiles = _tiles_1d(bsz, m, hlen,
-                      lambda tc: _ceil_to(2 * tc + hlen - 2, 128))
+                      lambda tc: _ceil_to(2 * tc + hlen - 2 + pc, 128))
     if tiles is None:
         return None
     _, TC = tiles
-    cols_al = _ceil_to(2 * TC + hlen - 2, 128)
-    cen = conv.fwd_center(hlen)
-    return cen, (n - 2 * TC + cols_al) - n - cen
+    cols_al = _ceil_to(2 * TC + hlen - 2 + pc, 128)
+    return lo_c, (n - 2 * TC + cols_al) - n - lo_c
 
 
 def fwd_level_1d_padded(xp, dec_lo, dec_hi, m: int):
     hlen = len(dec_lo)
     B = xp.shape[0]
+    pc = _phases(conv.fwd_center(hlen))[3]
     tiles = _tiles_1d(B, m, hlen,
-                      lambda tc: _ceil_to(2 * tc + hlen - 2, 128))
+                      lambda tc: _ceil_to(2 * tc + hlen - 2 + pc, 128))
     return _fwd1d_call(xp, (_taps(dec_lo), _taps(dec_hi)), hlen, tiles, m)
 
 
@@ -906,21 +935,23 @@ def inv1d_geometry(bsz: int, m: int, hlen: int):
     if hlen % 2:
         return None
     _, _, lo_pad, hi_pad = _poly_geometry(hlen)
+    _, lo_c, _, pc = _phases(lo_pad)
     tiles = _tiles_1d(bsz, m, hlen,
-                      lambda tc: _ceil_to(tc + lo_pad + hi_pad, 128))
+                      lambda tc: _ceil_to(tc + lo_pad + hi_pad + pc, 128))
     if tiles is None:
         return None
     _, TC = tiles
-    cols_al = _ceil_to(TC + lo_pad + hi_pad, 128)
-    return lo_pad, (m - TC + cols_al) - m - lo_pad
+    cols_al = _ceil_to(TC + lo_pad + hi_pad + pc, 128)
+    return lo_c, (m - TC + cols_al) - m - lo_c
 
 
 def inv_level_1d_padded(lp, hp, rec_lo, rec_hi, m: int):
     hlen = len(rec_lo)
     B = lp.shape[0]
     _, _, lo_pad, hi_pad = _poly_geometry(hlen)
+    pc = _phases(lo_pad)[3]
     tiles = _tiles_1d(B, m, hlen,
-                      lambda tc: _ceil_to(tc + lo_pad + hi_pad, 128))
+                      lambda tc: _ceil_to(tc + lo_pad + hi_pad + pc, 128))
     return _inv1d_call(lp, hp, (_taps(rec_lo), _taps(rec_hi)), hlen, tiles,
                        (lo_pad, hi_pad), m)
 
@@ -928,13 +959,15 @@ def inv_level_1d_padded(lp, hp, rec_lo, rec_hi, m: int):
 def swt1d_fwd_geometry(bsz: int, n: int, hlen: int, level: int):
     f = 1 << (level - 1)
     span = (hlen - 1) * f
-    tiles = _tiles_1d(bsz, n, hlen, lambda tc: _ceil_to(tc + span, 128))
+    cen = conv.fwd_center(hlen) * f
+    _, lo_c, _, pc = _phases(cen)
+    tiles = _tiles_1d(bsz, n, hlen,
+                      lambda tc: _ceil_to(tc + span + pc, 128))
     if tiles is None:
         return None
     _, TC = tiles
-    cols_al = _ceil_to(TC + span, 128)
-    cen = conv.fwd_center(hlen) * f
-    return cen, (n - TC + cols_al) - n - cen
+    cols_al = _ceil_to(TC + span + pc, 128)
+    return lo_c, (n - TC + cols_al) - n - lo_c
 
 
 def swt_fwd_level_1d_padded(xp, dec_lo, dec_hi, level: int, n: int):
@@ -942,7 +975,9 @@ def swt_fwd_level_1d_padded(xp, dec_lo, dec_hi, level: int, n: int):
     f = 1 << (level - 1)
     B = xp.shape[0]
     span = (hlen - 1) * f
-    tiles = _tiles_1d(B, n, hlen, lambda tc: _ceil_to(tc + span, 128))
+    pc = _phases(conv.fwd_center(hlen) * f)[3]
+    tiles = _tiles_1d(B, n, hlen,
+                      lambda tc: _ceil_to(tc + span + pc, 128))
     return _swt1d_fwd_call(xp, (_taps(dec_lo), _taps(dec_hi)), hlen, f,
                            tiles, n)
 
@@ -950,13 +985,15 @@ def swt_fwd_level_1d_padded(xp, dec_lo, dec_hi, level: int, n: int):
 def swt1d_inv_geometry(bsz: int, n: int, hlen: int, level: int):
     f = 1 << (level - 1)
     span = (hlen - 1) * f
-    tiles = _tiles_1d(bsz, n, hlen, lambda tc: _ceil_to(tc + span, 128))
+    cen = (hlen // 2) * f
+    _, lo_c, _, pc = _phases(cen)
+    tiles = _tiles_1d(bsz, n, hlen,
+                      lambda tc: _ceil_to(tc + span + pc, 128))
     if tiles is None:
         return None
     _, TC = tiles
-    cols_al = _ceil_to(TC + span, 128)
-    cen = (hlen // 2) * f
-    return cen, (n - TC + cols_al) - n - cen
+    cols_al = _ceil_to(TC + span + pc, 128)
+    return lo_c, (n - TC + cols_al) - n - lo_c
 
 
 def swt_inv_level_1d_padded(lp, hp, rec_lo, rec_hi, level: int, n: int):
@@ -964,6 +1001,8 @@ def swt_inv_level_1d_padded(lp, hp, rec_lo, rec_hi, level: int, n: int):
     f = 1 << (level - 1)
     B = lp.shape[0]
     span = (hlen - 1) * f
-    tiles = _tiles_1d(B, n, hlen, lambda tc: _ceil_to(tc + span, 128))
+    pc = _phases((hlen // 2) * f)[3]
+    tiles = _tiles_1d(B, n, hlen,
+                      lambda tc: _ceil_to(tc + span + pc, 128))
     taps = (_taps(np.asarray(rec_lo) * 0.5), _taps(np.asarray(rec_hi) * 0.5))
     return _swt1d_inv_call(lp, hp, taps, hlen, f, tiles, n)

@@ -113,9 +113,9 @@ def _local_pallas_dwt2d(xl, wav, levels, pad_fn):
         geo = (kernels.fwd_geometry(r, c, wav.hlen)
                if a.dtype == jnp.float32 else None)
         if geo is not None:
-            cen, hi_r, hi_c = geo
-            xp = pad_fn(a, -1, cen, hi_c)
-            xp = pad_fn(xp, -2, cen, hi_r)
+            lo_r, lo_c, hi_r, hi_c = geo
+            xp = pad_fn(a, -1, lo_c, hi_c)
+            xp = pad_fn(xp, -2, lo_r, hi_r)
             a, h, v, d = kernels.fwd_level_2d_padded(xp, tl, th,
                                                      (r // 2, c // 2))
         else:
@@ -148,11 +148,11 @@ def _local_pallas_idwt2d(cl, wav, local_shape, pad_fn):
         geo = (kernels.inv_geometry(mr, mc, wav.hlen)
                if a.dtype == jnp.float32 else None)
         if geo is not None:
-            lo_pad, hi_r, hi_c = geo
+            lo_r, lo_c, hi_r, hi_c = geo
 
             def pad2(arr):
-                arr = pad_fn(arr, -1, lo_pad, hi_c)
-                return pad_fn(arr, -2, lo_pad, hi_r)
+                arr = pad_fn(arr, -1, lo_c, hi_c)
+                return pad_fn(arr, -2, lo_r, hi_r)
 
             a = kernels.inv_level_2d_padded(pad2(a), pad2(h), pad2(v),
                                             pad2(d), rl, rh, (mr, mc))
@@ -180,9 +180,9 @@ def _local_pallas_swt2d(xl, wav, levels, pad_fn):
         geo = (kernels.swt_fwd_geometry(r, c, wav.hlen, lvl)
                if a.dtype == jnp.float32 and wav.hlen % 2 == 0 else None)
         if geo is not None:
-            cen, hi_r, hi_c = geo
-            xp = pad_fn(a, -1, cen, hi_c)
-            xp = pad_fn(xp, -2, cen, hi_r)
+            lo_r, lo_c, hi_r, hi_c = geo
+            xp = pad_fn(a, -1, lo_c, hi_c)
+            xp = pad_fn(xp, -2, lo_r, hi_r)
             a, h, v, d = kernels.swt_fwd_level_2d_padded(xp, tl, th, lvl,
                                                          (r, c))
         else:
@@ -215,11 +215,11 @@ def _local_pallas_iswt2d(cl, wav, pad_fn):
         geo = (kernels.swt_inv_geometry(r, c, wav.hlen, i + 1)
                if a.dtype == jnp.float32 and wav.hlen % 2 == 0 else None)
         if geo is not None:
-            cen, hi_r, hi_c = geo
+            lo_r, lo_c, hi_r, hi_c = geo
 
             def pad2(arr):
-                arr = pad_fn(arr, -1, cen, hi_c)
-                return pad_fn(arr, -2, cen, hi_r)
+                arr = pad_fn(arr, -1, lo_c, hi_c)
+                return pad_fn(arr, -2, lo_r, hi_r)
 
             a = kernels.swt_inv_level_2d_padded(pad2(a), pad2(h), pad2(v),
                                                 pad2(d), rl, rh, i + 1,

@@ -116,3 +116,44 @@ def test_quad_factorization_dispatch(rng):
     arr, batch = _to_nchw(x, 2)
     z = _fwd_level(arr, _check_quads(q_an))
     assert float(jnp.abs(c_a.approx - _from_nchw(z[:, 0:1], batch, 2)).max()) < 1e-10
+
+
+def test_rank_decomposed_matches_true_2d_conv(rng):
+    """The rank-r separable-sum path must equal the direct 2D-convolution
+    formulation for genuinely non-separable (full-rank random) quads."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pdwt_tpu.core import nonseparable as ns
+    from pdwt_tpu.core.separable import Coeffs2D
+
+    q = rng.standard_normal((4, 10, 10))
+    x = rng.standard_normal((64, 64)).astype(np.float32)
+    arr = jnp.asarray(x)[None, None]
+
+    # forward: rank path vs direct conv kernel
+    z_rank = ns._rank_fwd_level(arr, *ns._rank_decomp(q))
+    z_conv = ns._fwd_level(arr, q)
+    assert float(jnp.abs(z_rank - z_conv).max()) < 1e-3
+
+    # end-to-end: dwt2d_ns/idwt2d_ns (rank path) perfect reconstruction
+    # with a wavelet-derived but artificially rank-2 quad set
+    from pdwt_tpu.filters import get_wavelet, quad_filters
+    w = get_wavelet("db4")
+    qf = quad_filters(w.dec_lo, w.dec_hi)
+    qr = qf + 0.05 * np.roll(qf, 1, axis=1)  # break joint separability
+    A, B = ns._rank_decomp(qr)
+    assert A.shape[1] > 1  # genuinely non-separable
+    zf = ns._rank_fwd_level(arr, A, B)
+    zc = ns._fwd_level(arr, qr)
+    assert float(jnp.abs(zf - zc).max()) < 1e-3
+
+    # SWT level equality
+    zs_rank_c = ns.swt2d_ns(jnp.asarray(x), qr, 2)
+    a2 = arr
+    dets = []
+    for lvl in (1, 2):
+        z2 = ns._fwd_swt_level(a2, qr, 1 << (lvl - 1))
+        a2 = z2[:, 0:1]
+        dets.append(tuple(z2[0, k] for k in (1, 2, 3)))
+    assert float(jnp.abs(zs_rank_c.approx - a2[0, 0]).max()) < 1e-3

@@ -180,3 +180,31 @@ def test_checkpoint_roundtrip(tmp_path, rng):
     c1b = load_coeffs(p1)
     for a, b in zip(jax.tree.leaves(c1), jax.tree.leaves(c1b)):
         assert jnp.abs(a - jnp.asarray(b)).max() == 0
+
+
+def test_debug_sanitizers(rng):
+    """NaN guard (checkify) + coefficient geometry audit."""
+    import jax.numpy as jnp
+    import numpy as np
+    import pytest as _pytest
+
+    from pdwt_tpu.core import separable as sep
+    from pdwt_tpu.filters import get_wavelet
+    from pdwt_tpu.utils import assert_finite, checked, validate_coeffs
+
+    f = checked(lambda x: (assert_finite(x, "input"), x * 2)[1])
+    assert float(f(jnp.ones(3))[0]) == 2.0
+    with _pytest.raises(Exception, match="NaN/Inf"):
+        f(jnp.array([1.0, float("nan")]))
+
+    w = get_wavelet("db3")
+    x = jnp.asarray(rng.standard_normal((37, 53)), jnp.float32)
+    c = sep.dwt2d(x, w, 2)
+    validate_coeffs(c, 37, 53, levels=2)            # passes
+    with _pytest.raises(ValueError, match="levels"):
+        validate_coeffs(c, 37, 53, levels=3)
+    bad = type(c)(c.approx[..., :-1], c.details)
+    with _pytest.raises(ValueError, match="approx"):
+        validate_coeffs(bad, 37, 53, levels=2)
+    c1 = sep.swt1d(x[0], w, 2)
+    validate_coeffs(c1, 53, levels=2, swt=True)

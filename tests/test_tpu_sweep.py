@@ -1,0 +1,112 @@
+"""Wide real-chip sweep (PDWT_TEST_TPU=1): representative wavelets across
+every transform family, odd/fallback geometries, and an all-72 smoke
+sweep (PDWT_TPU_SWEEP=1 — each wavelet's kernels live in ONE jitted
+program so the whole bank costs a single remote compile).
+
+Round-1 verdict item 7: the tile-selection logic has many branches that
+only real-chip runs exercise.
+"""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pdwt_tpu.core import separable as sep
+from pdwt_tpu.filters import get_wavelet, list_wavelets
+
+pytestmark = pytest.mark.skipif(
+    jax.default_backend() != "tpu", reason="TPU sweep needs the real chip")
+
+# 10 representative wavelets: extremes of hlen, orthogonal + biorthogonal
+# + reverse-biorthogonal families, odd-hlen fallback candidates.
+WAVES10 = ["haar", "db2", "db7", "db20", "sym8", "coif3", "bior2.6",
+           "bior4.4", "rbio3.5", "sym16"]
+
+
+def _roundtrip_errs(wnames, make_fwd, make_inv, x):
+    """One jitted program computing fwd+inv recon error for EVERY
+    wavelet — one remote compile for the whole list."""
+
+    @jax.jit
+    def run(img):
+        errs = []
+        for wname in wnames:
+            w = get_wavelet(wname)
+            c = make_fwd(img, w)
+            y = make_inv(c, w, img)
+            errs.append(jnp.max(jnp.abs(y - img)))
+        return jnp.stack(errs)
+
+    return np.asarray(run(x))
+
+
+def test_ten_wavelets_2d_dwt(rng):
+    x = jnp.asarray(rng.uniform(0, 255, (256, 256)), jnp.float32)
+    errs = _roundtrip_errs(
+        WAVES10,
+        lambda img, w: sep.dwt2d(img, w, 2),
+        lambda c, w, img: sep.idwt2d(c, w, img.shape), x)
+    for wname, e in zip(WAVES10, errs):
+        assert e < 1e-2, (wname, float(e))
+
+
+def test_ten_wavelets_2d_swt(rng):
+    x = jnp.asarray(rng.uniform(0, 255, (256, 256)), jnp.float32)
+    errs = _roundtrip_errs(
+        WAVES10,
+        lambda img, w: sep.swt2d(img, w, 2),
+        lambda c, w, img: sep.iswt2d(c, w), x)
+    for wname, e in zip(WAVES10, errs):
+        assert e < 1e-2, (wname, float(e))
+
+
+def test_ten_wavelets_1d(rng):
+    x = jnp.asarray(rng.uniform(0, 255, (16, 1024)), jnp.float32)
+    errs = _roundtrip_errs(
+        WAVES10,
+        lambda img, w: sep.dwt1d(img, w, 2),
+        lambda c, w, img: sep.idwt1d(c, w, img.shape[-1]), x)
+    for wname, e in zip(WAVES10, errs):
+        assert e < 1e-2, (wname, float(e))
+
+
+def test_odd_and_fallback_geometries(rng):
+    """Odd sizes, non-tile-divisible sizes, deep SWT (dilated halo >
+    tile) — the per-level fma fallbacks inside the pallas path."""
+    w = get_wavelet("db7")
+
+    @jax.jit
+    def run(img):
+        c = sep.dwt2d(img, w, 3)
+        return jnp.max(jnp.abs(sep.idwt2d(c, w, img.shape) - img))
+
+    for shape in ((94, 190), (250, 122), (257, 255)):
+        x = jnp.asarray(rng.uniform(0, 255, shape), jnp.float32)
+        assert float(run(x)) < 1e-2, shape
+
+    # deep SWT: level-5 dilation 16 -> span 208 with db7
+    x = jnp.asarray(rng.uniform(0, 255, (512, 512)), jnp.float32)
+
+    @jax.jit
+    def run_swt(img):
+        c = sep.swt2d(img, w, 5)
+        return jnp.max(jnp.abs(sep.iswt2d(c, w) - img))
+
+    assert float(run_swt(x)) < 1e-2
+
+
+@pytest.mark.skipif(os.environ.get("PDWT_TPU_SWEEP") != "1",
+                    reason="all-72 sweep is slow; set PDWT_TPU_SWEEP=1")
+def test_all_72_wavelets_smoke(rng):
+    """Single-level fwd+inv on the FULL bank, one compile."""
+    names = list_wavelets()
+    assert len(names) >= 72
+    x = jnp.asarray(rng.uniform(0, 255, (128, 128)), jnp.float32)
+    errs = _roundtrip_errs(
+        names,
+        lambda img, w: sep.dwt2d(img, w, 1),
+        lambda c, w, img: sep.idwt2d(c, w, img.shape), x)
+    bad = [(n, float(e)) for n, e in zip(names, errs) if not e < 5e-2]
+    assert not bad, bad

@@ -34,18 +34,19 @@ B = 1
 
 MR = MC = N // 2
 TR, TC = sp._pick_tiles_2d(MR, MC, HLEN, inv=False)
-ROWS = sp._ceil_to(2 * TR + HLEN - 2, 8)
-COLS = sp._ceil_to(2 * TC + HLEN - 2, 128)
+_, _, PR, PC = sp._phases(sp.conv.fwd_center(HLEN))
+ROWS = sp._ceil_to(2 * TR + HLEN - 2 + PR, 8)
+COLS = sp._ceil_to(2 * TC + HLEN - 2 + PC, 128)
 TAPS_LO = sp._taps(WAV.dec_lo)
 TAPS_HI = sp._taps(WAV.dec_hi)
 print(f"tiles (TR,TC)=({TR},{TC}), tile dims ({ROWS},{COLS}), "
       f"grid {MR//TR}x{MC//TC}")
 
-cen, hi_r, hi_c = sp.fwd_geometry(N, N, HLEN)
+LO_RG, LO_CG, hi_r, hi_c = sp.fwd_geometry(N, N, HLEN)
 rng = np.random.default_rng(0)
 IMG = jnp.asarray(rng.standard_normal((B, N, N)) * 255.0, jnp.float32)
-XP = jax.jit(lambda x: conv.wrap_pad(conv.wrap_pad(x, -1, cen, hi_c),
-                                     -2, cen, hi_r))(IMG)
+XP = jax.jit(lambda x: conv.wrap_pad(conv.wrap_pad(x, -1, LO_CG, hi_c),
+                                     -2, LO_RG, hi_r))(IMG)
 XP.block_until_ready()
 
 

@@ -55,11 +55,11 @@ def main():
     # --- wrap_pad (XLA concat) cost at level-1 size -----------------------
     geo = sp.fwd_geometry(N, N, hlen)
     print(f"fwd_geometry(L1) = {geo}")
-    cen, hi_r, hi_c = geo
+    lo_rg, lo_cg, hi_r, hi_c = geo
 
     def pad2(x):
-        xp = conv.wrap_pad(x, -1, cen, hi_c)
-        return conv.wrap_pad(xp, -2, cen, hi_r)
+        xp = conv.wrap_pad(x, -1, lo_cg, hi_c)
+        return conv.wrap_pad(xp, -2, lo_rg, hi_r)
 
     t("wrap_pad both axes (L1 input)", pad2, img)
 
@@ -72,11 +72,11 @@ def main():
         if geo is None or not sp.pallas_supported_fwd((r, r), hlen):
             print(f"L{lvl} ({r}^2): unsupported geometry")
             continue
-        cen, hi_r, hi_c = geo
+        lo_rg, lo_cg, hi_r, hi_c = geo
 
-        def padl(y, cen=cen, hi_r=hi_r, hi_c=hi_c):
-            yp = conv.wrap_pad(y, -1, cen, hi_c)
-            return conv.wrap_pad(yp, -2, cen, hi_r)
+        def padl(y, lo_rg=lo_rg, lo_cg=lo_cg, hi_r=hi_r, hi_c=hi_c):
+            yp = conv.wrap_pad(y, -1, lo_cg, hi_c)
+            return conv.wrap_pad(yp, -2, lo_rg, hi_r)
 
         xp = jax.jit(padl)(xl)
         t(f"L{lvl} fwd kernel only ({r}^2, padded in)",
@@ -98,11 +98,11 @@ def main():
                                              wav.rec_hi), *bands)
         if lvl == 1:
             geo_i = sp.inv_geometry(m, m, hlen)
-            lo_pad, hi_ri, hi_ci = geo_i
+            lo_ri, lo_ci, hi_ri, hi_ci = geo_i
 
-            def padi(t_, lo_pad=lo_pad, hi_ri=hi_ri, hi_ci=hi_ci):
-                t_ = conv.wrap_pad(t_, -1, lo_pad, hi_ci)
-                return conv.wrap_pad(t_, -2, lo_pad, hi_ri)
+            def padi(t_, lo_ri=lo_ri, lo_ci=lo_ci, hi_ri=hi_ri, hi_ci=hi_ci):
+                t_ = conv.wrap_pad(t_, -1, lo_ci, hi_ci)
+                return conv.wrap_pad(t_, -2, lo_ri, hi_ri)
 
             pb = [jax.jit(padi)(t_) for t_ in bands]
             t(f"L{lvl} inv kernel only (padded in)",
