@@ -17,13 +17,18 @@ import time
 
 
 def device_time(fn, arg, *, K: int = 8, M1: int = 1, M2: int = 5,
-                reps: int = 3) -> float:
-    """Pure device seconds per ``fn(x) -> x``-shaped call (slope method)."""
+                reps: int = 8) -> float:
+    """Pure device seconds per ``fn(x) -> x``-shaped call (slope method).
+
+    The tunnel/chip alternates between fast and slow phases (identical
+    programs measure up to 2x apart across runs), so the two loop sizes
+    are sampled INTERLEAVED and the slope uses the minimum of each —
+    both minima approach the uncontended time."""
     import jax
     import jax.numpy as jnp
     from jax import lax
 
-    def timed_loop(M):
+    def make(M):
         @jax.jit
         def lp(x):
             def body(_, v):
@@ -33,14 +38,17 @@ def device_time(fn, arg, *, K: int = 8, M1: int = 1, M2: int = 5,
             return lax.fori_loop(0, K, body, x)
 
         float(jnp.sum(lp(arg)))  # compile + warm
-        best = float("inf")
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            float(jnp.sum(lp(arg)))
-            best = min(best, time.perf_counter() - t0)
-        return best
+        return lp
 
-    t1, t2 = timed_loop(M1), timed_loop(M2)
+    lp1, lp2 = make(M1), make(M2)
+    t1 = t2 = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        float(jnp.sum(lp1(arg)))
+        t1 = min(t1, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        float(jnp.sum(lp2(arg)))
+        t2 = min(t2, time.perf_counter() - t0)
     return (t2 - t1) / (K * (M2 - M1))
 
 
@@ -65,7 +73,7 @@ def device_time_any(fn, *args, K: int = 24, M1: int = 1, M2: int = 4,
         return sum(jnp.real(l.ravel()[0]).astype(jnp.float32)
                    for l in leaves) * 1e-30
 
-    def timed(M):
+    def make(M):
         @jax.jit
         def lp(*xs):
             def body(_, carry):
@@ -81,14 +89,17 @@ def device_time_any(fn, *args, K: int = 24, M1: int = 1, M2: int = 4,
                                  tuple(xs) + (jnp.float32(0.0),))[-1]
 
         float(lp(*args))  # compile + warm
-        best = float("inf")
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            float(lp(*args))
-            best = min(best, time.perf_counter() - t0)
-        return best
+        return lp
 
-    t1, t2 = timed(M1), timed(M2)
+    lp1, lp2 = make(M1), make(M2)
+    t1 = t2 = float("inf")
+    for _ in range(max(reps, 6)):  # interleaved min-of-samples per M
+        t0 = time.perf_counter()
+        float(lp1(*args))
+        t1 = min(t1, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        float(lp2(*args))
+        t2 = min(t2, time.perf_counter() - t0)
     return (t2 - t1) / (K * (M2 - M1))
 
 
