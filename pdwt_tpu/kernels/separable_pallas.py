@@ -73,13 +73,21 @@ def _vmem_est(rows: int, cols: int, hlen: int) -> int:
     return rows * cols * 4 * (hlen // 2 + 8)
 
 
-def _phases(lo: int):
+def _phases(lo: int, *, lane_aligned: bool = True):
     """Static phase of sublane/lane-ALIGNED lo pads.  An XLA wrap pad
     whose lo amount is tile-aligned is a pure copy; unaligned lo shifts
     the whole body (a relayout measured ~10x slower), so kernels pad by
-    the aligned amount and carry the phase in their slice arithmetic."""
+    the aligned amount and carry the phase in their slice arithmetic.
+
+    Row alignment is free (the 8-quantized tile height rarely grows and
+    sublane slice offsets cost the same at any phase).  LANE alignment
+    is a trade-off: the phase (up to 127) widens the 128-quantized tile,
+    growing pass-1 FIR work.  The decimated kernels' lane halos are tiny
+    (cen < 20) and their unaligned lane pads cheap, so they keep exact
+    lane pads (``lane_aligned=False``); the SWT kernels' four full-size
+    subband pads dominate instead, so they align both axes."""
     lo_r = _ceil_to(lo, 8)
-    lo_c = _ceil_to(lo, 128)
+    lo_c = _ceil_to(lo, 128) if lane_aligned else lo
     return lo_r, lo_c, lo_r - lo, lo_c - lo
 
 
@@ -87,11 +95,11 @@ def _pick_tiles_2d(mr: int, mc: int, hlen: int, *, inv: bool):
     """Largest (TR, TC) pair whose kernel body fits the VMEM budget."""
     if inv:
         _, _, lo, hi = _poly_geometry(hlen)
-        _, _, pr, pc = _phases(lo)
+        _, _, pr, pc = _phases(lo, lane_aligned=False)
         dims = lambda tr, tc: (_ceil_to(tr + lo + hi + pr, 8),
                                _ceil_to(tc + lo + hi + pc, 128))
     else:
-        _, _, pr, pc = _phases(conv.fwd_center(hlen))
+        _, _, pr, pc = _phases(conv.fwd_center(hlen), lane_aligned=False)
         dims = lambda tr, tc: (_ceil_to(2 * tr + hlen - 2 + pr, 8),
                                _ceil_to(2 * tc + hlen - 2 + pc, 128))
     best = None
@@ -205,7 +213,7 @@ def _make_fwd_kernel(taps_lo, taps_hi, hlen, TR, TC, grid):
     # alignment margin; the FIR slice arithmetic carries the phase.
     B, GI, GJ = grid
     nsteps = B * GI * GJ
-    _, _, pr, pc = _phases(conv.fwd_center(hlen))
+    _, _, pr, pc = _phases(conv.fwd_center(hlen), lane_aligned=False)
     rows = _ceil_to(2 * TR + hlen - 2 + pr, 8)
     cols = _ceil_to(2 * TC + hlen - 2 + pc, 128)
 
@@ -310,7 +318,7 @@ def fwd_geometry(r: int, c: int, hlen: int):
     if tiles is None:
         return None
     TR, TC = tiles
-    lo_r, lo_c, pr, pc = _phases(conv.fwd_center(hlen))
+    lo_r, lo_c, pr, pc = _phases(conv.fwd_center(hlen), lane_aligned=False)
     rows_al = _ceil_to(2 * TR + hlen - 2 + pr, 8)
     cols_al = _ceil_to(2 * TC + hlen - 2 + pc, 128)
     # hi pad covers the filter support plus the DMA alignment margin of
@@ -354,7 +362,7 @@ def _make_inv_kernel(taps_lo, taps_hi, hlen, TR, TC, pad, grid):
     lo_pad, hi_pad = pad
     B, GI, GJ = grid
     nsteps = B * GI * GJ
-    _, _, pr, pc = _phases(lo_pad)
+    _, _, pr, pc = _phases(lo_pad, lane_aligned=False)
     rows = _ceil_to(TR + lo_pad + hi_pad + pr, 8)
     cols = _ceil_to(TC + lo_pad + hi_pad + pc, 128)
 
@@ -455,7 +463,7 @@ def inv_geometry(mr: int, mc: int, hlen: int):
         return None
     TR, TC = tiles
     _, _, lo_pad, hi_pad = _poly_geometry(hlen)
-    lo_r, lo_c, pr, pc = _phases(lo_pad)
+    lo_r, lo_c, pr, pc = _phases(lo_pad, lane_aligned=False)
     rows_al = _ceil_to(TR + lo_pad + hi_pad + pr, 8)
     cols_al = _ceil_to(TC + lo_pad + hi_pad + pc, 128)
     hi_r = (mr - TR + rows_al) - mr - lo_r

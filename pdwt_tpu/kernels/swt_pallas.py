@@ -372,7 +372,7 @@ def _tiles_1d(B: int, m: int, hlen: int, cols_of_tc):
     return best
 
 def _make_1d_fwd_kernel(taps_lo, taps_hi, hlen, TB, TC):
-    _, _, _, pc = _phases(conv.fwd_center(hlen))
+    _, _, _, pc = _phases(conv.fwd_center(hlen), lane_aligned=False)
     cols = _ceil_to(2 * TC + hlen - 2 + pc, 128)
 
     def kernel(xp_hbm, lo_ref, hi_ref, xt, sem):
@@ -418,13 +418,13 @@ def fwd_level_1d(x, dec_lo, dec_hi):
     if x.dtype != jnp.float32 or hlen % 2 or n % 2:
         return None
     m = n // 2
-    _pc = _phases(conv.fwd_center(hlen))[3]
+    _pc = _phases(conv.fwd_center(hlen), lane_aligned=False)[3]
     tiles = _tiles_1d(B, m, hlen,
                       lambda tc: _ceil_to(2 * tc + hlen - 2 + _pc, 128))
     if tiles is None:
         return None
     TB, TC = tiles
-    _, lo_c, _, pc = _phases(conv.fwd_center(hlen))
+    _, lo_c, _, pc = _phases(conv.fwd_center(hlen), lane_aligned=False)
     cols_al = _ceil_to(2 * TC + hlen - 2 + pc, 128)
     hi_c = (n - 2 * TC + cols_al) - n - lo_c
     xp = conv.wrap_pad(x, -1, lo_c, hi_c)
@@ -433,7 +433,7 @@ def fwd_level_1d(x, dec_lo, dec_hi):
 
 def _make_1d_inv_kernel(taps_lo, taps_hi, hlen, TB, TC, pad):
     lo_pad, hi_pad = pad
-    _, _, _, pc = _phases(lo_pad)
+    _, _, _, pc = _phases(lo_pad, lane_aligned=False)
     cols = _ceil_to(TC + lo_pad + hi_pad + pc, 128)
 
     def kernel(lo_hbm, hi_hbm, out_ref, lt, ht, sems):
@@ -484,7 +484,7 @@ def inv_level_1d(lo, hi, rec_lo, rec_hi):
     if lo.dtype != jnp.float32 or hlen % 2:
         return None
     _, _, lo_pad, hi_pad = _poly_geometry(hlen)
-    _, lo_c, _, pc = _phases(lo_pad)
+    _, lo_c, _, pc = _phases(lo_pad, lane_aligned=False)
     tiles = _tiles_1d(B, m, hlen,
                       lambda tc: _ceil_to(tc + lo_pad + hi_pad + pc, 128))
     if tiles is None:
@@ -912,7 +912,7 @@ def fwd1d_geometry(bsz: int, n: int, hlen: int):
     if hlen % 2 or n % 2:
         return None
     m = n // 2
-    _, lo_c, _, pc = _phases(conv.fwd_center(hlen))
+    _, lo_c, _, pc = _phases(conv.fwd_center(hlen), lane_aligned=False)
     tiles = _tiles_1d(bsz, m, hlen,
                       lambda tc: _ceil_to(2 * tc + hlen - 2 + pc, 128))
     if tiles is None:
@@ -925,7 +925,7 @@ def fwd1d_geometry(bsz: int, n: int, hlen: int):
 def fwd_level_1d_padded(xp, dec_lo, dec_hi, m: int):
     hlen = len(dec_lo)
     B = xp.shape[0]
-    pc = _phases(conv.fwd_center(hlen))[3]
+    pc = _phases(conv.fwd_center(hlen), lane_aligned=False)[3]
     tiles = _tiles_1d(B, m, hlen,
                       lambda tc: _ceil_to(2 * tc + hlen - 2 + pc, 128))
     return _fwd1d_call(xp, (_taps(dec_lo), _taps(dec_hi)), hlen, tiles, m)
@@ -935,7 +935,7 @@ def inv1d_geometry(bsz: int, m: int, hlen: int):
     if hlen % 2:
         return None
     _, _, lo_pad, hi_pad = _poly_geometry(hlen)
-    _, lo_c, _, pc = _phases(lo_pad)
+    _, lo_c, _, pc = _phases(lo_pad, lane_aligned=False)
     tiles = _tiles_1d(bsz, m, hlen,
                       lambda tc: _ceil_to(tc + lo_pad + hi_pad + pc, 128))
     if tiles is None:
@@ -949,7 +949,7 @@ def inv_level_1d_padded(lp, hp, rec_lo, rec_hi, m: int):
     hlen = len(rec_lo)
     B = lp.shape[0]
     _, _, lo_pad, hi_pad = _poly_geometry(hlen)
-    pc = _phases(lo_pad)[3]
+    pc = _phases(lo_pad, lane_aligned=False)[3]
     tiles = _tiles_1d(B, m, hlen,
                       lambda tc: _ceil_to(tc + lo_pad + hi_pad + pc, 128))
     return _inv1d_call(lp, hp, (_taps(rec_lo), _taps(rec_hi)), hlen, tiles,
