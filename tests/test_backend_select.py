@@ -58,3 +58,35 @@ def test_unknown_backend_rejected():
 def test_explicit_kwarg_beats_override():
     conv.set_default_backend("gather")
     assert sep._auto_backend("fma", None) == "fma"
+
+
+def test_mxu_modes_interpret(monkeypatch, rng):
+    """bf16 and mixed MXU kernel paths in pallas interpret mode on CPU —
+    keeps the serving-mode kernels covered by the default suite."""
+    import jax
+    import jax.numpy as jnp
+
+    monkeypatch.setenv("PDWT_PALLAS_INTERPRET", "1")
+    w = get_wavelet("db7")
+    x = jnp.asarray(
+        np.random.default_rng(1).uniform(0, 255, (512, 512)), jnp.float32)
+    cg = sep.dwt2d(x, w, 1, backend="gather")
+
+    cb = sep.dwt2d(x.astype(jnp.bfloat16), w, 1, backend="pallas")
+    assert cb.approx.dtype == jnp.bfloat16
+    rel = max(float(jnp.abs(a.astype(jnp.float32) - b).max())
+              for a, b in zip(jax.tree.leaves(cb), jax.tree.leaves(cg)))
+    rel /= float(jnp.abs(cg.approx).max())
+    assert rel < 3e-2
+    yb = sep.idwt2d(cb, w, (512, 512), backend="pallas")
+    assert float(jnp.abs(yb.astype(jnp.float32) - x).max()) < 0.05 * 255
+
+    monkeypatch.setenv("PDWT_TPU_PRECISION", "mixed")
+    cm = sep.dwt2d(x, w, 1, backend="pallas")
+    assert cm.approx.dtype == jnp.float32
+    rel = max(float(jnp.abs(a - b).max())
+              for a, b in zip(jax.tree.leaves(cm), jax.tree.leaves(cg)))
+    rel /= float(jnp.abs(cg.approx).max())
+    assert rel < 1e-4
+    ym = sep.idwt2d(cm, w, (512, 512), backend="pallas")
+    assert float(jnp.abs(ym - x).max()) < 1e-2 * 255
