@@ -126,7 +126,12 @@ def _auto_backend(backend: Optional[str], pad_fn) -> Optional[str]:
 
 def _dwt2d_pallas(x: jnp.ndarray, wav: Wavelet, levels: int) -> Coeffs2D:
     """Per-level fused Pallas kernels; falls back to the (bit-identical)
-    fma backend for geometries the kernels don't support."""
+    fma backend for geometries the kernels don't support.
+
+    In bf16 mode the details are stored bf16 but the approximation chain
+    is carried (and returned) in f32: its magnitude doubles per level and
+    its rounding error dominated the bf16 reconstruction error otherwise
+    (round-2 measurement: ±16 on [0,255] with an all-bf16 chain)."""
     from .. import kernels
 
     if x.ndim < 2:
@@ -137,6 +142,13 @@ def _dwt2d_pallas(x: jnp.ndarray, wav: Wavelet, levels: int) -> Coeffs2D:
     dec = (wav.dec_lo, wav.dec_hi)
     lo_t, hi_t = _ftup(wav.dec_lo), _ftup(wav.dec_hi)
     mode = _mxu_mode(x.dtype)
+
+    def norm_out(a, h, v, d):
+        if mode == "bf16":
+            return (a.astype(jnp.float32),) + tuple(
+                t.astype(jnp.bfloat16) for t in (h, v, d))
+        return a, h, v, d
+
     details = []
     lvl = 0
     while lvl < levels:
@@ -150,10 +162,13 @@ def _dwt2d_pallas(x: jnp.ndarray, wav: Wavelet, levels: int) -> Coeffs2D:
         if res is None and ae.dtype == jnp.float32:
             # once the approximation fits in VMEM, fuse ALL remaining
             # levels in one kernel (no pads / dispatch / fma tail).
+            # In bf16 mode the f32 A-chain makes this valid for the
+            # small deep levels the MXU tiles don't reach.
             tail = kernels.fwd_tail_2d_ad(ae, lo_t, hi_t, remaining)
             if tail is not None:
                 a, dets = tail
                 for (h, v, d) in dets:
+                    _, h, v, d = norm_out(a, h, v, d)
                     details.append(tuple(t.reshape(batch + t.shape[1:])
                                          for t in (h, v, d)))
                 lvl = levels
@@ -163,10 +178,12 @@ def _dwt2d_pallas(x: jnp.ndarray, wav: Wavelet, levels: int) -> Coeffs2D:
             af = a.astype(jnp.float32) if a.dtype != jnp.float32 else a
             z = conv.analysis_pass(af[:, None], dec, axis=-1, backend="fma")
             z = conv.analysis_pass(z, dec, axis=-2, backend="fma")
-            z = z.astype(a.dtype)
+            if mode is None:
+                z = z.astype(a.dtype)
             a, h, v, d = z[:, 0], z[:, 1], z[:, 2], z[:, 3]
         else:
             a, h, v, d = res
+        a, h, v, d = norm_out(a, h, v, d)
         details.append(tuple(t.reshape(batch + t.shape[1:])
                              for t in (h, v, d)))
         lvl += 1
@@ -186,28 +203,40 @@ def _idwt2d_pallas(coeffs: Coeffs2D, wav: Wavelet,
     b = int(np.prod(batch, dtype=np.int64)) if batch else 1
     flat = lambda t: t.reshape((b,) + t.shape[len(batch):])
     a = flat(coeffs.approx)
-    mode = _mxu_mode(a.dtype)
+    # Mode from the DETAIL dtype: in bf16 mode the forward returns an
+    # f32 approximation chain with bf16 details.
+    ddt = coeffs.details[-1][0].dtype if coeffs.details else a.dtype
+    mode = _mxu_mode(ddt)
+    if mode == "bf16" and a.dtype != jnp.float32:
+        a = a.astype(jnp.float32)
+    f32 = lambda t: t.astype(jnp.float32) if t.dtype != jnp.float32 else t
 
     # Fuse the deepest k levels into one VMEM-resident kernel when their
-    # sizes halve exactly (no odd-size slicing among them).
+    # sizes halve exactly (no odd-size slicing among them).  The exact
+    # f32 tail kernel is valid under the MXU modes too: "mixed" arrays
+    # are f32, and in "bf16" mode the deep details are cast up (they are
+    # the smallest subbands).
     mr, mc = a.shape[-2], a.shape[-1]
     k = 0
     hlen = len(wav.rec_lo)
-    if mode is None:
-        while k < levels:
-            i = levels - 1 - k  # level produced by fusing one more
-            if rows[i] != mr << (k + 1) or cols[i] != mc << (k + 1):
-                break
-            if not kernels.tail_supported((mr << (k + 1), mc << (k + 1)),
-                                          hlen, k + 1):
-                break
-            k += 1
+    while k < levels:
+        i = levels - 1 - k  # level produced by fusing one more
+        if rows[i] != mr << (k + 1) or cols[i] != mc << (k + 1):
+            break
+        if not kernels.tail_supported((mr << (k + 1), mc << (k + 1)),
+                                      hlen, k + 1):
+            break
+        if mode is not None and kernels.mxu_tiles(rows[i] // 2,
+                                                  cols[i] // 2, hlen):
+            break  # the MXU kernel covers this level; stop fusing here
+        k += 1
     start = levels - 1
     if k >= 1:
         flat_details = []
         for i in range(levels - 1, levels - 1 - k, -1):  # deepest first
-            flat_details.extend(flat(t) for t in coeffs.details[i])
-        y = kernels.inv_tail_2d_ad(a, tuple(flat_details), lo_t, hi_t, k)
+            flat_details.extend(f32(flat(t)) for t in coeffs.details[i])
+        y = kernels.inv_tail_2d_ad(f32(a), tuple(flat_details), lo_t, hi_t,
+                                   k)
         if y is not None:
             a = y
             start = levels - 1 - k
@@ -215,18 +244,28 @@ def _idwt2d_pallas(coeffs: Coeffs2D, wav: Wavelet,
         h, v, d = (flat(t) for t in coeffs.details[i])
         y = None
         if mode is not None:
-            y = kernels.inv_level_2d_mxu_ad(a, h, v, d, lo_t, hi_t, mode)
-        if y is None and a.dtype == jnp.float32:
+            out_dt = (jnp.bfloat16 if (mode == "bf16" and i == 0)
+                      else jnp.float32)
+            y = kernels.inv_level_2d_mxu_ad(a, h, v, d, lo_t, hi_t, mode,
+                                            out_dt)
+        if y is None and mode is not None:
+            y = kernels.inv_level_2d_ad(f32(a), f32(h), f32(v), f32(d),
+                                        lo_t, hi_t)
+            if y is not None and mode == "bf16" and i == 0:
+                y = y.astype(jnp.bfloat16)
+        elif y is None and a.dtype == jnp.float32:
             y = kernels.inv_level_2d_ad(a, h, v, d, lo_t, hi_t)
         if y is None:
-            f32 = lambda t: (t.astype(jnp.float32)
-                             if t.dtype != jnp.float32 else t)
             z = jnp.concatenate(
                 [f32(t)[:, None] for t in (a, h, v, d)], axis=1)
             t2 = conv.synthesis_pass(z, rec, axis=-2, out_len=rows[i],
                                      backend="fma")
             y = conv.synthesis_pass(t2, rec, axis=-1, out_len=cols[i],
-                                    backend="fma")[:, 0].astype(a.dtype)
+                                    backend="fma")[:, 0]
+            if mode == "bf16":
+                y = y.astype(jnp.bfloat16 if i == 0 else jnp.float32)
+            else:
+                y = y.astype(a.dtype)
         else:
             y = y[:, :rows[i], :cols[i]]
         a = y
@@ -289,18 +328,33 @@ def _swt2d_pallas(x: jnp.ndarray, wav: Wavelet, levels: int) -> Coeffs2D:
     b = int(np.prod(batch, dtype=np.int64)) if batch else 1
     a = x.reshape((b,) + x.shape[-2:])
     dec = (wav.dec_lo, wav.dec_hi)
+    lo_t, hi_t = _ftup(wav.dec_lo), _ftup(wav.dec_hi)
+    mode = _mxu_mode(x.dtype)
+
+    def norm_out(a, h, v, d):
+        if mode == "bf16":
+            return (a.astype(jnp.float32),) + tuple(
+                t.astype(jnp.bfloat16) for t in (h, v, d))
+        return a, h, v, d
+
     details = []
     for lvl in range(1, levels + 1):
-        res = kernels.swt_fwd_level_2d_ad(a, _ftup(wav.dec_lo), _ftup(wav.dec_hi), lvl)
+        res = None
+        if mode is not None:
+            res = kernels.swt_fwd_level_2d_mxu_ad(a, lo_t, hi_t, lvl, mode)
         if res is None:
-            f = 1 << (lvl - 1)
-            z = conv.analysis_pass(a[:, None], dec, axis=-1, dilation=f,
-                                   decimate=False, backend="fma")
-            z = conv.analysis_pass(z, dec, axis=-2, dilation=f,
-                                   decimate=False, backend="fma")
-            a, h, v, d = z[:, 0], z[:, 1], z[:, 2], z[:, 3]
-        else:
-            a, h, v, d = res
+            af = (a.astype(jnp.float32)
+                  if mode is not None and a.dtype != jnp.float32 else a)
+            res = kernels.swt_fwd_level_2d_ad(af, lo_t, hi_t, lvl)
+            if res is None:
+                f = 1 << (lvl - 1)
+                z = conv.analysis_pass(af[:, None], dec, axis=-1,
+                                       dilation=f, decimate=False,
+                                       backend="fma")
+                z = conv.analysis_pass(z, dec, axis=-2, dilation=f,
+                                       decimate=False, backend="fma")
+                res = (z[:, 0], z[:, 1], z[:, 2], z[:, 3])
+        a, h, v, d = norm_out(*res)
         details.append(tuple(t.reshape(batch + t.shape[1:])
                              for t in (h, v, d)))
     return Coeffs2D(a.reshape(batch + a.shape[1:]), tuple(details))
@@ -334,14 +388,28 @@ def _iswt2d_pallas(coeffs: Coeffs2D, wav: Wavelet) -> jnp.ndarray:
     from .. import kernels
 
     rec = (wav.rec_lo * 0.5, wav.rec_hi * 0.5)
+    lo_t, hi_t = _ftup(wav.rec_lo), _ftup(wav.rec_hi)
     batch = coeffs.approx.shape[:-2]
     b = int(np.prod(batch, dtype=np.int64)) if batch else 1
     flat = lambda t: t.reshape((b,) + t.shape[len(batch):])
     a = flat(coeffs.approx)
+    ddt = coeffs.details[-1][0].dtype if coeffs.details else a.dtype
+    mode = _mxu_mode(ddt)
+    if mode == "bf16" and a.dtype != jnp.float32:
+        a = a.astype(jnp.float32)
+    f32 = lambda t: t.astype(jnp.float32) if t.dtype != jnp.float32 else t
     for i in range(coeffs.levels - 1, -1, -1):
         h, v, d = (flat(t) for t in coeffs.details[i])
-        y = kernels.swt_inv_level_2d_ad(a, h, v, d, _ftup(wav.rec_lo),
-                                        _ftup(wav.rec_hi), i + 1)
+        y = None
+        if mode is not None:
+            out_dt = (jnp.bfloat16 if (mode == "bf16" and i == 0)
+                      else jnp.float32)
+            y = kernels.swt_inv_level_2d_mxu_ad(a, h, v, d, lo_t, hi_t,
+                                                i + 1, mode, out_dt)
+        if y is None:
+            if mode is not None:
+                a, h, v, d = f32(a), f32(h), f32(v), f32(d)
+            y = kernels.swt_inv_level_2d_ad(a, h, v, d, lo_t, hi_t, i + 1)
         if y is None:
             f = 1 << i
             z = jnp.concatenate([t[:, None] for t in (a, h, v, d)], axis=1)
@@ -349,6 +417,8 @@ def _iswt2d_pallas(coeffs: Coeffs2D, wav: Wavelet) -> jnp.ndarray:
                                      decimated=False, backend="fma")
             y = conv.synthesis_pass(t2, rec, axis=-1, dilation=f,
                                     decimated=False, backend="fma")[:, 0]
+        if mode == "bf16" and i == 0 and y.dtype != jnp.bfloat16:
+            y = y.astype(jnp.bfloat16)
         a = y
     return a.reshape(batch + a.shape[1:])
 
@@ -386,16 +456,26 @@ def _dwt1d_pallas(x: jnp.ndarray, wav: Wavelet, levels: int) -> Coeffs1D:
     b = int(np.prod(batch, dtype=np.int64)) if batch else 1
     a = x.reshape(b, x.shape[-1])
     dec = (wav.dec_lo, wav.dec_hi)
+    lo_t, hi_t = _ftup(wav.dec_lo), _ftup(wav.dec_hi)
+    mode = _mxu_mode(x.dtype)
     details = []
     for _ in range(levels):
         ae = conv.odd_extend(a, -1)
-        res = kernels.fwd_level_1d_ad(ae, _ftup(wav.dec_lo), _ftup(wav.dec_hi))
+        res = None
+        if mode is not None:
+            res = kernels.fwd_level_1d_mxu_ad(ae, lo_t, hi_t, mode)
         if res is None:
-            z = conv.analysis_pass(a[:, None, None], dec, axis=-1,
-                                   backend="fma")
-            a, d = z[:, 0, 0], z[:, 1, 0]
-        else:
-            a, d = res
+            af = (ae.astype(jnp.float32)
+                  if mode is not None and ae.dtype != jnp.float32 else ae)
+            res = kernels.fwd_level_1d_ad(af, lo_t, hi_t)
+            if res is None:
+                z = conv.analysis_pass(af[:, None, None], dec, axis=-1,
+                                       backend="fma")
+                res = (z[:, 0, 0], z[:, 1, 0])
+            if mode == "bf16":
+                res = (res[0].astype(jnp.float32),
+                       res[1].astype(jnp.bfloat16))
+        a, d = res
         details.append(d.reshape(batch + d.shape[1:]))
     return Coeffs1D(a.reshape(batch + a.shape[1:]), tuple(details))
 
@@ -428,15 +508,31 @@ def _idwt1d_pallas(coeffs: Coeffs1D, wav: Wavelet, length: int) -> jnp.ndarray:
     b = int(np.prod(batch, dtype=np.int64)) if batch else 1
     flat = lambda t: t.reshape(b, t.shape[-1])
     a = flat(coeffs.approx)
+    lo_t, hi_t = _ftup(wav.rec_lo), _ftup(wav.rec_hi)
+    ddt = coeffs.details[-1].dtype if coeffs.details else a.dtype
+    mode = _mxu_mode(ddt)
+    if mode == "bf16" and a.dtype != jnp.float32:
+        a = a.astype(jnp.float32)
+    f32 = lambda t: t.astype(jnp.float32) if t.dtype != jnp.float32 else t
     for i in range(levels - 1, -1, -1):
         d = flat(coeffs.details[i])
-        y = kernels.inv_level_1d_ad(a, d, _ftup(wav.rec_lo), _ftup(wav.rec_hi))
+        y = None
+        if mode is not None:
+            out_dt = (jnp.bfloat16 if (mode == "bf16" and i == 0)
+                      else jnp.float32)
+            y = kernels.inv_level_1d_mxu_ad(a, d, lo_t, hi_t, mode, out_dt)
+        if y is None:
+            if mode is not None:
+                a, d = f32(a), f32(d)
+            y = kernels.inv_level_1d_ad(a, d, lo_t, hi_t)
         if y is None:
             z = jnp.concatenate([a[:, None, None], d[:, None, None]], axis=1)
             y = conv.synthesis_pass(z, rec, axis=-1, out_len=sizes[i],
                                     backend="fma")[:, 0, 0]
         else:
             y = y[:, :sizes[i]]
+        if mode == "bf16" and i == 0 and y.dtype != jnp.bfloat16:
+            y = y.astype(jnp.bfloat16)
         a = y
     return a.reshape(batch + a.shape[1:])
 
@@ -472,8 +568,9 @@ def iswt2d_denoise(coeffs: Coeffs2D, wav: Wavelet, beta, *,
     (the reference launches one threshold kernel per subband,
     src/common.cu:219-249, then re-reads everything in the inverse).
     Semantics identical to ops.soft/hard_threshold followed by iswt2d.
-    NOT differentiable on the fused path (use the unfused ops for
-    gradients)."""
+    Differentiable: the fused kernel carries a custom VJP that chains
+    the synthesis adjoint through the threshold mask
+    (kernels.swt_inv_level_2d_denoise_ad)."""
     import math as _math
 
     from ..ops.threshold import _app_beta, _hard, _soft
@@ -497,14 +594,29 @@ def iswt2d_denoise(coeffs: Coeffs2D, wav: Wavelet, beta, *,
     b = int(np.prod(batch, dtype=np.int64)) if batch else 1
     flat = lambda t: t.reshape((b,) + t.shape[len(batch):])
     a = flat(coeffs.approx)
+    ddt = coeffs.details[-1][0].dtype if coeffs.details else a.dtype
+    mxu = _mxu_mode(ddt)
+    if mxu == "bf16" and a.dtype != jnp.float32:
+        a = a.astype(jnp.float32)
+    f32 = lambda t: t.astype(jnp.float32) if t.dtype != jnp.float32 else t
     if do_thresh_appcoeffs:
         a = thr(a, _app_beta(beta, levels, normalize))
     rec = (wav.rec_lo * 0.5, wav.rec_hi * 0.5)
+    lo_t, hi_t = _ftup(wav.rec_lo), _ftup(wav.rec_hi)
     for i in range(levels - 1, -1, -1):
         h, v, d = (flat(t) for t in coeffs.details[i])
         bi = lvl_beta(i)
-        y = kernels.swt_inv_level_2d(a, h, v, d, wav.rec_lo, wav.rec_hi,
-                                     i + 1, threshold=(mode, bi))
+        y = None
+        if mxu is not None:
+            out_dt = (jnp.bfloat16 if (mxu == "bf16" and i == 0)
+                      else jnp.float32)
+            y = kernels.swt_inv_level_2d_mxu_denoise_ad(
+                a, h, v, d, bi, lo_t, hi_t, i + 1, mxu, mode, out_dt)
+        if y is None:
+            if mxu is not None:
+                a, h, v, d = f32(a), f32(h), f32(v), f32(d)
+            y = kernels.swt_inv_level_2d_denoise_ad(
+                a, h, v, d, bi, lo_t, hi_t, i + 1, mode)
         if y is None:
             f = 1 << i
             h, v, d = thr(h, bi), thr(v, bi), thr(d, bi)
@@ -513,6 +625,8 @@ def iswt2d_denoise(coeffs: Coeffs2D, wav: Wavelet, beta, *,
                                      decimated=False, backend="fma")
             y = conv.synthesis_pass(t2, rec, axis=-1, dilation=f,
                                     decimated=False, backend="fma")[:, 0]
+        if mxu == "bf16" and i == 0 and y.dtype != jnp.bfloat16:
+            y = y.astype(jnp.bfloat16)
         a = y
     return a.reshape(batch + a.shape[1:])
 
@@ -524,16 +638,27 @@ def _swt1d_pallas(x: jnp.ndarray, wav: Wavelet, levels: int) -> Coeffs1D:
     b = int(np.prod(batch, dtype=np.int64)) if batch else 1
     a = x.reshape(b, x.shape[-1])
     dec = (wav.dec_lo, wav.dec_hi)
+    lo_t, hi_t = _ftup(wav.dec_lo), _ftup(wav.dec_hi)
+    mode = _mxu_mode(x.dtype)
     details = []
     for lvl in range(1, levels + 1):
-        res = kernels.swt_fwd_level_1d_ad(a, _ftup(wav.dec_lo), _ftup(wav.dec_hi), lvl)
+        res = None
+        if mode is not None:
+            res = kernels.swt_fwd_level_1d_mxu_ad(a, lo_t, hi_t, lvl, mode)
         if res is None:
-            f = 1 << (lvl - 1)
-            z = conv.analysis_pass(a[:, None, None], dec, axis=-1,
-                                   dilation=f, decimate=False, backend="fma")
-            a, d = z[:, 0, 0], z[:, 1, 0]
-        else:
-            a, d = res
+            af = (a.astype(jnp.float32)
+                  if mode is not None and a.dtype != jnp.float32 else a)
+            res = kernels.swt_fwd_level_1d_ad(af, lo_t, hi_t, lvl)
+            if res is None:
+                f = 1 << (lvl - 1)
+                z = conv.analysis_pass(af[:, None, None], dec, axis=-1,
+                                       dilation=f, decimate=False,
+                                       backend="fma")
+                res = (z[:, 0, 0], z[:, 1, 0])
+            if mode == "bf16":
+                res = (res[0].astype(jnp.float32),
+                       res[1].astype(jnp.bfloat16))
+        a, d = res
         details.append(d.reshape(batch + d.shape[1:]))
     return Coeffs1D(a.reshape(batch + a.shape[1:]), tuple(details))
 
@@ -566,14 +691,31 @@ def _iswt1d_pallas(coeffs: Coeffs1D, wav: Wavelet) -> jnp.ndarray:
     b = int(np.prod(batch, dtype=np.int64)) if batch else 1
     flat = lambda t: t.reshape(b, t.shape[-1])
     a = flat(coeffs.approx)
+    lo_t, hi_t = _ftup(wav.rec_lo), _ftup(wav.rec_hi)
+    ddt = coeffs.details[-1].dtype if coeffs.details else a.dtype
+    mode = _mxu_mode(ddt)
+    if mode == "bf16" and a.dtype != jnp.float32:
+        a = a.astype(jnp.float32)
+    f32 = lambda t: t.astype(jnp.float32) if t.dtype != jnp.float32 else t
     for i in range(coeffs.levels - 1, -1, -1):
         d = flat(coeffs.details[i])
-        y = kernels.swt_inv_level_1d_ad(a, d, _ftup(wav.rec_lo), _ftup(wav.rec_hi), i + 1)
+        y = None
+        if mode is not None:
+            out_dt = (jnp.bfloat16 if (mode == "bf16" and i == 0)
+                      else jnp.float32)
+            y = kernels.swt_inv_level_1d_mxu_ad(a, d, lo_t, hi_t, i + 1,
+                                                mode, out_dt)
+        if y is None:
+            if mode is not None:
+                a, d = f32(a), f32(d)
+            y = kernels.swt_inv_level_1d_ad(a, d, lo_t, hi_t, i + 1)
         if y is None:
             f = 1 << i
             z = jnp.concatenate([a[:, None, None], d[:, None, None]], axis=1)
             y = conv.synthesis_pass(z, rec, axis=-1, dilation=f,
                                     decimated=False, backend="fma")[:, 0, 0]
+        if mode == "bf16" and i == 0 and y.dtype != jnp.bfloat16:
+            y = y.astype(jnp.bfloat16)
         a = y
     return a.reshape(batch + a.shape[1:])
 

@@ -8,17 +8,30 @@ dual-FIR is a banded matrix multiply (the systolic array absorbs the
 windowing), and this chip runs bf16 matmuls ~8x faster than exact-f32
 ones (measured: 193-266 TF/s DEFAULT vs 30 TF/s HIGHEST).
 
-Two modes, selected by the callers in core/separable.py:
+Two user-facing modes, selected by the callers in core/separable.py:
 
 * ``bf16``  — bf16 arrays in/out (half HBM traffic: the serving mode the
   reference's dual-precision build approximates from the other side,
-  reference: src/filters.h:16-30, Makefile:36-39).  One bf16 matmul per
-  pass, f32 accumulation.  Coefficient error ~2^-8 relative (the bf16
-  input representation already carries that).
+  reference: src/filters.h:16-30, Makefile:36-39).  Details are stored
+  bf16; the approximation chain — whose magnitude doubles per level and
+  whose rounding error dominated the round-2 reconstruction error — is
+  carried in f32 between levels.  Level-1 (bf16 input) runs one bf16
+  matmul per pass; deeper levels (f32 approx input) run DEFAULT-precision
+  f32 matmuls (the chip's bf16x1 fast path, ~2^-9 relative).
 * ``mixed`` — f32 arrays in/out, bf16x3 compute: operands split into
   bf16 hi+lo halves, three DEFAULT-precision matmuls reconstruct the
   product to ~2^-17 relative (missing only the lo*lo term).  ~2.5x
   faster than the exact path at ~1e-5 relative coefficient error.
+
+Internally each kernel is parameterized by a compute ``scheme``:
+``b1`` (one bf16 matmul per pass), ``fd`` (f32 operands, DEFAULT
+precision), ``b3`` (bf16x3 split) — and by per-output dtypes, so the
+approximation and detail subbands can differ (f32 A-chain + bf16
+details in bf16 mode).
+
+Tiles adapt to the level geometry (TR in {128, 64, 32}, TC in
+{256, 128}) so the deep levels of a multi-level transform stay on the
+MXU instead of falling back to the VPU kernels.
 
 Filter matrices are built once per (wavelet, tile) as numpy constants
 and passed as pallas operands pinned by a constant index_map (fetched
@@ -47,10 +60,20 @@ from .separable_pallas import (
     _taps,
 )
 
-# fixed tile for the MXU kernels: M=2*TR=256 and K tiles near the MXU's
-# native 128 while keeping the dense-band waste bounded.
-_TR = 128
-_TC = 256
+# (TR, TC) candidates, best first: M=2*TR near 256 and K tiles near the
+# MXU's native 128 while keeping the dense-band waste bounded.  Smaller
+# tiles keep the deep (small) levels of the headline config on the MXU.
+_TILE_RC = ((128, 256), (128, 128), (64, 128), (32, 128))
+
+
+def _pick_mxu_tiles(mr: int, mc: int, hlen: int) -> Optional[Tuple[int, int]]:
+    """Largest supported (TR, TC) for subband dims (mr, mc), or None."""
+    if hlen % 2 or hlen > 40:
+        return None
+    for tr, tc in _TILE_RC:
+        if mr % tr == 0 and mc % tc == 0:
+            return tr, tc
+    return None
 
 
 def _split_bf16(m: np.ndarray):
@@ -59,27 +82,28 @@ def _split_bf16(m: np.ndarray):
     return hi, lo
 
 
-def _analysis_mats(dec_lo, dec_hi, rows: int, cols: int, pr: int, pc: int):
+def _analysis_mats(dec_lo, dec_hi, rows: int, cols: int, pr: int, pc: int,
+                   TR: int, TC: int):
     """A (2TR, rows): dual decimating FIR along sublanes; B (cols, 2TC):
     dual decimating FIR along lanes.  out = [[a|v],[h|d]] = (A @ x) @ B.
     pr/pc are the aligned-lo-pad phases baked into the band offsets."""
     tl, th = _taps(dec_lo), _taps(dec_hi)
     hlen = len(tl)
-    A = np.zeros((2 * _TR, rows), np.float32)
-    for m in range(_TR):
+    A = np.zeros((2 * TR, rows), np.float32)
+    for m in range(TR):
         for j in range(hlen):
             A[m, pr + 2 * m + j] = tl[j]
-            A[_TR + m, pr + 2 * m + j] = th[j]
-    B = np.zeros((cols, 2 * _TC), np.float32)
-    for m in range(_TC):
+            A[TR + m, pr + 2 * m + j] = th[j]
+    B = np.zeros((cols, 2 * TC), np.float32)
+    for m in range(TC):
         for j in range(hlen):
             B[pc + 2 * m + j, m] = tl[j]
-            B[pc + 2 * m + j, _TC + m] = th[j]
+            B[pc + 2 * m + j, TC + m] = th[j]
     return A, B
 
 
 def _synthesis_mats(rec_lo, rec_hi, hlen: int, rows: int, cols: int,
-                    pr: int, pc: int):
+                    pr: int, pc: int, TR: int, TC: int):
     """S (2TR, rows) with rows = band rows [lo | hi stacked]: pass-1
     synthesis out = S @ [lo_band; hi_band]; T (2*cols, 2TC): pass-2
     synthesis out = [t1 | t2] @ T.  pr/pc are the aligned-lo phases."""
@@ -95,86 +119,120 @@ def _synthesis_mats(rec_lo, rec_hi, hlen: int, rows: int, cols: int,
                         S[2 * m + q, bi * stride_band + ph + lo_pad + o[q]
                           + b + m] += taps[j]
 
-    S = np.zeros((2 * _TR, rows), np.float32)
-    fill(S, _TR, band, pr)
+    S = np.zeros((2 * TR, rows), np.float32)
+    fill(S, TR, band, pr)
     # pass 2 operates transposed: out[r, g] = sum_c t[r, c] * T[c, g]
     band2 = cols
-    St = np.zeros((2 * _TC, 2 * band2), np.float32)
-    fill(St, _TC, band2, pc)
+    St = np.zeros((2 * TC, 2 * band2), np.float32)
+    fill(St, TC, band2, pc)
     return S, St.T.copy()  # T: (2*cols, 2TC)
+
+
+def _mats_for_scheme(mats_f32, scheme: str):
+    """Constant operand arrays for a compute scheme: b3 ships bf16
+    hi+lo splits, b1 ships bf16, fd ships f32."""
+    if scheme == "b3":
+        out = []
+        for m in mats_f32:
+            out.extend(_split_bf16(m))
+        return tuple(out)
+    if scheme == "b1":
+        return tuple(jnp.asarray(m, jnp.bfloat16) for m in mats_f32)
+    return tuple(jnp.asarray(m, jnp.float32) for m in mats_f32)
+
+
+def _mm(scheme: str, left, right, left_pair=None, right_pair=None):
+    """One banded-matmul pass under a compute scheme.
+
+    ``left_pair``/``right_pair`` hold the (hi, lo) constant splits for
+    b3 when that side is a filter matrix; for b3 the non-constant side
+    is split in-kernel."""
+    f32 = jnp.float32
+    if scheme == "b3":
+        if left_pair is not None:
+            Lh, Ll = left_pair
+            x = right
+            xh = x.astype(jnp.bfloat16)
+            xl = (x - xh.astype(f32)).astype(jnp.bfloat16)
+            return (jnp.dot(Lh, xh, preferred_element_type=f32)
+                    + jnp.dot(Lh, xl, preferred_element_type=f32)
+                    + jnp.dot(Ll, xh, preferred_element_type=f32))
+        Rh, Rl = right_pair
+        x = left
+        xh = x.astype(jnp.bfloat16)
+        xl = (x - xh.astype(f32)).astype(jnp.bfloat16)
+        return (jnp.dot(xh, Rh, preferred_element_type=f32)
+                + jnp.dot(xl, Rh, preferred_element_type=f32)
+                + jnp.dot(xh, Rl, preferred_element_type=f32))
+    if scheme == "b1":
+        return jnp.dot(left.astype(jnp.bfloat16),
+                       right.astype(jnp.bfloat16),
+                       preferred_element_type=f32)
+    # fd: f32 operands, DEFAULT precision (the chip's fast f32 path)
+    return jnp.dot(left.astype(f32), right.astype(f32),
+                   preferred_element_type=f32)
 
 
 # ---------------------------------------------------------------------------
 # forward level
 # ---------------------------------------------------------------------------
 
-def _fwd_mxu_kernel(mode, TRR, COLS):
+def _fwd_mxu_kernel(scheme, TRR, COLS, TR, TC):
+    nmats = 4 if scheme == "b3" else 2
+
     def kernel(xp_hbm, *refs):
-        if mode == "mixed":
-            (Ah, Al, Bh, Bl, a_ref, h_ref, v_ref, d_ref, xt, sem) = refs
-        else:
-            (Ah, Bh, a_ref, h_ref, v_ref, d_ref, xt, sem) = refs
+        mats = refs[:nmats]
+        a_ref, h_ref, v_ref, d_ref, xt, sem = refs[nmats:]
         b = pl.program_id(0)
         i = pl.program_id(1)
         j = pl.program_id(2)
         dma = pltpu.make_async_copy(
-            xp_hbm.at[b, pl.ds(2 * _TR * i, TRR), pl.ds(2 * _TC * j, COLS)],
+            xp_hbm.at[b, pl.ds(2 * TR * i, TRR), pl.ds(2 * TC * j, COLS)],
             xt, sem)
         dma.start()
         dma.wait()
         x = xt[:]
-        if mode == "mixed":
-            xh = x.astype(jnp.bfloat16)
-            xl = (x - xh.astype(jnp.float32)).astype(jnp.bfloat16)
-            t = (jnp.dot(Ah[:], xh, preferred_element_type=jnp.float32)
-                 + jnp.dot(Ah[:], xl, preferred_element_type=jnp.float32)
-                 + jnp.dot(Al[:], xh, preferred_element_type=jnp.float32))
-            th_ = t.astype(jnp.bfloat16)
-            tl_ = (t - th_.astype(jnp.float32)).astype(jnp.bfloat16)
-            out = (jnp.dot(th_, Bh[:], preferred_element_type=jnp.float32)
-                   + jnp.dot(tl_, Bh[:], preferred_element_type=jnp.float32)
-                   + jnp.dot(th_, Bl[:], preferred_element_type=jnp.float32))
+        if scheme == "b3":
+            Ah, Al, Bh, Bl = (m[:] for m in mats)
+            t = _mm("b3", None, x, left_pair=(Ah, Al))
+            out = _mm("b3", t, None, right_pair=(Bh, Bl))
         else:
-            t = jnp.dot(Ah[:], x, preferred_element_type=jnp.float32)
-            out = jnp.dot(t.astype(jnp.bfloat16), Bh[:],
-                          preferred_element_type=jnp.float32)
-        out = out.astype(a_ref.dtype)
-        a_ref[0] = out[:_TR, :_TC]
-        v_ref[0] = out[:_TR, _TC:]
-        h_ref[0] = out[_TR:, :_TC]
-        d_ref[0] = out[_TR:, _TC:]
+            Am, Bm = (m[:] for m in mats)
+            t = _mm(scheme, Am, x)
+            out = _mm(scheme, t, Bm)
+        a_ref[0] = out[:TR, :TC].astype(a_ref.dtype)
+        v_ref[0] = out[:TR, TC:].astype(v_ref.dtype)
+        h_ref[0] = out[TR:, :TC].astype(h_ref.dtype)
+        d_ref[0] = out[TR:, TC:].astype(d_ref.dtype)
 
     return kernel
 
 
-def _mxu_supported(r: int, c: int, hlen: int) -> bool:
-    return (hlen % 2 == 0 and hlen <= 40 and r % (2 * _TR) == 0
-            and c % (2 * _TC) == 0)
-
-
-@functools.partial(jax.jit, static_argnames=("taps", "hlen", "mode",
-                                             "mshape"))
-def _fwd_mxu_call(xp, mats, taps, hlen, mode, mshape):
+@functools.partial(jax.jit, static_argnames=("hlen", "scheme", "tiles",
+                                             "mshape", "out_dtypes"))
+def _fwd_mxu_call(xp, mats, hlen, scheme, tiles, mshape, out_dtypes):
     B = xp.shape[0]
+    TR, TC = tiles
     mr, mc = mshape
     cen = conv.fwd_center(hlen)
     pr = _ceil_to(cen, 16) - cen   # bf16 tiles: 16-sublane alignment
     pc = _phases(cen)[3]
-    TRR = _ceil_to(2 * _TR + hlen - 2 + pr, 16)
-    COLS = _ceil_to(2 * _TC + hlen - 2 + pc, 128)
-    kernel = _fwd_mxu_kernel(mode, TRR, COLS)
-    out_spec = pl.BlockSpec((1, _TR, _TC), lambda b, i, j: (b, i, j),
+    TRR = _ceil_to(2 * TR + hlen - 2 + pr, 16)
+    COLS = _ceil_to(2 * TC + hlen - 2 + pc, 128)
+    kernel = _fwd_mxu_kernel(scheme, TRR, COLS, TR, TC)
+    out_spec = pl.BlockSpec((1, TR, TC), lambda b, i, j: (b, i, j),
                             memory_space=pltpu.VMEM)
-    out_dtype = jnp.bfloat16 if mode == "bf16" else jnp.float32
-    shape = jax.ShapeDtypeStruct((B, mr, mc), out_dtype)
+    a_dt, d_dt = out_dtypes
+    shapes = tuple(jax.ShapeDtypeStruct((B, mr, mc), dt)
+                   for dt in (a_dt, d_dt, d_dt, d_dt))
     mat_specs = [
         pl.BlockSpec(m.shape, (lambda b, i, j: (0, 0)),
                      memory_space=pltpu.VMEM) for m in mats
     ]
     return pl.pallas_call(
         kernel,
-        grid=(B, mr // _TR, mc // _TC),
-        out_shape=(shape,) * 4,
+        grid=(B, mr // TR, mc // TC),
+        out_shape=shapes,
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] + mat_specs,
         out_specs=(out_spec,) * 4,
         scratch_shapes=[pltpu.VMEM((TRR, COLS), xp.dtype),
@@ -185,44 +243,53 @@ def _fwd_mxu_call(xp, mats, taps, hlen, mode, mshape):
 
 def fwd_level_2d_mxu(x: jnp.ndarray, dec_lo, dec_hi, mode: str):
     """One forward level on (B, R, C) via MXU matmuls; None if the
-    geometry is unsupported.  mode: "bf16" (bf16 in/out) or "mixed"
-    (f32 in/out, bf16x3 compute)."""
+    geometry is unsupported.
+
+    mode "mixed": f32 in, all-f32 out (bf16x3 compute).
+    mode "bf16": bf16 OR f32 input; approx out f32, details out bf16
+    (one bf16 matmul per pass for bf16 input, DEFAULT-f32 for f32)."""
     B, r, c = x.shape
     hlen = len(dec_lo)
-    if not _mxu_supported(r, c, hlen):
+    if r % 2 or c % 2:
         return None
+    tiles = _pick_mxu_tiles(r // 2, c // 2, hlen)
+    if tiles is None:
+        return None
+    TR, TC = tiles
     cen = conv.fwd_center(hlen)
     lo_r16 = _ceil_to(cen, 16)
     lo_c, pc = _phases(cen)[1], _phases(cen)[3]
     pr = lo_r16 - cen
-    TRR = _ceil_to(2 * _TR + hlen - 2 + pr, 16)
-    COLS = _ceil_to(2 * _TC + hlen - 2 + pc, 128)
-    hi_r = (r - 2 * _TR + TRR) - r - lo_r16
-    hi_c = (c - 2 * _TC + COLS) - c - lo_c
+    TRR = _ceil_to(2 * TR + hlen - 2 + pr, 16)
+    COLS = _ceil_to(2 * TC + hlen - 2 + pc, 128)
+    hi_r = (r - 2 * TR + TRR) - r - lo_r16
+    hi_c = (c - 2 * TC + COLS) - c - lo_c
     xp = conv.wrap_pad(x, -1, lo_c, hi_c)
     xp = conv.wrap_pad(xp, -2, lo_r16, hi_r)
-    A, Bm = _analysis_mats(dec_lo, dec_hi, TRR, COLS, pr, pc)
-    taps = (_taps(dec_lo), _taps(dec_hi))
+    A, Bm = _analysis_mats(dec_lo, dec_hi, TRR, COLS, pr, pc, TR, TC)
     if mode == "mixed":
-        Ah, Al = _split_bf16(A)
-        Bh, Bl = _split_bf16(Bm)
-        mats = (Ah, Al, Bh, Bl)
+        scheme = "b3"
+        out_dtypes = (jnp.float32, jnp.float32)
+    elif mode == "bf16":
+        scheme = "b1" if x.dtype == jnp.bfloat16 else "fd"
+        out_dtypes = (jnp.float32, jnp.bfloat16)
     else:
-        mats = (jnp.asarray(A, jnp.bfloat16), jnp.asarray(Bm, jnp.bfloat16))
-        xp = xp.astype(jnp.bfloat16)
-    return _fwd_mxu_call(xp, mats, taps, hlen, mode, (r // 2, c // 2))
+        raise ValueError(mode)
+    mats = _mats_for_scheme((A, Bm), scheme)
+    return _fwd_mxu_call(xp, mats, hlen, scheme, (TR, TC), (r // 2, c // 2),
+                         out_dtypes)
 
 
 # ---------------------------------------------------------------------------
 # inverse level
 # ---------------------------------------------------------------------------
 
-def _inv_mxu_kernel(mode, ROWS, COLS):
+def _inv_mxu_kernel(scheme, ROWS, COLS, TR, TC):
+    nmats = 4 if scheme == "b3" else 2
+
     def kernel(a_hbm, h_hbm, v_hbm, d_hbm, *refs):
-        if mode == "mixed":
-            (Sh, Sl, Th, Tl, out_ref, at, ht, vt, dt, sems) = refs
-        else:
-            (Sh, Th, out_ref, at, ht, vt, dt, sems) = refs
+        mats = refs[:nmats]
+        out_ref, at, ht, vt, dt, sems = refs[nmats:]
         b = pl.program_id(0)
         i = pl.program_id(1)
         j = pl.program_id(2)
@@ -230,114 +297,123 @@ def _inv_mxu_kernel(mode, ROWS, COLS):
         for idx, (src, dst) in enumerate(
                 ((a_hbm, at), (h_hbm, ht), (v_hbm, vt), (d_hbm, dt))):
             dma = pltpu.make_async_copy(
-                src.at[b, pl.ds(_TR * i, ROWS), pl.ds(_TC * j, COLS)],
+                src.at[b, pl.ds(TR * i, ROWS), pl.ds(TC * j, COLS)],
                 dst, sems.at[idx])
             dma.start()
             copies.append(dma)
         for dma in copies:
             dma.wait()
 
-        def synth(Smat_pair, lo_band, hi_band):
-            # bands stacked along sublanes -> one matmul per pass
-            u = jnp.concatenate([lo_band, hi_band], axis=0)
-            if mode == "mixed":
-                uh = u.astype(jnp.bfloat16)
-                ul = (u - uh.astype(jnp.float32)).astype(jnp.bfloat16)
-                return (jnp.dot(Smat_pair[0][:], uh,
-                                preferred_element_type=jnp.float32)
-                        + jnp.dot(Smat_pair[0][:], ul,
-                                  preferred_element_type=jnp.float32)
-                        + jnp.dot(Smat_pair[1][:], uh,
-                                  preferred_element_type=jnp.float32))
-            return jnp.dot(Smat_pair[0][:], u.astype(jnp.bfloat16),
-                           preferred_element_type=jnp.float32)
-
-        S_pair = (Sh, Sl) if mode == "mixed" else (Sh, None)
-        T_pair = (Th, Tl) if mode == "mixed" else (Th, None)
-        t1 = synth(S_pair, at[:], ht[:])   # (2TR, COLS)
-        t2 = synth(S_pair, vt[:], dt[:])
-        u = jnp.concatenate([t1, t2], axis=1)  # (2TR, 2*COLS)
-        if mode == "mixed":
-            uh = u.astype(jnp.bfloat16)
-            ul = (u - uh.astype(jnp.float32)).astype(jnp.bfloat16)
-            out = (jnp.dot(uh, T_pair[0][:],
-                           preferred_element_type=jnp.float32)
-                   + jnp.dot(ul, T_pair[0][:],
-                             preferred_element_type=jnp.float32)
-                   + jnp.dot(uh, T_pair[1][:],
-                             preferred_element_type=jnp.float32))
+        if scheme == "b3":
+            Sh, Sl, Th, Tl = (m[:] for m in mats)
+            S_pair, T_pair = (Sh, Sl), (Th, Tl)
         else:
-            out = jnp.dot(u.astype(jnp.bfloat16), T_pair[0][:],
-                          preferred_element_type=jnp.float32)
+            Sm, Tm = (m[:] for m in mats)
+
+        def synth(lo_band, hi_band):
+            # bands stacked along sublanes -> one matmul per pass; mixed
+            # input dtypes (f32 A-chain + bf16 details) meet at the
+            # compute dtype here.
+            cd = jnp.bfloat16 if scheme == "b1" else jnp.float32
+            u = jnp.concatenate([lo_band.astype(cd), hi_band.astype(cd)],
+                                axis=0)
+            if scheme == "b3":
+                return _mm("b3", None, u, left_pair=S_pair)
+            return _mm(scheme, Sm, u)
+
+        t1 = synth(at[:], ht[:])   # (2TR, COLS)
+        t2 = synth(vt[:], dt[:])
+        u = jnp.concatenate([t1, t2], axis=1)  # (2TR, 2*COLS)
+        if scheme == "b3":
+            out = _mm("b3", u, None, right_pair=T_pair)
+        else:
+            out = _mm(scheme, u, Tm)
         out_ref[0] = out.astype(out_ref.dtype)
 
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("taps", "hlen", "mode",
-                                             "mshape"))
-def _inv_mxu_call(ap, hp, vp, dp, mats, taps, hlen, mode, mshape):
+@functools.partial(jax.jit, static_argnames=("hlen", "scheme", "tiles",
+                                             "mshape", "out_dtype"))
+def _inv_mxu_call(ap, hp, vp, dp, mats, hlen, scheme, tiles, mshape,
+                  out_dtype):
     B = ap.shape[0]
+    TR, TC = tiles
     mr, mc = mshape
     _, _, lo_pad, hi_pad = _poly_geometry(hlen)
     pr = _ceil_to(lo_pad, 16) - lo_pad
     pc = _phases(lo_pad)[3]
-    ROWS = _ceil_to(_TR + lo_pad + hi_pad + pr, 16)
-    COLS = _ceil_to(_TC + lo_pad + hi_pad + pc, 128)
-    kernel = _inv_mxu_kernel(mode, ROWS, COLS)
-    out_spec = pl.BlockSpec((1, 2 * _TR, 2 * _TC), lambda b, i, j: (b, i, j),
+    ROWS = _ceil_to(TR + lo_pad + hi_pad + pr, 16)
+    COLS = _ceil_to(TC + lo_pad + hi_pad + pc, 128)
+    kernel = _inv_mxu_kernel(scheme, ROWS, COLS, TR, TC)
+    out_spec = pl.BlockSpec((1, 2 * TR, 2 * TC), lambda b, i, j: (b, i, j),
                             memory_space=pltpu.VMEM)
-    out_dtype = jnp.bfloat16 if mode == "bf16" else jnp.float32
     shape = jax.ShapeDtypeStruct((B, 2 * mr, 2 * mc), out_dtype)
     mat_specs = [
         pl.BlockSpec(m.shape, (lambda b, i, j: (0, 0)),
                      memory_space=pltpu.VMEM) for m in mats
     ]
-    tile = lambda: pltpu.VMEM((ROWS, COLS), ap.dtype)
+    tiles_scr = [pltpu.VMEM((ROWS, COLS), t.dtype)
+                 for t in (ap, hp, vp, dp)]
     return pl.pallas_call(
         kernel,
-        grid=(B, mr // _TR, mc // _TC),
+        grid=(B, mr // TR, mc // TC),
         out_shape=shape,
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 4 + mat_specs,
         out_specs=out_spec,
-        scratch_shapes=[tile(), tile(), tile(), tile(),
-                        pltpu.SemaphoreType.DMA((4,))],
+        scratch_shapes=tiles_scr + [pltpu.SemaphoreType.DMA((4,))],
         interpret=_INTERPRET(),
     )(ap, hp, vp, dp, *mats)
 
 
-def inv_level_2d_mxu(a, h, v, d, rec_lo, rec_hi, mode: str):
-    """One inverse level via MXU matmuls; None if unsupported."""
+def inv_level_2d_mxu(a, h, v, d, rec_lo, rec_hi, mode: str,
+                     out_dtype=None):
+    """One inverse level via MXU matmuls; None if unsupported.
+
+    mode "mixed": all-f32 in/out, bf16x3 compute.
+    mode "bf16": f32 (or bf16) approx + bf16 details in; DEFAULT-f32
+    compute; ``out_dtype`` selects the output (bf16 for the final image,
+    f32 to keep the intermediate approximation chain exact-ish)."""
     B, mr, mc = a.shape
     hlen = len(rec_lo)
-    if not _mxu_supported(2 * mr, 2 * mc, hlen):
+    tiles = _pick_mxu_tiles(mr, mc, hlen)
+    if tiles is None:
         return None
+    TR, TC = tiles
     _, _, lo_pad, hi_pad = _poly_geometry(hlen)
     lo_r16 = _ceil_to(lo_pad, 16)
     pr = lo_r16 - lo_pad
     lo_c, pc = _phases(lo_pad)[1], _phases(lo_pad)[3]
-    ROWS = _ceil_to(_TR + lo_pad + hi_pad + pr, 16)
-    COLS = _ceil_to(_TC + lo_pad + hi_pad + pc, 128)
-    hi_r = (mr - _TR + ROWS) - mr - lo_r16
-    hi_c = (mc - _TC + COLS) - mc - lo_c
+    ROWS = _ceil_to(TR + lo_pad + hi_pad + pr, 16)
+    COLS = _ceil_to(TC + lo_pad + hi_pad + pc, 128)
+    hi_r = (mr - TR + ROWS) - mr - lo_r16
+    hi_c = (mc - TC + COLS) - mc - lo_c
 
-    S, T = _synthesis_mats(rec_lo, rec_hi, hlen, 2 * ROWS, COLS, pr, pc)
-    taps = (_taps(rec_lo), _taps(rec_hi))
+    S, T = _synthesis_mats(rec_lo, rec_hi, hlen, 2 * ROWS, COLS, pr, pc,
+                           TR, TC)
     if mode == "mixed":
-        Sh, Sl = _split_bf16(S)
-        Th, Tl = _split_bf16(T)
-        mats = (Sh, Sl, Th, Tl)
+        scheme = "b3"
+        out_dtype = jnp.float32
         cast = lambda t: t.astype(jnp.float32)
+    elif mode == "bf16":
+        scheme = "fd"
+        out_dtype = jnp.bfloat16 if out_dtype is None else out_dtype
+        # keep the A-chain f32 through the matmuls; details stay bf16
+        cast = lambda t: (t.astype(jnp.float32)
+                          if t.dtype not in (jnp.float32, jnp.bfloat16)
+                          else t)
+        a = a.astype(jnp.float32)
     else:
-        mats = (jnp.asarray(S, jnp.bfloat16), jnp.asarray(T, jnp.bfloat16))
-        cast = lambda t: t.astype(jnp.bfloat16)
+        raise ValueError(mode)
+    mats = _mats_for_scheme((S, T), scheme)
 
     def pad2(arr):
         arr = conv.wrap_pad(arr, -1, lo_c, hi_c)
         return conv.wrap_pad(arr, -2, lo_r16, hi_r)
 
     return _inv_mxu_call(pad2(cast(a)), pad2(cast(h)), pad2(cast(v)),
-                         pad2(cast(d)), mats, taps, hlen, mode, (mr, mc))
+                         pad2(cast(d)), mats, hlen, scheme, (TR, TC),
+                         (mr, mc), out_dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -352,44 +428,51 @@ def fwd_level_2d_mxu_ad(x, dec_lo_t, dec_hi_t, mode):
 
 
 def _fwd_mxu_fwd(x, dec_lo_t, dec_hi_t, mode):
-    return fwd_level_2d_mxu_ad(x, dec_lo_t, dec_hi_t, mode), None
+    # residual: zero-size probe carrying the input dtype (dtype objects
+    # are not pytree leaves)
+    return (fwd_level_2d_mxu_ad(x, dec_lo_t, dec_hi_t, mode),
+            jnp.zeros((0,), x.dtype))
 
 
-def _fwd_mxu_bwd(dec_lo_t, dec_hi_t, mode, _, ct):
+def _fwd_mxu_bwd(dec_lo_t, dec_hi_t, mode, probe, ct):
+    in_dtype = probe.dtype
     a, h, v, d = ct
     lo_r = np.asarray(dec_lo_t)[::-1]
     hi_r = np.asarray(dec_hi_t)[::-1]
-    y = inv_level_2d_mxu(a, h, v, d, lo_r, hi_r, mode)
+    y = inv_level_2d_mxu(a, h, v, d, lo_r, hi_r, mode, out_dtype=in_dtype)
     if y is None:
         from .separable_pallas import _fma_inv_level
         y = _fma_inv_level(a.astype(jnp.float32), h.astype(jnp.float32),
                            v.astype(jnp.float32), d.astype(jnp.float32),
-                           lo_r, hi_r).astype(a.dtype)
+                           lo_r, hi_r).astype(in_dtype)
     return (y,)
 
 
 fwd_level_2d_mxu_ad.defvjp(_fwd_mxu_fwd, _fwd_mxu_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
-def inv_level_2d_mxu_ad(a, h, v, d, rec_lo_t, rec_hi_t, mode):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def inv_level_2d_mxu_ad(a, h, v, d, rec_lo_t, rec_hi_t, mode,
+                        out_dtype=None):
     return inv_level_2d_mxu(a, h, v, d, np.asarray(rec_lo_t),
-                            np.asarray(rec_hi_t), mode)
+                            np.asarray(rec_hi_t), mode, out_dtype=out_dtype)
 
 
-def _inv_mxu_fwd(a, h, v, d, rec_lo_t, rec_hi_t, mode):
-    return inv_level_2d_mxu_ad(a, h, v, d, rec_lo_t, rec_hi_t, mode), None
+def _inv_mxu_fwd(a, h, v, d, rec_lo_t, rec_hi_t, mode, out_dtype):
+    res = tuple(jnp.zeros((0,), t.dtype) for t in (a, h, v, d))
+    return inv_level_2d_mxu_ad(a, h, v, d, rec_lo_t, rec_hi_t, mode,
+                               out_dtype), res
 
 
-def _inv_mxu_bwd(rec_lo_t, rec_hi_t, mode, _, ct):
+def _inv_mxu_bwd(rec_lo_t, rec_hi_t, mode, out_dtype, probes, ct):
     lo_r = np.asarray(rec_lo_t)[::-1]
     hi_r = np.asarray(rec_hi_t)[::-1]
     res = fwd_level_2d_mxu(ct, lo_r, hi_r, mode)
     if res is None:
         from .separable_pallas import _fma_fwd_level
         r = _fma_fwd_level(ct.astype(jnp.float32), lo_r, hi_r)
-        res = tuple(t.astype(ct.dtype) for t in r)
-    return res
+        res = tuple(t for t in r)
+    return tuple(t.astype(p.dtype) for t, p in zip(res, probes))
 
 
 inv_level_2d_mxu_ad.defvjp(_inv_mxu_fwd, _inv_mxu_bwd)

@@ -528,14 +528,25 @@ def _tail_supported(shape: Tuple[int, int], hlen: int, levels: int) -> bool:
 
 
 def _wrap_sub(x, lo: int, hi: int):
-    """Periodic extension along axis 0 as a value concatenate."""
+    """Periodic extension along axis 0 as a value concatenate.  Halos
+    wider than the axis tile whole copies (like conv.wrap_pad) — long
+    wavelets fused down to tiny deep levels need lo/hi > axis length."""
+    n = x.shape[0]
+    if lo == 0 and hi == 0:
+        return x
     parts = []
     if lo:
-        parts.append(x[x.shape[0] - lo:, :])
+        full, rem = divmod(lo, n)
+        if rem:
+            parts.append(x[n - rem:, :])
+        parts.extend([x] * full)
     parts.append(x)
     if hi:
-        parts.append(x[:hi, :])
-    return jnp.concatenate(parts, axis=0) if len(parts) > 1 else x
+        full, rem = divmod(hi, n)
+        parts.extend([x] * full)
+        if rem:
+            parts.append(x[:rem, :])
+    return jnp.concatenate(parts, axis=0)
 
 
 def _make_tail_fwd_kernel(taps_lo, taps_hi, hlen, shape, levels):

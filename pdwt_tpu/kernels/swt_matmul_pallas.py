@@ -1,0 +1,480 @@
+"""MXU (banded-matmul) à-trous SWT level kernels — bf16 / mixed modes.
+
+The stationary transform is the flagship workload (translation-invariant
+denoising, reference demo scenario 3: src/demo.cpp:201-205) and was the
+largest remaining VPU-bound surface after round 2.  A dilated dual FIR
+is still a banded matrix multiply — the band just has stride ``f =
+2^(level-1)`` (reference à-trous kernels: src/separable.cu:409-493,
+553-626) — so both separable passes of a level run as two MXU matmuls
+per tile, exactly like the decimated kernels in matmul_pallas:
+
+    pass 1 (sublanes): t = A @ x      A[m, pr + m + f*j]      = tap[j]
+    pass 2 (lanes):    o = t @ B      B[pc + n + f*j, n]      = tap[j]
+
+Undecimated means M == TR (no 2x) and the K-dim waste is *smaller* than
+the decimated kernels' (K = TR + (hlen-1)*f vs 2*TR + hlen - 2), so the
+5-6x DEFAULT-vs-HIGHEST matmul advantage carries over per level until
+the dilated span approaches the tile size.
+
+The inverse fuses the per-level detail threshold (soft/hard, SMEM beta)
+into the tile read — the TI-denoise step never materializes thresholded
+subbands in HBM (the reference launches a separate elementwise kernel
+per subband: src/common.cu:219-249).
+
+Modes mirror matmul_pallas: ``mixed`` (f32 in/out, bf16x3) and ``bf16``
+(bf16 details, f32 approximation chain, one bf16 matmul per pass for
+bf16 operands / DEFAULT-f32 for the f32 A-chain).  The inverse's
+1/2-per-pass normalization lives in the matrix entries (reference:
+src/separable.cu:581-584).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core import conv
+from .separable_pallas import (
+    _INTERPRET,
+    _ceil_to,
+    _phases,
+    _taps,
+)
+from .matmul_pallas import _mats_for_scheme, _mm
+from .swt_pallas import _thresh_tile
+
+_SWT_TILE_RC = ((128, 256), (128, 128), (64, 128), (32, 128))
+_SWT_VMEM = 11 * 1024 * 1024
+
+
+def _swt_mxu_tiles(r: int, c: int, hlen: int, f: int):
+    """Largest (TR, TC) whose padded tile + matrices fit VMEM; None if
+    unsupported (odd hlen, >40 taps, indivisible, or dilated span too
+    wide for the banded formulation to be worth it)."""
+    if hlen % 2 or hlen > 40:
+        return None
+    span = (hlen - 1) * f
+    for tr, tc in _SWT_TILE_RC:
+        if r % tr or c % tc:
+            continue
+        if span > 2 * tr:  # K-dim waste explodes; VPU path wins
+            continue
+        rows = _ceil_to(tr + span + 16, 16)
+        cols = _ceil_to(tc + span + 128, 128)
+        # x tile + 4 matrices (split) + out accum, coarse bound
+        est = rows * cols * 4 + 2 * (rows * (2 * tr) + cols * 2 * tc) * 4
+        if est > _SWT_VMEM:
+            continue
+        return tr, tc
+    return None
+
+
+def _swt_analysis_mats(dec_lo, dec_hi, rows, cols, pr, pc, TR, TC, f):
+    tl, th = _taps(dec_lo), _taps(dec_hi)
+    hlen = len(tl)
+    A = np.zeros((2 * TR, rows), np.float32)
+    for m in range(TR):
+        for j in range(hlen):
+            A[m, pr + m + f * j] += tl[j]
+            A[TR + m, pr + m + f * j] += th[j]
+    B = np.zeros((cols, 2 * TC), np.float32)
+    for n in range(TC):
+        for j in range(hlen):
+            B[pc + n + f * j, n] += tl[j]
+            B[pc + n + f * j, TC + n] += th[j]
+    return A, B
+
+
+def _swt_synthesis_mats(rec_lo, rec_hi, rows, cols, pr, pc, TR, TC, f):
+    # taps carry the 1/2-per-pass factor (reference: src/separable.cu:581)
+    tl = _taps(np.asarray(rec_lo) * 0.5)
+    th = _taps(np.asarray(rec_hi) * 0.5)
+    hlen = len(tl)
+    S = np.zeros((TR, 2 * rows), np.float32)
+    for m in range(TR):
+        for j in range(hlen):
+            S[m, pr + m + f * j] += tl[j]
+            S[m, rows + pr + m + f * j] += th[j]
+    T = np.zeros((2 * cols, TC), np.float32)
+    for n in range(TC):
+        for j in range(hlen):
+            T[pc + n + f * j, n] += tl[j]
+            T[cols + pc + n + f * j, n] += th[j]
+    return S, T
+
+
+def _mode_scheme(mode: str, in_dtype) -> str:
+    if mode == "mixed":
+        return "b3"
+    if mode == "bf16":
+        return "b1" if in_dtype == jnp.bfloat16 else "fd"
+    raise ValueError(mode)
+
+
+# ---------------------------------------------------------------------------
+# forward level
+# ---------------------------------------------------------------------------
+
+def _swt_fwd_mxu_kernel(scheme, ROWS, COLS, TR, TC):
+    nmats = 4 if scheme == "b3" else 2
+
+    def kernel(xp_hbm, *refs):
+        mats = refs[:nmats]
+        a_ref, h_ref, v_ref, d_ref, xt, sem = refs[nmats:]
+        b = pl.program_id(0)
+        i = pl.program_id(1)
+        j = pl.program_id(2)
+        dma = pltpu.make_async_copy(
+            xp_hbm.at[b, pl.ds(TR * i, ROWS), pl.ds(TC * j, COLS)],
+            xt, sem)
+        dma.start()
+        dma.wait()
+        x = xt[:]
+        if scheme == "b3":
+            Ah, Al, Bh, Bl = (m[:] for m in mats)
+            t = _mm("b3", None, x, left_pair=(Ah, Al))
+            out = _mm("b3", t, None, right_pair=(Bh, Bl))
+        else:
+            Am, Bm = (m[:] for m in mats)
+            t = _mm(scheme, Am, x)
+            out = _mm(scheme, t, Bm)
+        a_ref[0] = out[:TR, :TC].astype(a_ref.dtype)
+        v_ref[0] = out[:TR, TC:].astype(v_ref.dtype)
+        h_ref[0] = out[TR:, :TC].astype(h_ref.dtype)
+        d_ref[0] = out[TR:, TC:].astype(d_ref.dtype)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("hlen", "f", "scheme", "tiles",
+                                             "nshape", "out_dtypes"))
+def _swt_fwd_mxu_call(xp, mats, hlen, f, scheme, tiles, nshape, out_dtypes):
+    B = xp.shape[0]
+    TR, TC = tiles
+    nr, nc = nshape
+    span = (hlen - 1) * f
+    cen = conv.fwd_center(hlen) * f
+    pr = _ceil_to(cen, 16) - cen
+    pc = _phases(cen)[3]
+    ROWS = _ceil_to(TR + span + pr, 16)
+    COLS = _ceil_to(TC + span + pc, 128)
+    kernel = _swt_fwd_mxu_kernel(scheme, ROWS, COLS, TR, TC)
+    out_spec = pl.BlockSpec((1, TR, TC), lambda b, i, j: (b, i, j),
+                            memory_space=pltpu.VMEM)
+    a_dt, d_dt = out_dtypes
+    shapes = tuple(jax.ShapeDtypeStruct((B, nr, nc), dt)
+                   for dt in (a_dt, d_dt, d_dt, d_dt))
+    mat_specs = [
+        pl.BlockSpec(m.shape, (lambda b, i, j: (0, 0)),
+                     memory_space=pltpu.VMEM) for m in mats
+    ]
+    return pl.pallas_call(
+        kernel,
+        grid=(B, nr // TR, nc // TC),
+        out_shape=shapes,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] + mat_specs,
+        out_specs=(out_spec,) * 4,
+        scratch_shapes=[pltpu.VMEM((ROWS, COLS), xp.dtype),
+                        pltpu.SemaphoreType.DMA(())],
+        interpret=_INTERPRET(),
+    )(xp, *mats)
+
+
+def swt_fwd_level_2d_mxu(x, dec_lo, dec_hi, level: int, mode: str):
+    """One à-trous forward level on (B, R, C) via MXU matmuls; None if
+    unsupported.  Output dtypes per mode: mixed -> all f32; bf16 ->
+    f32 approximation + bf16 details (see matmul_pallas)."""
+    B, r, c = x.shape
+    hlen = len(dec_lo)
+    f = 1 << (level - 1)
+    tiles = _swt_mxu_tiles(r, c, hlen, f)
+    if tiles is None:
+        return None
+    TR, TC = tiles
+    span = (hlen - 1) * f
+    cen = conv.fwd_center(hlen) * f
+    lo_r = _ceil_to(cen, 16)
+    pr = lo_r - cen
+    lo_c, pc = _phases(cen)[1], _phases(cen)[3]
+    ROWS = _ceil_to(TR + span + pr, 16)
+    COLS = _ceil_to(TC + span + pc, 128)
+    hi_r = (r - TR + ROWS) - r - lo_r
+    hi_c = (c - TC + COLS) - c - lo_c
+    xp = conv.wrap_pad(x, -1, lo_c, hi_c)
+    xp = conv.wrap_pad(xp, -2, lo_r, hi_r)
+    A, Bm = _swt_analysis_mats(dec_lo, dec_hi, ROWS, COLS, pr, pc, TR, TC, f)
+    scheme = _mode_scheme(mode, x.dtype)
+    out_dtypes = ((jnp.float32, jnp.float32) if mode == "mixed"
+                  else (jnp.float32, jnp.bfloat16))
+    mats = _mats_for_scheme((A, Bm), scheme)
+    return _swt_fwd_mxu_call(xp, mats, hlen, f, scheme, (TR, TC), (r, c),
+                             out_dtypes)
+
+
+# ---------------------------------------------------------------------------
+# inverse level (optionally with fused detail threshold)
+# ---------------------------------------------------------------------------
+
+def _swt_inv_mxu_kernel(scheme, ROWS, COLS, TR, TC, thresh_mode):
+    nmats = 4 if scheme == "b3" else 2
+
+    def kernel(*refs):
+        if thresh_mode is not None:
+            beta_ref = refs[0]
+            refs = refs[1:]
+        a_hbm, h_hbm, v_hbm, d_hbm = refs[:4]
+        mats = refs[4:4 + nmats]
+        out_ref, at, ht, vt, dt, sems = refs[4 + nmats:]
+        b = pl.program_id(0)
+        i = pl.program_id(1)
+        j = pl.program_id(2)
+        copies = []
+        for idx, (src, dst) in enumerate(
+                ((a_hbm, at), (h_hbm, ht), (v_hbm, vt), (d_hbm, dt))):
+            dma = pltpu.make_async_copy(
+                src.at[b, pl.ds(TR * i, ROWS), pl.ds(TC * j, COLS)],
+                dst, sems.at[idx])
+            dma.start()
+            copies.append(dma)
+        for dma in copies:
+            dma.wait()
+
+        if scheme == "b3":
+            Sh, Sl, Th, Tl = (m[:] for m in mats)
+        else:
+            Sm, Tm = (m[:] for m in mats)
+
+        cd = jnp.bfloat16 if scheme == "b1" else jnp.float32
+
+        def det(tile):
+            x = tile[:]
+            if thresh_mode is not None:
+                # fused detail threshold in the tile read (VPU
+                # elementwise; f32 so bf16 details threshold exactly)
+                x = _thresh_tile(x.astype(jnp.float32), thresh_mode,
+                                 beta_ref[0])
+            return x.astype(cd)
+
+        def synth(lo_t, hi_t):
+            u = jnp.concatenate([lo_t, hi_t], axis=0)
+            if scheme == "b3":
+                return _mm("b3", None, u, left_pair=(Sh, Sl))
+            return _mm(scheme, Sm, u)
+
+        t1 = synth(at[:].astype(cd), det(ht))   # (TR, COLS)
+        t2 = synth(det(vt), det(dt))
+        u = jnp.concatenate([t1, t2], axis=1)   # (TR, 2*COLS)
+        if scheme == "b3":
+            out = _mm("b3", u, None, right_pair=(Th, Tl))
+        else:
+            out = _mm(scheme, u, Tm)
+        out_ref[0] = out.astype(out_ref.dtype)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("hlen", "f", "scheme", "tiles",
+                                             "nshape", "out_dtype",
+                                             "thresh_mode"))
+def _swt_inv_mxu_call(ap, hp, vp, dp, mats, hlen, f, scheme, tiles, nshape,
+                      out_dtype, thresh_mode=None, beta=None):
+    B = ap.shape[0]
+    TR, TC = tiles
+    nr, nc = nshape
+    span = (hlen - 1) * f
+    cen = (hlen // 2) * f
+    pr = _ceil_to(cen, 16) - cen
+    pc = _phases(cen)[3]
+    ROWS = _ceil_to(TR + span + pr, 16)
+    COLS = _ceil_to(TC + span + pc, 128)
+    kernel = _swt_inv_mxu_kernel(scheme, ROWS, COLS, TR, TC, thresh_mode)
+    out_spec = pl.BlockSpec((1, TR, TC), lambda b, i, j: (b, i, j),
+                            memory_space=pltpu.VMEM)
+    shape = jax.ShapeDtypeStruct((B, nr, nc), out_dtype)
+    mat_specs = [
+        pl.BlockSpec(m.shape, (lambda b, i, j: (0, 0)),
+                     memory_space=pltpu.VMEM) for m in mats
+    ]
+    in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)] * 4 + mat_specs
+    args = (ap, hp, vp, dp) + tuple(mats)
+    if thresh_mode is not None:
+        in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] + in_specs
+        args = (jnp.asarray(beta, jnp.float32).reshape(1),) + args
+    tiles_scr = [pltpu.VMEM((ROWS, COLS), t.dtype)
+                 for t in (ap, hp, vp, dp)]
+    return pl.pallas_call(
+        kernel,
+        grid=(B, nr // TR, nc // TC),
+        out_shape=shape,
+        in_specs=in_specs,
+        out_specs=out_spec,
+        scratch_shapes=tiles_scr + [pltpu.SemaphoreType.DMA((4,))],
+        interpret=_INTERPRET(),
+    )(*args)
+
+
+def swt_inv_level_2d_mxu(a, h, v, d, rec_lo, rec_hi, level: int, mode: str,
+                         out_dtype=None, threshold=None):
+    """One à-trous inverse level via MXU matmuls (1/2-per-pass in the
+    matrices); None if unsupported.  ``threshold=("soft"|"hard", beta)``
+    fuses the detail threshold into the tile read."""
+    B, r, c = a.shape
+    hlen = len(rec_lo)
+    f = 1 << (level - 1)
+    tiles = _swt_mxu_tiles(r, c, hlen, f)
+    if tiles is None:
+        return None
+    TR, TC = tiles
+    span = (hlen - 1) * f
+    cen = (hlen // 2) * f  # swt synthesis center (src/separable.cu:559-568)
+    lo_r = _ceil_to(cen, 16)
+    pr = lo_r - cen
+    lo_c, pc = _phases(cen)[1], _phases(cen)[3]
+    ROWS = _ceil_to(TR + span + pr, 16)
+    COLS = _ceil_to(TC + span + pc, 128)
+    hi_r = (r - TR + ROWS) - r - lo_r
+    hi_c = (c - TC + COLS) - c - lo_c
+
+    S, T = _swt_synthesis_mats(rec_lo, rec_hi, ROWS, COLS, pr, pc, TR, TC, f)
+    if mode == "mixed":
+        scheme = "b3"
+        out_dtype = jnp.float32
+    elif mode == "bf16":
+        # f32 A-chain: bf16 details meet the f32 approx at DEFAULT-f32
+        scheme = "fd"
+        out_dtype = jnp.bfloat16 if out_dtype is None else out_dtype
+        a = a.astype(jnp.float32)
+    else:
+        raise ValueError(mode)
+    mats = _mats_for_scheme((S, T), scheme)
+
+    def pad2(arr):
+        arr = conv.wrap_pad(arr, -1, lo_c, hi_c)
+        return conv.wrap_pad(arr, -2, lo_r, hi_r)
+
+    tmode, beta = (None, None) if threshold is None else threshold
+    return _swt_inv_mxu_call(pad2(a), pad2(h), pad2(v), pad2(d), mats,
+                             hlen, f, scheme, (TR, TC), (r, c), out_dtype,
+                             thresh_mode=tmode, beta=beta)
+
+
+# ---------------------------------------------------------------------------
+# autodiff wrappers (linear transforms; adjoint algebra as swt_pallas)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
+def swt_fwd_level_2d_mxu_ad(x, dec_lo_t, dec_hi_t, level, mode):
+    return swt_fwd_level_2d_mxu(x, np.asarray(dec_lo_t),
+                                np.asarray(dec_hi_t), level, mode)
+
+
+def _swt_fwd_mxu_fwd(x, dec_lo_t, dec_hi_t, level, mode):
+    return (swt_fwd_level_2d_mxu_ad(x, dec_lo_t, dec_hi_t, level, mode),
+            jnp.zeros((0,), x.dtype))
+
+
+def _swt_fwd_mxu_bwd(dec_lo_t, dec_hi_t, level, mode, probe, ct):
+    from .swt_pallas import _fma_swt_inv
+
+    a, h, v, d = ct
+    lo_r = 2.0 * np.asarray(dec_lo_t)[::-1]
+    hi_r = 2.0 * np.asarray(dec_hi_t)[::-1]
+    y = swt_inv_level_2d_mxu(a, h, v, d, lo_r, hi_r, level, mode,
+                             out_dtype=probe.dtype)
+    if y is None:
+        y = _fma_swt_inv(a.astype(jnp.float32), h.astype(jnp.float32),
+                         v.astype(jnp.float32), d.astype(jnp.float32),
+                         lo_r, hi_r, level).astype(probe.dtype)
+    return (y,)
+
+
+swt_fwd_level_2d_mxu_ad.defvjp(_swt_fwd_mxu_fwd, _swt_fwd_mxu_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+def swt_inv_level_2d_mxu_ad(a, h, v, d, rec_lo_t, rec_hi_t, level, mode,
+                            out_dtype=None):
+    return swt_inv_level_2d_mxu(a, h, v, d, np.asarray(rec_lo_t),
+                                np.asarray(rec_hi_t), level, mode,
+                                out_dtype=out_dtype)
+
+
+def _swt_inv_mxu_fwd(a, h, v, d, rec_lo_t, rec_hi_t, level, mode,
+                     out_dtype):
+    res = tuple(jnp.zeros((0,), t.dtype) for t in (a, h, v, d))
+    return swt_inv_level_2d_mxu_ad(a, h, v, d, rec_lo_t, rec_hi_t, level,
+                                   mode, out_dtype), res
+
+
+def _swt_inv_mxu_bwd(rec_lo_t, rec_hi_t, level, mode, out_dtype, probes,
+                     ct):
+    from .swt_pallas import _fma_swt_fwd
+
+    lo_r = 0.5 * np.asarray(rec_lo_t)[::-1]
+    hi_r = 0.5 * np.asarray(rec_hi_t)[::-1]
+    res = swt_fwd_level_2d_mxu(ct, lo_r, hi_r, level, mode)
+    if res is None:
+        res = _fma_swt_fwd(ct.astype(jnp.float32), lo_r, hi_r, level)
+    return tuple(t.astype(p.dtype) for t, p in zip(res, probes))
+
+
+swt_inv_level_2d_mxu_ad.defvjp(_swt_inv_mxu_fwd, _swt_inv_mxu_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
+def swt_inv_level_2d_mxu_denoise_ad(a, h, v, d, beta, rec_lo_t, rec_hi_t,
+                                    level, mode, thr_mode, out_dtype=None):
+    """Differentiable fused threshold + à-trous MXU inverse level (the
+    MXU counterpart of swt_pallas.swt_inv_level_2d_denoise_ad):
+    backward = linear-synthesis adjoint chained through the threshold's
+    a.e.-derivative with the saved un-thresholded details as the mask."""
+    return swt_inv_level_2d_mxu(a, h, v, d, np.asarray(rec_lo_t),
+                                np.asarray(rec_hi_t), level, mode,
+                                out_dtype=out_dtype,
+                                threshold=(thr_mode, beta))
+
+
+def _swt_inv_mxu_den_fwd(a, h, v, d, beta, rec_lo_t, rec_hi_t, level, mode,
+                         thr_mode, out_dtype):
+    y = swt_inv_level_2d_mxu_denoise_ad(a, h, v, d, beta, rec_lo_t,
+                                        rec_hi_t, level, mode, thr_mode,
+                                        out_dtype)
+    res = None if y is None else (h, v, d, beta, jnp.zeros((0,), a.dtype))
+    return y, res
+
+
+def _swt_inv_mxu_den_bwd(rec_lo_t, rec_hi_t, level, mode, thr_mode,
+                         out_dtype, res, ct):
+    from .swt_pallas import _fma_swt_fwd
+
+    h, v, d, beta, a_probe = res
+    lo_r = 0.5 * np.asarray(rec_lo_t)[::-1]
+    hi_r = 0.5 * np.asarray(rec_hi_t)[::-1]
+    out = swt_fwd_level_2d_mxu(ct, lo_r, hi_r, level, mode)
+    if out is None:
+        out = _fma_swt_fwd(ct.astype(jnp.float32), lo_r, hi_r, level)
+    ct_a, cth_p, ctv_p, ctd_p = out
+    f32 = jnp.float32
+    b = jnp.asarray(beta, f32)
+    masks = [(jnp.abs(t.astype(f32)) > b) for t in (h, v, d)]
+    cts = [jnp.where(m, cp.astype(f32), 0.0).astype(t.dtype)
+           for m, cp, t in zip(masks, (cth_p, ctv_p, ctd_p), (h, v, d))]
+    if thr_mode == "soft":
+        ct_beta = -sum(
+            jnp.sum(jnp.where(m, cp.astype(f32)
+                              * jnp.sign(t.astype(f32)), 0.0))
+            for m, cp, t in zip(masks, (cth_p, ctv_p, ctd_p), (h, v, d)))
+        ct_beta = jnp.asarray(ct_beta, jnp.result_type(beta)).reshape(
+            jnp.shape(beta))
+    else:
+        ct_beta = jnp.zeros(jnp.shape(beta), jnp.result_type(beta))
+    return (ct_a.astype(a_probe.dtype), cts[0], cts[1], cts[2], ct_beta)
+
+
+swt_inv_level_2d_mxu_denoise_ad.defvjp(_swt_inv_mxu_den_fwd,
+                                       _swt_inv_mxu_den_bwd)

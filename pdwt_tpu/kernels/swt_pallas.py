@@ -719,6 +719,58 @@ def _swt_inv2d_bwd(rec_lo_t, rec_hi_t, level, _, ct):
 swt_inv_level_2d_ad.defvjp(_swt_inv2d_fwd, _swt_inv2d_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def swt_inv_level_2d_denoise_ad(a, h, v, d, beta, rec_lo_t, rec_hi_t,
+                                level, mode):
+    """Differentiable fused detail-threshold + à-trous inverse level.
+
+    Same computation as ``swt_inv_level_2d(..., threshold=(mode, beta))``
+    but with a custom VJP: the backward pass runs the (linear) analysis
+    adjoint and chains through the threshold's a.e.-derivative using the
+    saved UN-thresholded details as the mask (soft/hard: 1{|x|>beta};
+    soft also contributes -sign(x)·1{|x|>beta} to d/dbeta).  Returns
+    None when the kernel geometry is unsupported (caller falls back to
+    the unfused, natively-differentiable path)."""
+    return swt_inv_level_2d(a, h, v, d, np.asarray(rec_lo_t),
+                            np.asarray(rec_hi_t), level,
+                            threshold=(mode, beta))
+
+
+def _swt_inv2d_den_fwd(a, h, v, d, beta, rec_lo_t, rec_hi_t, level, mode):
+    y = swt_inv_level_2d_denoise_ad(a, h, v, d, beta, rec_lo_t, rec_hi_t,
+                                    level, mode)
+    res = None if y is None else (h, v, d, beta)
+    return y, res
+
+
+def _swt_inv2d_den_bwd(rec_lo_t, rec_hi_t, level, mode, res, ct):
+    h, v, d, beta = res
+    # linear-synthesis adjoint (see _swt_inv2d_bwd)
+    lo_r = 0.5 * np.asarray(rec_lo_t)[::-1]
+    hi_r = 0.5 * np.asarray(rec_hi_t)[::-1]
+    out = swt_fwd_level_2d(ct, lo_r, hi_r, level)
+    if out is None:
+        out = _fma_swt_fwd(ct, lo_r, hi_r, level)
+    ct_a, cth_p, ctv_p, ctd_p = out
+    b = jnp.asarray(beta, h.dtype)
+    masks = [(jnp.abs(t) > b) for t in (h, v, d)]
+    ct_h = jnp.where(masks[0], cth_p, 0.0)
+    ct_v = jnp.where(masks[1], ctv_p, 0.0)
+    ct_d = jnp.where(masks[2], ctd_p, 0.0)
+    if mode == "soft":
+        ct_beta = -sum(
+            jnp.sum(jnp.where(m, cp * jnp.sign(t), 0.0))
+            for m, cp, t in zip(masks, (cth_p, ctv_p, ctd_p), (h, v, d)))
+        ct_beta = jnp.asarray(ct_beta, jnp.result_type(beta)).reshape(
+            jnp.shape(beta))
+    else:
+        ct_beta = jnp.zeros(jnp.shape(beta), jnp.result_type(beta))
+    return ct_a, ct_h, ct_v, ct_d, ct_beta
+
+
+swt_inv_level_2d_denoise_ad.defvjp(_swt_inv2d_den_fwd, _swt_inv2d_den_bwd)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
 def fwd_level_1d_ad(x, dec_lo_t, dec_hi_t):
     return fwd_level_1d(x, np.asarray(dec_lo_t), np.asarray(dec_hi_t))

@@ -1,0 +1,151 @@
+"""MXU (banded-matmul) kernel families in pallas interpret mode on CPU.
+
+Covers the round-3 surface: SWT 2D, batched-1D (decimated + à-trous),
+deep-level tile selection with tail fusion under the MXU modes, the
+fused-threshold MXU denoise step, and gradients — all against the
+gather oracle.  The on-chip counterparts live in test_pallas_kernels /
+test_tpu_sweep.
+"""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pdwt_tpu import ops
+from pdwt_tpu.core import separable as sep
+from pdwt_tpu.filters import get_wavelet
+
+
+@pytest.fixture(autouse=True)
+def _interpret(monkeypatch):
+    monkeypatch.setenv("PDWT_PALLAS_INTERPRET", "1")
+
+
+def _rel_err(tree_a, tree_b, scale):
+    return max(
+        float(jnp.abs(a.astype(jnp.float64) - b.astype(jnp.float64)).max())
+        for a, b in zip(jax.tree.leaves(tree_a), jax.tree.leaves(tree_b))
+    ) / scale
+
+
+def test_mixed_swt2d_roundtrip(rng, monkeypatch):
+    monkeypatch.setenv("PDWT_TPU_PRECISION", "mixed")
+    w = get_wavelet("db7")
+    x = jnp.asarray(rng.uniform(0, 255, (1, 256, 256)), jnp.float32)
+    cg = sep.swt2d(x, w, 2, backend="gather")
+    cm = sep.swt2d(x, w, 2, backend="pallas")
+    assert _rel_err(cm, cg, float(jnp.abs(cg.approx).max())) < 1e-4
+    ym = sep.iswt2d(cm, w, backend="pallas")
+    assert float(jnp.abs(ym - x).max()) < 0.05
+
+
+def test_bf16_swt2d_roundtrip(rng):
+    w = get_wavelet("db7")
+    x = jnp.asarray(rng.uniform(0, 255, (1, 256, 256)), jnp.float32)
+    cb = sep.swt2d(x.astype(jnp.bfloat16), w, 2, backend="pallas")
+    assert cb.approx.dtype == jnp.float32      # f32 A-chain
+    assert cb.details[0][0].dtype == jnp.bfloat16
+    yb = sep.iswt2d(cb, w, backend="pallas")
+    assert yb.dtype == jnp.bfloat16
+    assert float(jnp.abs(yb.astype(jnp.float32) - x).max()) < 3.0
+
+
+def test_mixed_swt_denoise_fused_mxu(rng, monkeypatch):
+    """Fused threshold inside the MXU synthesis == unfused oracle."""
+    monkeypatch.setenv("PDWT_TPU_PRECISION", "mixed")
+    w = get_wavelet("db4")
+    x = jnp.asarray(rng.standard_normal((1, 256, 256)) * 10, jnp.float32)
+    cm = sep.swt2d(x, w, 2, backend="pallas")
+    for mode in ("soft", "hard"):
+        # threshold the SAME coefficients on both paths: the hard
+        # threshold's discontinuity would otherwise flip borderline
+        # coefficients between the mixed and exact forward transforms
+        y_ref = sep.iswt2d((ops.soft_threshold if mode == "soft"
+                            else ops.hard_threshold)(cm, 3.0), w,
+                           backend="gather")
+        y_fused = sep.iswt2d_denoise(cm, w, 3.0, mode=mode,
+                                     backend="pallas")
+        assert float(jnp.abs(y_fused - y_ref).max()) < 1e-2, mode
+
+
+def test_mixed_swt_denoise_grad_mxu(rng, monkeypatch):
+    """grad through the fused MXU threshold+inverse (custom VJP) matches
+    the unfused gather composition (w.r.t. both image and beta)."""
+    monkeypatch.setenv("PDWT_TPU_PRECISION", "mixed")
+    w = get_wavelet("db4")
+    x = jnp.asarray(rng.standard_normal((1, 128, 128)) * 10, jnp.float32)
+
+    def loss(v, b, be):
+        c = sep.swt2d(v, w, 1, backend="gather")
+        if be == "fused":
+            y = sep.iswt2d_denoise(c, w, b, mode="soft", backend="pallas")
+        else:
+            y = sep.iswt2d(ops.soft_threshold(c, b), w, backend="gather")
+        return jnp.sum(y ** 2)
+
+    gx_f, gb_f = jax.grad(loss, argnums=(0, 1))(x, 3.0, "fused")
+    gx_r, gb_r = jax.grad(loss, argnums=(0, 1))(x, 3.0, "ref")
+    scale = float(jnp.abs(gx_r).max())
+    assert float(jnp.abs(gx_f - gx_r).max()) / scale < 1e-3
+    assert abs(float(gb_f) - float(gb_r)) / max(abs(float(gb_r)), 1) < 1e-3
+
+
+def test_mixed_1d_families(rng, monkeypatch):
+    monkeypatch.setenv("PDWT_TPU_PRECISION", "mixed")
+    w = get_wavelet("sym8")
+    x = jnp.asarray(rng.uniform(-10, 10, (64, 1024)), jnp.float32)
+    cg = sep.dwt1d(x, w, 2, backend="gather")
+    cm = sep.dwt1d(x, w, 2, backend="pallas")
+    assert _rel_err(cm, cg, float(jnp.abs(cg.approx).max())) < 1e-4
+    ym = sep.idwt1d(cm, w, 1024, backend="pallas")
+    assert float(jnp.abs(ym - x).max()) < 1e-2
+
+    sg = sep.swt1d(x, w, 2, backend="gather")
+    sm = sep.swt1d(x, w, 2, backend="pallas")
+    assert _rel_err(sm, sg, float(jnp.abs(sg.approx).max())) < 1e-4
+    ys = sep.iswt1d(sm, w, backend="pallas")
+    assert float(jnp.abs(ys - x).max()) < 1e-2
+
+
+def test_bf16_1d_families(rng):
+    w = get_wavelet("sym8")
+    x = jnp.asarray(rng.uniform(-10, 10, (64, 1024)), jnp.float32)
+    xb = x.astype(jnp.bfloat16)
+    cb = sep.dwt1d(xb, w, 2, backend="pallas")
+    assert cb.approx.dtype == jnp.float32
+    assert cb.details[0].dtype == jnp.bfloat16
+    yb = sep.idwt1d(cb, w, 1024, backend="pallas")
+    assert yb.dtype == jnp.bfloat16
+    assert float(jnp.abs(yb.astype(jnp.float32) - x).max()) < 0.3
+    sb = sep.swt1d(xb, w, 2, backend="pallas")
+    ys = sep.iswt1d(sb, w, backend="pallas")
+    assert float(jnp.abs(ys.astype(jnp.float32) - x).max()) < 0.3
+
+
+def test_mixed_deep_levels_tail_and_small_tiles(rng, monkeypatch):
+    """5 levels at 512^2: levels 1-2 on (128,256)/(128,128) MXU tiles,
+    level 3+ through the exact f32 fused tail — the round-2 depth gap."""
+    monkeypatch.setenv("PDWT_TPU_PRECISION", "mixed")
+    w = get_wavelet("db7")
+    x = jnp.asarray(rng.uniform(0, 255, (1, 512, 512)), jnp.float32)
+    cg = sep.dwt2d(x, w, 5, backend="gather")
+    cm = sep.dwt2d(x, w, 5, backend="pallas")
+    assert _rel_err(cm, cg, float(jnp.abs(cg.approx).max())) < 1e-4
+    ym = sep.idwt2d(cm, w, (512, 512), backend="pallas")
+    assert float(jnp.abs(ym - x).max()) < 0.1
+
+
+def test_bf16_deep_levels(rng):
+    w = get_wavelet("db7")
+    x = jnp.asarray(rng.uniform(0, 255, (1, 512, 512)), jnp.float32)
+    cb = sep.dwt2d(x.astype(jnp.bfloat16), w, 5, backend="pallas")
+    assert cb.approx.dtype == jnp.float32
+    assert all(t.dtype == jnp.bfloat16
+               for lev in cb.details for t in lev)
+    yb = sep.idwt2d(cb, w, (512, 512), backend="pallas")
+    assert yb.dtype == jnp.bfloat16
+    # the round-3 accuracy target: <= ~3 absolute on [0,255] data at
+    # depth (round 2 was 16.0 with the all-bf16 chain)
+    assert float(jnp.abs(yb.astype(jnp.float32) - x).max()) < 3.5

@@ -139,3 +139,21 @@ def test_float32_accuracy_on_image_range(rng):
     assert xr.dtype == jnp.float32
     err = float(jnp.abs(xr - x).max())
     assert err < 5e-3, err  # ~2e-5 relative to the 255 range
+
+
+def test_tail_fusion_halo_wider_than_level(rng, monkeypatch):
+    """Deep fused levels where the periodic halo exceeds the level size
+    (long wavelet, tiny deepest level) must tile the wrap instead of
+    crashing at trace time (ADVICE r2: db18 128x128 levels=4)."""
+    import jax.numpy as jnp
+
+    monkeypatch.setenv("PDWT_PALLAS_INTERPRET", "1")
+    w = get_wavelet("db18")  # hlen=36: wrap of 17 > 8x8 deepest level
+    x = jnp.asarray(rng.standard_normal((1, 64, 128)), jnp.float32)
+    cp = S.dwt2d(x, w, 3, backend="pallas")
+    cg = S.dwt2d(x, w, 3, backend="gather")
+    err = max(float(jnp.abs(a - b).max()) for a, b in zip(
+        jax.tree_util.tree_leaves(cp), jax.tree_util.tree_leaves(cg)))
+    assert err < 1e-4
+    yp = S.idwt2d(cp, w, (64, 128), backend="pallas")
+    assert float(jnp.abs(yp - x).max()) < 1e-4

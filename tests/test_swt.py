@@ -106,3 +106,38 @@ def test_iswt2d_denoise_fused_matches_unfused(rng, monkeypatch):
             n_fast = float(ops.thresholded_norm1(c, 3.0, mode=mode,
                                                  normalize=normalize))
             assert abs(n_fast - n_ref) / max(n_ref, 1) < 1e-6
+
+
+def test_iswt2d_denoise_fused_grad(rng, monkeypatch):
+    """jax.grad through the fused threshold+inverse (custom VJP, ADVICE
+    r2) equals grad through the unfused threshold->iswt2d composition —
+    including the gradient w.r.t. beta on the soft path."""
+    import jax
+    import jax.numpy as jnp
+
+    from pdwt_tpu import ops
+    from pdwt_tpu.core import separable as sep
+    from pdwt_tpu.filters import get_wavelet
+
+    monkeypatch.setenv("PDWT_PALLAS_INTERPRET", "1")
+    w = get_wavelet("db4")
+    x = jnp.asarray(rng.standard_normal((1, 128, 128)) * 10, jnp.float32)
+
+    for mode in ("soft", "hard"):
+        def loss_fused(v, b):
+            c = sep.swt2d(v, w, 2, backend="gather")
+            y = sep.iswt2d_denoise(c, w, b, mode=mode, backend="pallas")
+            return jnp.sum(y ** 2)
+
+        def loss_ref(v, b):
+            c = sep.swt2d(v, w, 2, backend="gather")
+            thr = ops.soft_threshold if mode == "soft" else ops.hard_threshold
+            y = sep.iswt2d(thr(c, b), w, backend="gather")
+            return jnp.sum(y ** 2)
+
+        gx_f, gb_f = jax.grad(loss_fused, argnums=(0, 1))(x, 3.0)
+        gx_r, gb_r = jax.grad(loss_ref, argnums=(0, 1))(x, 3.0)
+        scale = float(jnp.abs(gx_r).max())
+        assert float(jnp.abs(gx_f - gx_r).max()) / scale < 1e-5, mode
+        assert abs(float(gb_f) - float(gb_r)) / max(abs(float(gb_r)), 1) \
+            < 1e-5, mode
