@@ -460,16 +460,22 @@ class Wavelets:
         return float(self._jitted(("norm2sq", self.spec),
                                   lambda: ops.norm2sq)(self._coeffs))
 
-    def circshift(self, sr: int, sc: int):
-        """Circular shift of the image in place (reference: src/wt.cu:366-368)."""
+    def circshift(self, sr: int, sc: int, inplace: bool = True):
+        """Circular shift of the image (reference: src/wt.cu:366-368;
+        the non-inplace variant mirrors src/wt.h:63 ``inplace=0``: the
+        shifted image is returned and the internal state is untouched)."""
         if self.spec.ndim == 1:
-            self.d_image = self._jitted(
+            shifted = self._jitted(
                 ("shift1", self.spec), lambda: ops.circshift1d)(
                 self.d_image, sc)
         else:
-            self.d_image = self._jitted(
+            shifted = self._jitted(
                 ("shift2", self.spec), lambda: ops.circshift2d)(
                 self.d_image, sr, sc)
+        if inplace:
+            self.d_image = shifted
+            return None
+        return shifted
 
     def add_wavelet(self, other: "Wavelets", alpha=1.0):
         """In-place coefficient axpy: self += alpha * other
@@ -503,8 +509,18 @@ class Wavelets:
     # data movement (get/set) — reference: src/wt.cu:421-508
     # ------------------------------------------------------------------
 
-    def get_image(self) -> np.ndarray:
-        return np.asarray(self.d_image)
+    def get_image(self, copy: bool = True):
+        """Image data.  ``copy=True`` (default) returns a host numpy
+        array (the reference's D2H ``get_image``, src/wt.cu:421-424);
+        ``copy=False`` returns the on-device ``jax.Array`` WITHOUT any
+        host transfer — the TPU-native analogue of the reference's raw
+        device-pointer export for external pipelines
+        (reference: src/wt.cu:660-667 ``image_int_ptr``).  The returned
+        array supports the DLPack protocol (``__dlpack__``) for
+        zero-copy hand-off to other frameworks."""
+        if copy:
+            return np.asarray(self.d_image)
+        return self.d_image
 
     def set_image(self, img):
         img = jnp.asarray(img, dtype=self._dtype).reshape(self.spec.nr, self.spec.nc)
@@ -530,7 +546,11 @@ class Wavelets:
             raise IndexError(f"coefficient {num} out of range")
         return ("d1", num - 1)
 
-    def get_coeff(self, num: int) -> Optional[np.ndarray]:
+    def get_coeff(self, num: int, copy: bool = True):
+        """One coefficient subband by the reference's flat numbering.
+        ``copy=False`` returns the on-device ``jax.Array`` without a
+        host transfer (the analogue of src/wt.cu:660-667
+        ``coeff_int_ptr``; DLPack-exportable)."""
         if self.state == WState.INVERSE:
             warnings.warn(
                 "get_coeff(): inverse() has been performed, the coefficients "
@@ -538,10 +558,12 @@ class Wavelets:
             return None
         ref = self._coeff_ref(num)
         if ref[0] == "a":
-            return np.asarray(self._coeffs.approx)
-        if ref[0] == "d2":
-            return np.asarray(self._coeffs.details[ref[1]][ref[2]])
-        return np.asarray(self._coeffs.details[ref[1]])
+            out = self._coeffs.approx
+        elif ref[0] == "d2":
+            out = self._coeffs.details[ref[1]][ref[2]]
+        else:
+            out = self._coeffs.details[ref[1]]
+        return np.asarray(out) if copy else out
 
     def set_coeff(self, coeff, num: int):
         ref = self._coeff_ref(num)

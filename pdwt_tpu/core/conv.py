@@ -171,7 +171,7 @@ def _conv_nchw(
 ) -> jnp.ndarray:
     dtype = x.dtype
     out = lax.conv_general_dilated(
-        x,
+        x.astype(_accum_dtype(dtype)),
         jnp.asarray(kernel, dtype=_accum_dtype(dtype)),
         window_strides=window_strides,
         padding="VALID",

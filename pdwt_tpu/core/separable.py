@@ -330,6 +330,12 @@ def _swt2d_pallas(x: jnp.ndarray, wav: Wavelet, levels: int) -> Coeffs2D:
     dec = (wav.dec_lo, wav.dec_hi)
     lo_t, hi_t = _ftup(wav.dec_lo), _ftup(wav.dec_hi)
     mode = _mxu_mode(x.dtype)
+    # "mixed" routes SWT to the EXACT kernels: à-trous levels never
+    # shrink, so bf16x3 triples most of the work and measured SLOWER
+    # than the exact VPU kernels (0.81 vs 0.63 ms TI step at 1024^2) —
+    # exact trivially satisfies the mixed-precision contract.
+    if mode == "mixed":
+        mode = None
 
     def norm_out(a, h, v, d):
         if mode == "bf16":
@@ -395,6 +401,8 @@ def _iswt2d_pallas(coeffs: Coeffs2D, wav: Wavelet) -> jnp.ndarray:
     a = flat(coeffs.approx)
     ddt = coeffs.details[-1][0].dtype if coeffs.details else a.dtype
     mode = _mxu_mode(ddt)
+    if mode == "mixed":
+        mode = None  # exact SWT kernels beat b3 (see _swt2d_pallas)
     if mode == "bf16" and a.dtype != jnp.float32:
         a = a.astype(jnp.float32)
     f32 = lambda t: t.astype(jnp.float32) if t.dtype != jnp.float32 else t
@@ -596,6 +604,8 @@ def iswt2d_denoise(coeffs: Coeffs2D, wav: Wavelet, beta, *,
     a = flat(coeffs.approx)
     ddt = coeffs.details[-1][0].dtype if coeffs.details else a.dtype
     mxu = _mxu_mode(ddt)
+    if mxu == "mixed":
+        mxu = None  # exact SWT kernels beat b3 (see _swt2d_pallas)
     if mxu == "bf16" and a.dtype != jnp.float32:
         a = a.astype(jnp.float32)
     f32 = lambda t: t.astype(jnp.float32) if t.dtype != jnp.float32 else t
@@ -640,6 +650,8 @@ def _swt1d_pallas(x: jnp.ndarray, wav: Wavelet, levels: int) -> Coeffs1D:
     dec = (wav.dec_lo, wav.dec_hi)
     lo_t, hi_t = _ftup(wav.dec_lo), _ftup(wav.dec_hi)
     mode = _mxu_mode(x.dtype)
+    if mode == "mixed":
+        mode = None  # exact SWT kernels beat b3 (see _swt2d_pallas)
     details = []
     for lvl in range(1, levels + 1):
         res = None
@@ -694,6 +706,8 @@ def _iswt1d_pallas(coeffs: Coeffs1D, wav: Wavelet) -> jnp.ndarray:
     lo_t, hi_t = _ftup(wav.rec_lo), _ftup(wav.rec_hi)
     ddt = coeffs.details[-1].dtype if coeffs.details else a.dtype
     mode = _mxu_mode(ddt)
+    if mode == "mixed":
+        mode = None  # exact SWT kernels beat b3 (see _swt2d_pallas)
     if mode == "bf16" and a.dtype != jnp.float32:
         a = a.astype(jnp.float32)
     f32 = lambda t: t.astype(jnp.float32) if t.dtype != jnp.float32 else t

@@ -60,17 +60,37 @@ from .separable_pallas import (
     _taps,
 )
 
-# (TR, TC) candidates, best first: M=2*TR near 256 and K tiles near the
-# MXU's native 128 while keeping the dense-band waste bounded.  Smaller
-# tiles keep the deep (small) levels of the headline config on the MXU.
-_TILE_RC = ((128, 256), (128, 128), (64, 128), (32, 128))
+# (TR, TC) candidates, best first, PER COMPUTE SCHEME — measured on the
+# v5e (round-3 sweep, 2048^2 db7 5-level roundtrip):
+#   b1 (one bf16 matmul/pass): big tiles pipeline best — (128,256) was
+#     26.4 GPix/s vs 15.0 at (128,128);
+#   b3/fd (3 matmuls / f32 operands): FLOPs dominate and scale with the
+#     K dims (TRR ~ 2TR + hlen, COLS ~ 2TC + hlen), so smaller tiles
+#     win — (64,128) was 7.7 GPix/s vs 6.4 at (128,256).
+# Override order with PDWT_TPU_MXU_TILES="TRxTC" for sweeps.
+_TILES_BIG = ((128, 256), (128, 128), (64, 128), (32, 128))
+_TILES_SMALL = ((64, 128), (32, 128), (128, 128), (128, 256))
 
 
-def _pick_mxu_tiles(mr: int, mc: int, hlen: int) -> Optional[Tuple[int, int]]:
-    """Largest supported (TR, TC) for subband dims (mr, mc), or None."""
+def _tile_candidates(scheme: str):
+    import os
+
+    # single-matmul schemes (b1, fd) pipeline best with big tiles; the
+    # 3-matmul b3 is FLOP-bound and wants small K dims
+    base = _TILES_SMALL if scheme == "b3" else _TILES_BIG
+    env = os.environ.get("PDWT_TPU_MXU_TILES")
+    if env:
+        tr, tc = (int(v) for v in env.lower().split("x"))
+        return ((tr, tc),) + base
+    return base
+
+
+def _pick_mxu_tiles(mr: int, mc: int, hlen: int,
+                    scheme: str = "b1") -> Optional[Tuple[int, int]]:
+    """Best supported (TR, TC) for subband dims (mr, mc), or None."""
     if hlen % 2 or hlen > 40:
         return None
-    for tr, tc in _TILE_RC:
+    for tr, tc in _tile_candidates(scheme):
         if mr % tr == 0 and mc % tc == 0:
             return tr, tc
     return None
@@ -241,18 +261,37 @@ def _fwd_mxu_call(xp, mats, hlen, scheme, tiles, mshape, out_dtypes):
     )(xp, *mats)
 
 
-def fwd_level_2d_mxu(x: jnp.ndarray, dec_lo, dec_hi, mode: str):
+def fwd_level_2d_mxu(x: jnp.ndarray, dec_lo, dec_hi, mode: str,
+                     pad_fn=None):
     """One forward level on (B, R, C) via MXU matmuls; None if the
     geometry is unsupported.
 
     mode "mixed": f32 in, all-f32 out (bf16x3 compute).
     mode "bf16": bf16 OR f32 input; approx out f32, details out bf16
-    (one bf16 matmul per pass for bf16 input, DEFAULT-f32 for f32)."""
+    (one bf16 matmul per pass for bf16 input, bf16x3 for the f32
+    A-chain).  ``pad_fn`` overrides the periodic padding — the
+    distributed engine substitutes the ICI ring halo exchange."""
     B, r, c = x.shape
     hlen = len(dec_lo)
     if r % 2 or c % 2:
         return None
-    tiles = _pick_mxu_tiles(r // 2, c // 2, hlen)
+    if mode == "mixed":
+        scheme = "b3"
+        out_dtypes = (jnp.float32, jnp.float32)
+    elif mode == "bf16":
+        # bf16 input (level 1): one matmul per pass (b1; override with
+        # PDWT_TPU_BF16_L1FWD for sweeps).  f32 input (the deep
+        # A-chain, <= 1/4 of the pixels): full bf16x3 — a single lossy
+        # pass there cost ~10 absolute on [0,255] at depth.
+        import os
+        if x.dtype == jnp.bfloat16:
+            scheme = os.environ.get("PDWT_TPU_BF16_L1FWD", "b1")
+        else:
+            scheme = "b3"
+        out_dtypes = (jnp.float32, jnp.bfloat16)
+    else:
+        raise ValueError(mode)
+    tiles = _pick_mxu_tiles(r // 2, c // 2, hlen, scheme)
     if tiles is None:
         return None
     TR, TC = tiles
@@ -264,17 +303,10 @@ def fwd_level_2d_mxu(x: jnp.ndarray, dec_lo, dec_hi, mode: str):
     COLS = _ceil_to(2 * TC + hlen - 2 + pc, 128)
     hi_r = (r - 2 * TR + TRR) - r - lo_r16
     hi_c = (c - 2 * TC + COLS) - c - lo_c
-    xp = conv.wrap_pad(x, -1, lo_c, hi_c)
-    xp = conv.wrap_pad(xp, -2, lo_r16, hi_r)
+    pad = pad_fn or conv.wrap_pad
+    xp = pad(x, -1, lo_c, hi_c)
+    xp = pad(xp, -2, lo_r16, hi_r)
     A, Bm = _analysis_mats(dec_lo, dec_hi, TRR, COLS, pr, pc, TR, TC)
-    if mode == "mixed":
-        scheme = "b3"
-        out_dtypes = (jnp.float32, jnp.float32)
-    elif mode == "bf16":
-        scheme = "b1" if x.dtype == jnp.bfloat16 else "fd"
-        out_dtypes = (jnp.float32, jnp.bfloat16)
-    else:
-        raise ValueError(mode)
     mats = _mats_for_scheme((A, Bm), scheme)
     return _fwd_mxu_call(xp, mats, hlen, scheme, (TR, TC), (r // 2, c // 2),
                          out_dtypes)
@@ -367,7 +399,7 @@ def _inv_mxu_call(ap, hp, vp, dp, mats, hlen, scheme, tiles, mshape,
 
 
 def inv_level_2d_mxu(a, h, v, d, rec_lo, rec_hi, mode: str,
-                     out_dtype=None):
+                     out_dtype=None, pad_fn=None):
     """One inverse level via MXU matmuls; None if unsupported.
 
     mode "mixed": all-f32 in/out, bf16x3 compute.
@@ -376,7 +408,25 @@ def inv_level_2d_mxu(a, h, v, d, rec_lo, rec_hi, mode: str,
     f32 to keep the intermediate approximation chain exact-ish)."""
     B, mr, mc = a.shape
     hlen = len(rec_lo)
-    tiles = _pick_mxu_tiles(mr, mc, hlen)
+    if mode == "mixed":
+        scheme = "b3"
+        out_dtype = jnp.float32
+        cast = lambda t: t.astype(jnp.float32)
+    elif mode == "bf16":
+        # The FINAL level (bf16 output, 3/4 of the inverse work) runs
+        # DEFAULT-f32 (one pass, ~2^-9 on the |a|~2x-range approx;
+        # override with PDWT_TPU_BF16_L1INV for sweeps); the deep
+        # intermediate levels run bf16x3 so A-chain error does not
+        # accumulate across the level loop.
+        import os
+        out_dtype = jnp.bfloat16 if out_dtype is None else out_dtype
+        scheme = (os.environ.get("PDWT_TPU_BF16_L1INV", "fd")
+                  if out_dtype == jnp.bfloat16 else "b3")
+        cast = lambda t: t
+        a = a.astype(jnp.float32)
+    else:
+        raise ValueError(mode)
+    tiles = _pick_mxu_tiles(mr, mc, hlen, scheme)
     if tiles is None:
         return None
     TR, TC = tiles
@@ -391,25 +441,13 @@ def inv_level_2d_mxu(a, h, v, d, rec_lo, rec_hi, mode: str,
 
     S, T = _synthesis_mats(rec_lo, rec_hi, hlen, 2 * ROWS, COLS, pr, pc,
                            TR, TC)
-    if mode == "mixed":
-        scheme = "b3"
-        out_dtype = jnp.float32
-        cast = lambda t: t.astype(jnp.float32)
-    elif mode == "bf16":
-        scheme = "fd"
-        out_dtype = jnp.bfloat16 if out_dtype is None else out_dtype
-        # keep the A-chain f32 through the matmuls; details stay bf16
-        cast = lambda t: (t.astype(jnp.float32)
-                          if t.dtype not in (jnp.float32, jnp.bfloat16)
-                          else t)
-        a = a.astype(jnp.float32)
-    else:
-        raise ValueError(mode)
     mats = _mats_for_scheme((S, T), scheme)
 
+    pad = pad_fn or conv.wrap_pad
+
     def pad2(arr):
-        arr = conv.wrap_pad(arr, -1, lo_c, hi_c)
-        return conv.wrap_pad(arr, -2, lo_r16, hi_r)
+        arr = pad(arr, -1, lo_c, hi_c)
+        return pad(arr, -2, lo_r16, hi_r)
 
     return _inv_mxu_call(pad2(cast(a)), pad2(cast(h)), pad2(cast(v)),
                          pad2(cast(d)), mats, hlen, scheme, (TR, TC),

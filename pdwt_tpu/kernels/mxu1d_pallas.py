@@ -34,7 +34,7 @@ from .separable_pallas import (
     _taps,
 )
 from .matmul_pallas import _mats_for_scheme, _mm
-from .swt_matmul_pallas import _mode_scheme
+from .swt_matmul_pallas import _mode_scheme, _swt_scheme
 
 _TB_TILES = (512, 256, 128, 64, 32, 16)
 _TC_TILES = (256, 128)
@@ -207,7 +207,7 @@ def _inv1d_call(lp, hp, mats, scheme, tiles, cols, n_out_tile, n,
 
 # --- public entry points ---------------------------------------------------
 
-def fwd_level_1d_mxu(x, dec_lo, dec_hi, mode: str):
+def fwd_level_1d_mxu(x, dec_lo, dec_hi, mode: str, pad_fn=None):
     """One decimated level on (B, N) -> (lo, hi); None if unsupported.
     bf16 mode: lo out f32 (A-chain), hi out bf16."""
     B, n = x.shape
@@ -223,7 +223,7 @@ def fwd_level_1d_mxu(x, dec_lo, dec_hi, mode: str):
     lo_c, pc = _phases(cen)[1], _phases(cen)[3]
     COLS = _ceil_to(2 * TC + hlen - 2 + pc, 128)
     hi_c = (n - 2 * TC + COLS) - n - lo_c
-    xp = conv.wrap_pad(x, -1, lo_c, hi_c)
+    xp = (pad_fn or conv.wrap_pad)(x, -1, lo_c, hi_c)
     Bm = _ana_mat_1d(dec_lo, dec_hi, COLS, pc, TC)
     scheme = _mode_scheme(mode, x.dtype)
     out_dtypes = ((jnp.float32, jnp.float32) if mode == "mixed"
@@ -232,7 +232,8 @@ def fwd_level_1d_mxu(x, dec_lo, dec_hi, mode: str):
     return _fwd1d_call(xp, mats, scheme, (TB, TC), COLS, 2, m, out_dtypes)
 
 
-def inv_level_1d_mxu(lo, hi, rec_lo, rec_hi, mode: str, out_dtype=None):
+def inv_level_1d_mxu(lo, hi, rec_lo, rec_hi, mode: str, out_dtype=None,
+                     pad_fn=None):
     """One decimated inverse level: (B, M) x2 -> (B, 2M); None if
     unsupported."""
     B, m = lo.shape
@@ -252,18 +253,21 @@ def inv_level_1d_mxu(lo, hi, rec_lo, rec_hi, mode: str, out_dtype=None):
         scheme = "b3"
         out_dtype = jnp.float32
     elif mode == "bf16":
-        scheme = "fd"
+        # final level (bf16 out) = DEFAULT-f32 single pass; deep
+        # intermediate levels = bf16x3 (see matmul_pallas)
         out_dtype = jnp.bfloat16 if out_dtype is None else out_dtype
+        scheme = "fd" if out_dtype == jnp.bfloat16 else "b3"
         lo = lo.astype(jnp.float32)
     else:
         raise ValueError(mode)
     mats = _mats_for_scheme((T,), scheme)
-    pad1 = lambda t: conv.wrap_pad(t, -1, lo_c, hi_c)
+    pad1 = lambda t: (pad_fn or conv.wrap_pad)(t, -1, lo_c, hi_c)
     return _inv1d_call(pad1(lo), pad1(hi), mats, scheme, (TB, TC), COLS,
                        2 * TC, 2 * m, out_dtype)
 
 
-def swt_fwd_level_1d_mxu(x, dec_lo, dec_hi, level: int, mode: str):
+def swt_fwd_level_1d_mxu(x, dec_lo, dec_hi, level: int, mode: str,
+                         pad_fn=None):
     """One 1D à-trous level: (B, N) -> (lo, hi) full-size; None if
     unsupported."""
     B, n = x.shape
@@ -282,9 +286,9 @@ def swt_fwd_level_1d_mxu(x, dec_lo, dec_hi, level: int, mode: str):
     lo_c, pc = _phases(cen)[1], _phases(cen)[3]
     COLS = _ceil_to(TC + span + pc, 128)
     hi_c = (n - TC + COLS) - n - lo_c
-    xp = conv.wrap_pad(x, -1, lo_c, hi_c)
+    xp = (pad_fn or conv.wrap_pad)(x, -1, lo_c, hi_c)
     Bm = _ana_mat_swt1d(dec_lo, dec_hi, COLS, pc, TC, f)
-    scheme = _mode_scheme(mode, x.dtype)
+    scheme = _swt_scheme(mode, x.dtype)
     out_dtypes = ((jnp.float32, jnp.float32) if mode == "mixed"
                   else (jnp.float32, jnp.bfloat16))
     mats = _mats_for_scheme((Bm,), scheme)
@@ -292,7 +296,7 @@ def swt_fwd_level_1d_mxu(x, dec_lo, dec_hi, level: int, mode: str):
 
 
 def swt_inv_level_1d_mxu(lo, hi, rec_lo, rec_hi, level: int, mode: str,
-                         out_dtype=None):
+                         out_dtype=None, pad_fn=None):
     """One 1D à-trous inverse level (1/2 factor in the matrix); None if
     unsupported."""
     B, n = lo.shape
@@ -316,13 +320,14 @@ def swt_inv_level_1d_mxu(lo, hi, rec_lo, rec_hi, level: int, mode: str,
         scheme = "b3"
         out_dtype = jnp.float32
     elif mode == "bf16":
-        scheme = "fd"
+        # single pass at every level (undecimated; see _swt_scheme)
         out_dtype = jnp.bfloat16 if out_dtype is None else out_dtype
+        scheme = "fd"
         lo = lo.astype(jnp.float32)
     else:
         raise ValueError(mode)
     mats = _mats_for_scheme((T,), scheme)
-    pad1 = lambda t: conv.wrap_pad(t, -1, lo_c, hi_c)
+    pad1 = lambda t: (pad_fn or conv.wrap_pad)(t, -1, lo_c, hi_c)
     return _inv1d_call(pad1(lo), pad1(hi), mats, scheme, (TB, TC), COLS,
                        TC, n, out_dtype)
 

@@ -48,18 +48,20 @@ from .separable_pallas import (
 from .matmul_pallas import _mats_for_scheme, _mm
 from .swt_pallas import _thresh_tile
 
-_SWT_TILE_RC = ((128, 256), (128, 128), (64, 128), (32, 128))
+_SWT_TILES_BIG = ((128, 256), (128, 128), (64, 128), (32, 128))
+_SWT_TILES_SMALL = ((64, 128), (32, 128), (128, 128), (128, 256))
 _SWT_VMEM = 11 * 1024 * 1024
 
 
-def _swt_mxu_tiles(r: int, c: int, hlen: int, f: int):
-    """Largest (TR, TC) whose padded tile + matrices fit VMEM; None if
+def _swt_mxu_tiles(r: int, c: int, hlen: int, f: int, scheme: str = "b1"):
+    """Best (TR, TC) whose padded tile + matrices fit VMEM; None if
     unsupported (odd hlen, >40 taps, indivisible, or dilated span too
-    wide for the banded formulation to be worth it)."""
+    wide for the banded formulation to be worth it).  Preference order
+    per scheme as in matmul_pallas (b1 likes big tiles, b3/fd small)."""
     if hlen % 2 or hlen > 40:
         return None
     span = (hlen - 1) * f
-    for tr, tc in _SWT_TILE_RC:
+    for tr, tc in (_SWT_TILES_SMALL if scheme == "b3" else _SWT_TILES_BIG):
         if r % tr or c % tc:
             continue
         if span > 2 * tr:  # K-dim waste explodes; VPU path wins
@@ -109,6 +111,24 @@ def _swt_synthesis_mats(rec_lo, rec_hi, rows, cols, pr, pc, TR, TC, f):
 
 
 def _mode_scheme(mode: str, in_dtype) -> str:
+    """Forward-pass compute scheme for DECIMATED kernels: bf16 operands
+    get the single-matmul fast path; the f32 A-chain gets full bf16x3
+    (a single lossy pass on the deep levels cost ~10 absolute on [0,255]
+    in the round-3 measurements, and decimation makes b3 cheap there)."""
+    if mode == "mixed":
+        return "b3"
+    if mode == "bf16":
+        return "b1" if in_dtype == jnp.bfloat16 else "b3"
+    raise ValueError(mode)
+
+
+def _swt_scheme(mode: str, in_dtype) -> str:
+    """À-trous compute scheme.  Unlike the decimated transform, SWT
+    levels never shrink, so bf16x3 on deep levels would triple most of
+    the work (measured: TI step 0.70 ms vs 0.29 single-pass at 1024^2);
+    and the undecimated inverse's 1/4-averaging keeps the single-pass
+    error bounded (~6 vs ~3.7 absolute on worst-case [0,255] noise).
+    bf16 mode therefore runs ONE matmul per pass at every level."""
     if mode == "mixed":
         return "b3"
     if mode == "bf16":
@@ -120,7 +140,9 @@ def _mode_scheme(mode: str, in_dtype) -> str:
 # forward level
 # ---------------------------------------------------------------------------
 
-def _swt_fwd_mxu_kernel(scheme, ROWS, COLS, TR, TC):
+def _swt_fwd_mxu_kernel(scheme, ROWS, COLS, TR, TC, halo=None):
+    from .halo_dma import emit_halo_copies
+
     nmats = 4 if scheme == "b3" else 2
 
     def kernel(xp_hbm, *refs):
@@ -129,11 +151,16 @@ def _swt_fwd_mxu_kernel(scheme, ROWS, COLS, TR, TC):
         b = pl.program_id(0)
         i = pl.program_id(1)
         j = pl.program_id(2)
-        dma = pltpu.make_async_copy(
-            xp_hbm.at[b, pl.ds(TR * i, ROWS), pl.ds(TC * j, COLS)],
-            xt, sem)
-        dma.start()
-        dma.wait()
+        if halo is None:
+            dma = pltpu.make_async_copy(
+                xp_hbm.at[b, pl.ds(TR * i, ROWS), pl.ds(TC * j, COLS)],
+                xt, sem)
+            dma.start()
+            dma.wait()
+        else:
+            # periodic window assembled straight from the unpadded
+            # array — no XLA pad materialization (halo_dma docstring)
+            emit_halo_copies(xp_hbm, xt, b, i, j, halo[0], halo[1], sem)
         x = xt[:]
         if scheme == "b3":
             Ah, Al, Bh, Bl = (m[:] for m in mats)
@@ -152,18 +179,23 @@ def _swt_fwd_mxu_kernel(scheme, ROWS, COLS, TR, TC):
 
 
 @functools.partial(jax.jit, static_argnames=("hlen", "f", "scheme", "tiles",
-                                             "nshape", "out_dtypes"))
-def _swt_fwd_mxu_call(xp, mats, hlen, f, scheme, tiles, nshape, out_dtypes):
+                                             "nshape", "out_dtypes", "halo"))
+def _swt_fwd_mxu_call(xp, mats, hlen, f, scheme, tiles, nshape, out_dtypes,
+                      halo=False):
     B = xp.shape[0]
     TR, TC = tiles
     nr, nc = nshape
     span = (hlen - 1) * f
     cen = conv.fwd_center(hlen) * f
-    pr = _ceil_to(cen, 16) - cen
+    lo_r = _ceil_to(cen, 16)
+    lo_c = _ceil_to(cen, 128)
+    pr = lo_r - cen
     pc = _phases(cen)[3]
     ROWS = _ceil_to(TR + span + pr, 16)
     COLS = _ceil_to(TC + span + pc, 128)
-    kernel = _swt_fwd_mxu_kernel(scheme, ROWS, COLS, TR, TC)
+    geoms = ((nr // TR, TR, lo_r, ROWS, nr, 16),
+             (nc // TC, TC, lo_c, COLS, nc, 128)) if halo else None
+    kernel = _swt_fwd_mxu_kernel(scheme, ROWS, COLS, TR, TC, geoms)
     out_spec = pl.BlockSpec((1, TR, TC), lambda b, i, j: (b, i, j),
                             memory_space=pltpu.VMEM)
     a_dt, d_dt = out_dtypes
@@ -180,19 +212,23 @@ def _swt_fwd_mxu_call(xp, mats, hlen, f, scheme, tiles, nshape, out_dtypes):
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] + mat_specs,
         out_specs=(out_spec,) * 4,
         scratch_shapes=[pltpu.VMEM((ROWS, COLS), xp.dtype),
-                        pltpu.SemaphoreType.DMA(())],
+                        pltpu.SemaphoreType.DMA((9,) if halo else ())],
         interpret=_INTERPRET(),
     )(xp, *mats)
 
 
-def swt_fwd_level_2d_mxu(x, dec_lo, dec_hi, level: int, mode: str):
+def swt_fwd_level_2d_mxu(x, dec_lo, dec_hi, level: int, mode: str,
+                         pad_fn=None):
     """One à-trous forward level on (B, R, C) via MXU matmuls; None if
     unsupported.  Output dtypes per mode: mixed -> all f32; bf16 ->
-    f32 approximation + bf16 details (see matmul_pallas)."""
+    f32 approximation + bf16 details (see matmul_pallas).  ``pad_fn``
+    substitutes the distributed ring halo exchange (disables the
+    in-kernel periodic halo, which assumes a single-device wrap)."""
     B, r, c = x.shape
     hlen = len(dec_lo)
     f = 1 << (level - 1)
-    tiles = _swt_mxu_tiles(r, c, hlen, f)
+    scheme = _swt_scheme(mode, x.dtype)
+    tiles = _swt_mxu_tiles(r, c, hlen, f, scheme)
     if tiles is None:
         return None
     TR, TC = tiles
@@ -203,15 +239,21 @@ def swt_fwd_level_2d_mxu(x, dec_lo, dec_hi, level: int, mode: str):
     lo_c, pc = _phases(cen)[1], _phases(cen)[3]
     ROWS = _ceil_to(TR + span + pr, 16)
     COLS = _ceil_to(TC + span + pc, 128)
-    hi_r = (r - TR + ROWS) - r - lo_r
-    hi_c = (c - TC + COLS) - c - lo_c
-    xp = conv.wrap_pad(x, -1, lo_c, hi_c)
-    xp = conv.wrap_pad(xp, -2, lo_r, hi_r)
     A, Bm = _swt_analysis_mats(dec_lo, dec_hi, ROWS, COLS, pr, pc, TR, TC, f)
-    scheme = _mode_scheme(mode, x.dtype)
     out_dtypes = ((jnp.float32, jnp.float32) if mode == "mixed"
                   else (jnp.float32, jnp.bfloat16))
     mats = _mats_for_scheme((A, Bm), scheme)
+    from .halo_dma import halo_enabled, halo_safe
+    if pad_fn is None and halo_enabled() \
+            and halo_safe(r // TR, TR, lo_r, ROWS, r) \
+            and halo_safe(c // TC, TC, lo_c, COLS, c):
+        return _swt_fwd_mxu_call(x, mats, hlen, f, scheme, (TR, TC),
+                                 (r, c), out_dtypes, halo=True)
+    hi_r = (r - TR + ROWS) - r - lo_r
+    hi_c = (c - TC + COLS) - c - lo_c
+    pad = pad_fn or conv.wrap_pad
+    xp = pad(x, -1, lo_c, hi_c)
+    xp = pad(xp, -2, lo_r, hi_r)
     return _swt_fwd_mxu_call(xp, mats, hlen, f, scheme, (TR, TC), (r, c),
                              out_dtypes)
 
@@ -220,7 +262,10 @@ def swt_fwd_level_2d_mxu(x, dec_lo, dec_hi, level: int, mode: str):
 # inverse level (optionally with fused detail threshold)
 # ---------------------------------------------------------------------------
 
-def _swt_inv_mxu_kernel(scheme, ROWS, COLS, TR, TC, thresh_mode):
+def _swt_inv_mxu_kernel(scheme, ROWS, COLS, TR, TC, thresh_mode,
+                        halo=None):
+    from .halo_dma import emit_halo_copies
+
     nmats = 4 if scheme == "b3" else 2
 
     def kernel(*refs):
@@ -233,16 +278,24 @@ def _swt_inv_mxu_kernel(scheme, ROWS, COLS, TR, TC, thresh_mode):
         b = pl.program_id(0)
         i = pl.program_id(1)
         j = pl.program_id(2)
-        copies = []
-        for idx, (src, dst) in enumerate(
-                ((a_hbm, at), (h_hbm, ht), (v_hbm, vt), (d_hbm, dt))):
-            dma = pltpu.make_async_copy(
-                src.at[b, pl.ds(TR * i, ROWS), pl.ds(TC * j, COLS)],
-                dst, sems.at[idx])
-            dma.start()
-            copies.append(dma)
-        for dma in copies:
-            dma.wait()
+        if halo is None:
+            copies = []
+            for idx, (src, dst) in enumerate(
+                    ((a_hbm, at), (h_hbm, ht), (v_hbm, vt), (d_hbm, dt))):
+                dma = pltpu.make_async_copy(
+                    src.at[b, pl.ds(TR * i, ROWS), pl.ds(TC * j, COLS)],
+                    dst, sems.at[idx])
+                dma.start()
+                copies.append(dma)
+            for dma in copies:
+                dma.wait()
+        else:
+            # four periodic windows assembled from the unpadded
+            # subbands (the big win: no 4x full-size XLA pads)
+            for idx, (src, dst) in enumerate(
+                    ((a_hbm, at), (h_hbm, ht), (v_hbm, vt), (d_hbm, dt))):
+                emit_halo_copies(src, dst, b, i, j, halo[0], halo[1],
+                                 sems.at[idx])
 
         if scheme == "b3":
             Sh, Sl, Th, Tl = (m[:] for m in mats)
@@ -280,19 +333,24 @@ def _swt_inv_mxu_kernel(scheme, ROWS, COLS, TR, TC, thresh_mode):
 
 @functools.partial(jax.jit, static_argnames=("hlen", "f", "scheme", "tiles",
                                              "nshape", "out_dtype",
-                                             "thresh_mode"))
+                                             "thresh_mode", "halo"))
 def _swt_inv_mxu_call(ap, hp, vp, dp, mats, hlen, f, scheme, tiles, nshape,
-                      out_dtype, thresh_mode=None, beta=None):
+                      out_dtype, thresh_mode=None, beta=None, halo=False):
     B = ap.shape[0]
     TR, TC = tiles
     nr, nc = nshape
     span = (hlen - 1) * f
     cen = (hlen // 2) * f
-    pr = _ceil_to(cen, 16) - cen
+    lo_r = _ceil_to(cen, 16)
+    lo_c = _ceil_to(cen, 128)
+    pr = lo_r - cen
     pc = _phases(cen)[3]
     ROWS = _ceil_to(TR + span + pr, 16)
     COLS = _ceil_to(TC + span + pc, 128)
-    kernel = _swt_inv_mxu_kernel(scheme, ROWS, COLS, TR, TC, thresh_mode)
+    geoms = ((nr // TR, TR, lo_r, ROWS, nr, 16),
+             (nc // TC, TC, lo_c, COLS, nc, 128)) if halo else None
+    kernel = _swt_inv_mxu_kernel(scheme, ROWS, COLS, TR, TC, thresh_mode,
+                                 geoms)
     out_spec = pl.BlockSpec((1, TR, TC), lambda b, i, j: (b, i, j),
                             memory_space=pltpu.VMEM)
     shape = jax.ShapeDtypeStruct((B, nr, nc), out_dtype)
@@ -313,20 +371,32 @@ def _swt_inv_mxu_call(ap, hp, vp, dp, mats, hlen, f, scheme, tiles, nshape,
         out_shape=shape,
         in_specs=in_specs,
         out_specs=out_spec,
-        scratch_shapes=tiles_scr + [pltpu.SemaphoreType.DMA((4,))],
+        scratch_shapes=tiles_scr
+        + [pltpu.SemaphoreType.DMA((4, 9) if halo else (4,))],
         interpret=_INTERPRET(),
     )(*args)
 
 
 def swt_inv_level_2d_mxu(a, h, v, d, rec_lo, rec_hi, level: int, mode: str,
-                         out_dtype=None, threshold=None):
+                         out_dtype=None, threshold=None, pad_fn=None):
     """One à-trous inverse level via MXU matmuls (1/2-per-pass in the
     matrices); None if unsupported.  ``threshold=("soft"|"hard", beta)``
     fuses the detail threshold into the tile read."""
     B, r, c = a.shape
     hlen = len(rec_lo)
     f = 1 << (level - 1)
-    tiles = _swt_mxu_tiles(r, c, hlen, f)
+    if mode == "mixed":
+        scheme = "b3"
+        out_dtype = jnp.float32
+    elif mode == "bf16":
+        # single pass at EVERY level (see _swt_scheme: undecimated
+        # levels never shrink, so b3 would triple most of the work)
+        out_dtype = jnp.bfloat16 if out_dtype is None else out_dtype
+        scheme = "fd"
+        a = a.astype(jnp.float32)
+    else:
+        raise ValueError(mode)
+    tiles = _swt_mxu_tiles(r, c, hlen, f, scheme)
     if tiles is None:
         return None
     TR, TC = tiles
@@ -337,27 +407,27 @@ def swt_inv_level_2d_mxu(a, h, v, d, rec_lo, rec_hi, level: int, mode: str,
     lo_c, pc = _phases(cen)[1], _phases(cen)[3]
     ROWS = _ceil_to(TR + span + pr, 16)
     COLS = _ceil_to(TC + span + pc, 128)
-    hi_r = (r - TR + ROWS) - r - lo_r
-    hi_c = (c - TC + COLS) - c - lo_c
 
     S, T = _swt_synthesis_mats(rec_lo, rec_hi, ROWS, COLS, pr, pc, TR, TC, f)
-    if mode == "mixed":
-        scheme = "b3"
-        out_dtype = jnp.float32
-    elif mode == "bf16":
-        # f32 A-chain: bf16 details meet the f32 approx at DEFAULT-f32
-        scheme = "fd"
-        out_dtype = jnp.bfloat16 if out_dtype is None else out_dtype
-        a = a.astype(jnp.float32)
-    else:
-        raise ValueError(mode)
     mats = _mats_for_scheme((S, T), scheme)
+    tmode, beta = (None, None) if threshold is None else threshold
+
+    from .halo_dma import halo_enabled, halo_safe
+    if pad_fn is None and halo_enabled() \
+            and halo_safe(r // TR, TR, lo_r, ROWS, r) \
+            and halo_safe(c // TC, TC, lo_c, COLS, c):
+        return _swt_inv_mxu_call(a, h, v, d, mats, hlen, f, scheme,
+                                 (TR, TC), (r, c), out_dtype,
+                                 thresh_mode=tmode, beta=beta, halo=True)
+
+    hi_r = (r - TR + ROWS) - r - lo_r
+    hi_c = (c - TC + COLS) - c - lo_c
+    pad = pad_fn or conv.wrap_pad
 
     def pad2(arr):
-        arr = conv.wrap_pad(arr, -1, lo_c, hi_c)
-        return conv.wrap_pad(arr, -2, lo_r, hi_r)
+        arr = pad(arr, -1, lo_c, hi_c)
+        return pad(arr, -2, lo_r, hi_r)
 
-    tmode, beta = (None, None) if threshold is None else threshold
     return _swt_inv_mxu_call(pad2(a), pad2(h), pad2(v), pad2(d), mats,
                              hlen, f, scheme, (TR, TC), (r, c), out_dtype,
                              thresh_mode=tmode, beta=beta)

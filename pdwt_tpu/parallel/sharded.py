@@ -94,12 +94,30 @@ def _use_local_pallas(backend: Optional[str]) -> bool:
     return backend is None and jax.default_backend() == "tpu"
 
 
+def _norm_mxu_out(mode):
+    """bf16 mode dtype contract: f32 approximation chain, bf16 details
+    (see core.separable._dwt2d_pallas)."""
+    def norm(a, h, v, d):
+        if mode == "bf16":
+            return (a.astype(jnp.float32),) + tuple(
+                t.astype(jnp.bfloat16) for t in (h, v, d))
+        return a, h, v, d
+    return norm
+
+
+def _f32(t):
+    return t.astype(jnp.float32) if t.dtype != jnp.float32 else t
+
+
 def _local_pallas_dwt2d(xl, wav, levels, pad_fn):
     """Per-level: ring-halo exchange the kernel's exact padding needs
     (periodic support + DMA alignment margin), then run the fused Pallas
-    level kernel on the local shard.  Falls back per level to the conv
-    passes with the same pad_fn when a local geometry is unsupported."""
+    level kernel on the local shard.  MXU modes (bf16 arrays / mixed)
+    dispatch the banded-matmul kernels per shard — bf16 halos move half
+    the ICI traffic.  Falls back per level to the conv passes with the
+    same pad_fn when a local geometry is unsupported."""
     from .. import kernels
+    from ..core.separable import _mxu_mode
 
     batch = xl.shape[:-2]
     b = int(np.prod(batch, dtype=np.int64)) if batch else 1
@@ -107,23 +125,32 @@ def _local_pallas_dwt2d(xl, wav, levels, pad_fn):
     dec = (wav.dec_lo, wav.dec_hi)
     tl = tuple(float(v) for v in wav.dec_lo)
     th = tuple(float(v) for v in wav.dec_hi)
+    mode = _mxu_mode(a.dtype)
+    norm = _norm_mxu_out(mode)
     details = []
     for _ in range(levels):
         r, c = a.shape[-2:]
-        geo = (kernels.fwd_geometry(r, c, wav.hlen)
-               if a.dtype == jnp.float32 else None)
-        if geo is not None:
-            lo_r, lo_c, hi_r, hi_c = geo
-            xp = pad_fn(a, -1, lo_c, hi_c)
-            xp = pad_fn(xp, -2, lo_r, hi_r)
-            a, h, v, d = kernels.fwd_level_2d_padded(xp, tl, th,
-                                                     (r // 2, c // 2))
-        else:
-            z = conv.analysis_pass(a[:, None], dec, axis=-1, backend="fma",
-                                   pad_fn=pad_fn)
-            z = conv.analysis_pass(z, dec, axis=-2, backend="fma",
-                                   pad_fn=pad_fn)
-            a, h, v, d = z[:, 0], z[:, 1], z[:, 2], z[:, 3]
+        res = None
+        if mode is not None:
+            res = kernels.fwd_level_2d_mxu(a, wav.dec_lo, wav.dec_hi,
+                                           mode, pad_fn=pad_fn)
+        if res is None:
+            af = _f32(a) if mode is not None else a
+            geo = (kernels.fwd_geometry(r, c, wav.hlen)
+                   if af.dtype == jnp.float32 else None)
+            if geo is not None:
+                lo_r, lo_c, hi_r, hi_c = geo
+                xp = pad_fn(af, -1, lo_c, hi_c)
+                xp = pad_fn(xp, -2, lo_r, hi_r)
+                res = kernels.fwd_level_2d_padded(xp, tl, th,
+                                                  (r // 2, c // 2))
+            else:
+                z = conv.analysis_pass(af[:, None], dec, axis=-1,
+                                       backend="fma", pad_fn=pad_fn)
+                z = conv.analysis_pass(z, dec, axis=-2, backend="fma",
+                                       pad_fn=pad_fn)
+                res = (z[:, 0], z[:, 1], z[:, 2], z[:, 3])
+        a, h, v, d = norm(*res)
         details.append(tuple(t.reshape(batch + t.shape[1:])
                              for t in (h, v, d)))
     return sep_core.Coeffs2D(a.reshape(batch + a.shape[1:]), tuple(details))
@@ -131,6 +158,7 @@ def _local_pallas_dwt2d(xl, wav, levels, pad_fn):
 
 def _local_pallas_idwt2d(cl, wav, local_shape, pad_fn):
     from .. import kernels
+    from ..core.separable import _mxu_mode
 
     levels = cl.levels
     rows = [local_shape[0] >> k for k in range(levels + 1)]
@@ -142,31 +170,50 @@ def _local_pallas_idwt2d(cl, wav, local_shape, pad_fn):
     b = int(np.prod(batch, dtype=np.int64)) if batch else 1
     flat = lambda t: t.reshape((b,) + t.shape[len(batch):])
     a = flat(cl.approx)
+    ddt = cl.details[-1][0].dtype if cl.details else a.dtype
+    mode = _mxu_mode(ddt)
+    if mode == "bf16":
+        a = _f32(a)
     for i in range(levels - 1, -1, -1):
         h, v, d = (flat(t) for t in cl.details[i])
         mr, mc = a.shape[-2:]
-        geo = (kernels.inv_geometry(mr, mc, wav.hlen)
-               if a.dtype == jnp.float32 else None)
-        if geo is not None:
-            lo_r, lo_c, hi_r, hi_c = geo
+        y = None
+        if mode is not None:
+            out_dt = (jnp.bfloat16 if (mode == "bf16" and i == 0)
+                      else jnp.float32)
+            y = kernels.inv_level_2d_mxu(a, h, v, d, wav.rec_lo,
+                                         wav.rec_hi, mode, out_dt,
+                                         pad_fn=pad_fn)
+        if y is None:
+            if mode is not None:
+                a, h, v, d = _f32(a), _f32(h), _f32(v), _f32(d)
+            geo = (kernels.inv_geometry(mr, mc, wav.hlen)
+                   if a.dtype == jnp.float32 else None)
+            if geo is not None:
+                lo_r, lo_c, hi_r, hi_c = geo
 
-            def pad2(arr):
-                arr = pad_fn(arr, -1, lo_c, hi_c)
-                return pad_fn(arr, -2, lo_r, hi_r)
+                def pad2(arr):
+                    arr = pad_fn(arr, -1, lo_c, hi_c)
+                    return pad_fn(arr, -2, lo_r, hi_r)
 
-            a = kernels.inv_level_2d_padded(pad2(a), pad2(h), pad2(v),
-                                            pad2(d), rl, rh, (mr, mc))
-        else:
-            z = jnp.concatenate([t[:, None] for t in (a, h, v, d)], axis=1)
-            t2 = conv.synthesis_pass(z, rec, axis=-2, out_len=rows[i],
-                                     backend="fma", pad_fn=pad_fn)
-            a = conv.synthesis_pass(t2, rec, axis=-1, out_len=cols[i],
-                                    backend="fma", pad_fn=pad_fn)[:, 0]
+                y = kernels.inv_level_2d_padded(pad2(a), pad2(h), pad2(v),
+                                                pad2(d), rl, rh, (mr, mc))
+            else:
+                z = jnp.concatenate([t[:, None] for t in (a, h, v, d)],
+                                    axis=1)
+                t2 = conv.synthesis_pass(z, rec, axis=-2, out_len=rows[i],
+                                         backend="fma", pad_fn=pad_fn)
+                y = conv.synthesis_pass(t2, rec, axis=-1, out_len=cols[i],
+                                        backend="fma", pad_fn=pad_fn)[:, 0]
+            if mode == "bf16" and i == 0:
+                y = y.astype(jnp.bfloat16)
+        a = y
     return a.reshape(batch + a.shape[1:])
 
 
 def _local_pallas_swt2d(xl, wav, levels, pad_fn):
     from .. import kernels
+    from ..core.separable import _mxu_mode
 
     batch = xl.shape[:-2]
     b = int(np.prod(batch, dtype=np.int64)) if batch else 1
@@ -174,26 +221,38 @@ def _local_pallas_swt2d(xl, wav, levels, pad_fn):
     dec = (wav.dec_lo, wav.dec_hi)
     tl = tuple(float(v) for v in wav.dec_lo)
     th = tuple(float(v) for v in wav.dec_hi)
+    mode = _mxu_mode(a.dtype)
+    if mode == "mixed":
+        mode = None  # exact SWT kernels beat b3 (core.separable)
+    norm = _norm_mxu_out(mode)
     details = []
     for lvl in range(1, levels + 1):
         r, c = a.shape[-2:]
-        geo = (kernels.swt_fwd_geometry(r, c, wav.hlen, lvl)
-               if a.dtype == jnp.float32 and wav.hlen % 2 == 0 else None)
-        if geo is not None:
-            lo_r, lo_c, hi_r, hi_c = geo
-            xp = pad_fn(a, -1, lo_c, hi_c)
-            xp = pad_fn(xp, -2, lo_r, hi_r)
-            a, h, v, d = kernels.swt_fwd_level_2d_padded(xp, tl, th, lvl,
-                                                         (r, c))
-        else:
-            f = 1 << (lvl - 1)
-            z = conv.analysis_pass(a[:, None], dec, axis=-1, dilation=f,
-                                   decimate=False, backend="fma",
-                                   pad_fn=pad_fn)
-            z = conv.analysis_pass(z, dec, axis=-2, dilation=f,
-                                   decimate=False, backend="fma",
-                                   pad_fn=pad_fn)
-            a, h, v, d = z[:, 0], z[:, 1], z[:, 2], z[:, 3]
+        res = None
+        if mode is not None:
+            res = kernels.swt_fwd_level_2d_mxu(a, wav.dec_lo, wav.dec_hi,
+                                               lvl, mode, pad_fn=pad_fn)
+        if res is None:
+            af = _f32(a) if mode is not None else a
+            geo = (kernels.swt_fwd_geometry(r, c, wav.hlen, lvl)
+                   if af.dtype == jnp.float32 and wav.hlen % 2 == 0
+                   else None)
+            if geo is not None:
+                lo_r, lo_c, hi_r, hi_c = geo
+                xp = pad_fn(af, -1, lo_c, hi_c)
+                xp = pad_fn(xp, -2, lo_r, hi_r)
+                res = kernels.swt_fwd_level_2d_padded(xp, tl, th, lvl,
+                                                      (r, c))
+            else:
+                f = 1 << (lvl - 1)
+                z = conv.analysis_pass(af[:, None], dec, axis=-1,
+                                       dilation=f, decimate=False,
+                                       backend="fma", pad_fn=pad_fn)
+                z = conv.analysis_pass(z, dec, axis=-2, dilation=f,
+                                       decimate=False, backend="fma",
+                                       pad_fn=pad_fn)
+                res = (z[:, 0], z[:, 1], z[:, 2], z[:, 3])
+        a, h, v, d = norm(*res)
         details.append(tuple(t.reshape(batch + t.shape[1:])
                              for t in (h, v, d)))
     return sep_core.Coeffs2D(a.reshape(batch + a.shape[1:]), tuple(details))
@@ -201,6 +260,7 @@ def _local_pallas_swt2d(xl, wav, levels, pad_fn):
 
 def _local_pallas_iswt2d(cl, wav, pad_fn):
     from .. import kernels
+    from ..core.separable import _mxu_mode
 
     rec = (wav.rec_lo * 0.5, wav.rec_hi * 0.5)
     rl = tuple(float(v) for v in wav.rec_lo)
@@ -209,30 +269,51 @@ def _local_pallas_iswt2d(cl, wav, pad_fn):
     b = int(np.prod(batch, dtype=np.int64)) if batch else 1
     flat = lambda t: t.reshape((b,) + t.shape[len(batch):])
     a = flat(cl.approx)
+    ddt = cl.details[-1][0].dtype if cl.details else a.dtype
+    mode = _mxu_mode(ddt)
+    if mode == "mixed":
+        mode = None  # exact SWT kernels beat b3 (core.separable)
+    if mode == "bf16":
+        a = _f32(a)
     for i in range(cl.levels - 1, -1, -1):
         h, v, d = (flat(t) for t in cl.details[i])
         r, c = a.shape[-2:]
-        geo = (kernels.swt_inv_geometry(r, c, wav.hlen, i + 1)
-               if a.dtype == jnp.float32 and wav.hlen % 2 == 0 else None)
-        if geo is not None:
-            lo_r, lo_c, hi_r, hi_c = geo
+        y = None
+        if mode is not None:
+            out_dt = (jnp.bfloat16 if (mode == "bf16" and i == 0)
+                      else jnp.float32)
+            y = kernels.swt_inv_level_2d_mxu(a, h, v, d, wav.rec_lo,
+                                             wav.rec_hi, i + 1, mode,
+                                             out_dt, pad_fn=pad_fn)
+        if y is None:
+            if mode is not None:
+                a, h, v, d = _f32(a), _f32(h), _f32(v), _f32(d)
+            geo = (kernels.swt_inv_geometry(r, c, wav.hlen, i + 1)
+                   if a.dtype == jnp.float32 and wav.hlen % 2 == 0
+                   else None)
+            if geo is not None:
+                lo_r, lo_c, hi_r, hi_c = geo
 
-            def pad2(arr):
-                arr = pad_fn(arr, -1, lo_c, hi_c)
-                return pad_fn(arr, -2, lo_r, hi_r)
+                def pad2(arr):
+                    arr = pad_fn(arr, -1, lo_c, hi_c)
+                    return pad_fn(arr, -2, lo_r, hi_r)
 
-            a = kernels.swt_inv_level_2d_padded(pad2(a), pad2(h), pad2(v),
-                                                pad2(d), rl, rh, i + 1,
-                                                (r, c))
-        else:
-            f = 1 << i
-            z = jnp.concatenate([t[:, None] for t in (a, h, v, d)], axis=1)
-            t2 = conv.synthesis_pass(z, rec, axis=-2, dilation=f,
-                                     decimated=False, backend="fma",
-                                     pad_fn=pad_fn)
-            a = conv.synthesis_pass(t2, rec, axis=-1, dilation=f,
-                                    decimated=False, backend="fma",
-                                    pad_fn=pad_fn)[:, 0]
+                y = kernels.swt_inv_level_2d_padded(pad2(a), pad2(h),
+                                                    pad2(v), pad2(d), rl,
+                                                    rh, i + 1, (r, c))
+            else:
+                f = 1 << i
+                z = jnp.concatenate([t[:, None] for t in (a, h, v, d)],
+                                    axis=1)
+                t2 = conv.synthesis_pass(z, rec, axis=-2, dilation=f,
+                                         decimated=False, backend="fma",
+                                         pad_fn=pad_fn)
+                y = conv.synthesis_pass(t2, rec, axis=-1, dilation=f,
+                                        decimated=False, backend="fma",
+                                        pad_fn=pad_fn)[:, 0]
+            if mode == "bf16" and i == 0:
+                y = y.astype(jnp.bfloat16)
+        a = y
     return a.reshape(batch + a.shape[1:])
 
 
@@ -332,23 +413,36 @@ def _local_pallas_dwt1d(xl, wav, levels, pad_fn):
     (reference batched-1D: src/separable.cu:213-236)."""
     from .. import kernels
 
+    from ..core.separable import _mxu_mode
+
     a, batch = _flat1d(xl)
     dec = (wav.dec_lo, wav.dec_hi)
     tl = tuple(float(v) for v in wav.dec_lo)
     th = tuple(float(v) for v in wav.dec_hi)
+    mode = _mxu_mode(a.dtype)
     details = []
     for _ in range(levels):
         bsz, n = a.shape
-        geo = (kernels.fwd1d_geometry(bsz, n, wav.hlen)
-               if a.dtype == jnp.float32 else None)
-        if geo is not None:
-            cen, hi_c = geo
-            xp = _pad1d(pad_fn, a, cen, hi_c)
-            a, d = kernels.fwd_level_1d_padded(xp, tl, th, n // 2)
-        else:
-            z = conv.analysis_pass(a[:, None, None], dec, axis=-1,
-                                   backend="fma", pad_fn=pad_fn)
-            a, d = z[:, 0, 0], z[:, 1, 0]
+        res = None
+        if mode is not None:
+            res = kernels.fwd_level_1d_mxu(a, wav.dec_lo, wav.dec_hi,
+                                           mode, pad_fn=pad_fn)
+        if res is None:
+            af = _f32(a) if mode is not None else a
+            geo = (kernels.fwd1d_geometry(bsz, n, wav.hlen)
+                   if af.dtype == jnp.float32 else None)
+            if geo is not None:
+                cen, hi_c = geo
+                xp = _pad1d(pad_fn, af, cen, hi_c)
+                res = kernels.fwd_level_1d_padded(xp, tl, th, n // 2)
+            else:
+                z = conv.analysis_pass(af[:, None, None], dec, axis=-1,
+                                       backend="fma", pad_fn=pad_fn)
+                res = (z[:, 0, 0], z[:, 1, 0])
+            if mode == "bf16":
+                res = (res[0].astype(jnp.float32),
+                       res[1].astype(jnp.bfloat16))
+        a, d = res
         details.append(d.reshape(batch + d.shape[1:]))
     return Coeffs1D(a.reshape(batch + a.shape[1:]), tuple(details))
 
@@ -361,47 +455,82 @@ def _local_pallas_idwt1d(cl, wav, local_len, pad_fn):
     rec = (wav.rec_lo, wav.rec_hi)
     rl = tuple(float(v) for v in wav.rec_lo)
     rh = tuple(float(v) for v in wav.rec_hi)
+    from ..core.separable import _mxu_mode
+
     a, batch = _flat1d(cl.approx)
+    ddt = cl.details[-1].dtype if cl.details else a.dtype
+    mode = _mxu_mode(ddt)
+    if mode == "bf16":
+        a = _f32(a)
     for i in range(levels - 1, -1, -1):
         d, _ = _flat1d(cl.details[i])
         bsz, m = a.shape
-        geo = (kernels.inv1d_geometry(bsz, m, wav.hlen)
-               if a.dtype == jnp.float32 else None)
-        if geo is not None:
-            lo_pad, hi_c = geo
-            a = kernels.inv_level_1d_padded(
-                _pad1d(pad_fn, a, lo_pad, hi_c),
-                _pad1d(pad_fn, d, lo_pad, hi_c), rl, rh, m)
-        else:
-            z = jnp.concatenate([a[:, None, None], d[:, None, None]],
-                                axis=1)
-            a = conv.synthesis_pass(z, rec, axis=-1, out_len=sizes[i],
-                                    backend="fma", pad_fn=pad_fn)[:, 0, 0]
+        y = None
+        if mode is not None:
+            out_dt = (jnp.bfloat16 if (mode == "bf16" and i == 0)
+                      else jnp.float32)
+            y = kernels.inv_level_1d_mxu(a, d, wav.rec_lo, wav.rec_hi,
+                                         mode, out_dt, pad_fn=pad_fn)
+        if y is None:
+            if mode is not None:
+                a, d = _f32(a), _f32(d)
+            geo = (kernels.inv1d_geometry(bsz, m, wav.hlen)
+                   if a.dtype == jnp.float32 else None)
+            if geo is not None:
+                lo_pad, hi_c = geo
+                y = kernels.inv_level_1d_padded(
+                    _pad1d(pad_fn, a, lo_pad, hi_c),
+                    _pad1d(pad_fn, d, lo_pad, hi_c), rl, rh, m)
+            else:
+                z = jnp.concatenate([a[:, None, None], d[:, None, None]],
+                                    axis=1)
+                y = conv.synthesis_pass(z, rec, axis=-1, out_len=sizes[i],
+                                        backend="fma",
+                                        pad_fn=pad_fn)[:, 0, 0]
+            if mode == "bf16" and i == 0:
+                y = y.astype(jnp.bfloat16)
+        a = y
     return a.reshape(batch + a.shape[1:])
 
 
 def _local_pallas_swt1d(xl, wav, levels, pad_fn):
     from .. import kernels
 
+    from ..core.separable import _mxu_mode
+
     a, batch = _flat1d(xl)
     dec = (wav.dec_lo, wav.dec_hi)
     tl = tuple(float(v) for v in wav.dec_lo)
     th = tuple(float(v) for v in wav.dec_hi)
+    mode = _mxu_mode(a.dtype)
+    if mode == "mixed":
+        mode = None  # exact SWT kernels beat b3 (core.separable)
     details = []
     for lvl in range(1, levels + 1):
         bsz, n = a.shape
-        geo = (kernels.swt1d_fwd_geometry(bsz, n, wav.hlen, lvl)
-               if a.dtype == jnp.float32 and wav.hlen % 2 == 0 else None)
-        if geo is not None:
-            cen, hi_c = geo
-            xp = _pad1d(pad_fn, a, cen, hi_c)
-            a, d = kernels.swt_fwd_level_1d_padded(xp, tl, th, lvl, n)
-        else:
-            f = 1 << (lvl - 1)
-            z = conv.analysis_pass(a[:, None, None], dec, axis=-1,
-                                   dilation=f, decimate=False,
-                                   backend="fma", pad_fn=pad_fn)
-            a, d = z[:, 0, 0], z[:, 1, 0]
+        res = None
+        if mode is not None:
+            res = kernels.swt_fwd_level_1d_mxu(a, wav.dec_lo, wav.dec_hi,
+                                               lvl, mode, pad_fn=pad_fn)
+        if res is None:
+            af = _f32(a) if mode is not None else a
+            geo = (kernels.swt1d_fwd_geometry(bsz, n, wav.hlen, lvl)
+                   if af.dtype == jnp.float32 and wav.hlen % 2 == 0
+                   else None)
+            if geo is not None:
+                cen, hi_c = geo
+                xp = _pad1d(pad_fn, af, cen, hi_c)
+                res = kernels.swt_fwd_level_1d_padded(xp, tl, th, lvl, n)
+            else:
+                f = 1 << (lvl - 1)
+                z = conv.analysis_pass(af[:, None, None], dec, axis=-1,
+                                       dilation=f, decimate=False,
+                                       backend="fma", pad_fn=pad_fn)
+                res = (z[:, 0, 0], z[:, 1, 0])
+            if mode == "bf16":
+                res = (res[0].astype(jnp.float32),
+                       res[1].astype(jnp.bfloat16))
+        a, d = res
         details.append(d.reshape(batch + d.shape[1:]))
     return Coeffs1D(a.reshape(batch + a.shape[1:]), tuple(details))
 
@@ -412,24 +541,46 @@ def _local_pallas_iswt1d(cl, wav, pad_fn):
     rec = (wav.rec_lo * 0.5, wav.rec_hi * 0.5)
     rl = tuple(float(v) for v in wav.rec_lo)
     rh = tuple(float(v) for v in wav.rec_hi)
+    from ..core.separable import _mxu_mode
+
     a, batch = _flat1d(cl.approx)
+    ddt = cl.details[-1].dtype if cl.details else a.dtype
+    mode = _mxu_mode(ddt)
+    if mode == "mixed":
+        mode = None  # exact SWT kernels beat b3 (core.separable)
+    if mode == "bf16":
+        a = _f32(a)
     for i in range(cl.levels - 1, -1, -1):
         d, _ = _flat1d(cl.details[i])
         bsz, n = a.shape
-        geo = (kernels.swt1d_inv_geometry(bsz, n, wav.hlen, i + 1)
-               if a.dtype == jnp.float32 and wav.hlen % 2 == 0 else None)
-        if geo is not None:
-            cen, hi_c = geo
-            a = kernels.swt_inv_level_1d_padded(
-                _pad1d(pad_fn, a, cen, hi_c),
-                _pad1d(pad_fn, d, cen, hi_c), rl, rh, i + 1, n)
-        else:
-            f = 1 << i
-            z = jnp.concatenate([a[:, None, None], d[:, None, None]],
-                                axis=1)
-            a = conv.synthesis_pass(z, rec, axis=-1, dilation=f,
-                                    decimated=False, backend="fma",
-                                    pad_fn=pad_fn)[:, 0, 0]
+        y = None
+        if mode is not None:
+            out_dt = (jnp.bfloat16 if (mode == "bf16" and i == 0)
+                      else jnp.float32)
+            y = kernels.swt_inv_level_1d_mxu(a, d, wav.rec_lo, wav.rec_hi,
+                                             i + 1, mode, out_dt,
+                                             pad_fn=pad_fn)
+        if y is None:
+            if mode is not None:
+                a, d = _f32(a), _f32(d)
+            geo = (kernels.swt1d_inv_geometry(bsz, n, wav.hlen, i + 1)
+                   if a.dtype == jnp.float32 and wav.hlen % 2 == 0
+                   else None)
+            if geo is not None:
+                cen, hi_c = geo
+                y = kernels.swt_inv_level_1d_padded(
+                    _pad1d(pad_fn, a, cen, hi_c),
+                    _pad1d(pad_fn, d, cen, hi_c), rl, rh, i + 1, n)
+            else:
+                f = 1 << i
+                z = jnp.concatenate([a[:, None, None], d[:, None, None]],
+                                    axis=1)
+                y = conv.synthesis_pass(z, rec, axis=-1, dilation=f,
+                                        decimated=False, backend="fma",
+                                        pad_fn=pad_fn)[:, 0, 0]
+            if mode == "bf16" and i == 0:
+                y = y.astype(jnp.bfloat16)
+        a = y
     return a.reshape(batch + a.shape[1:])
 
 

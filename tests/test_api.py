@@ -232,3 +232,37 @@ def test_swt_api_roundtrip(rng):
     assert W.get_coeff(1).shape == (64, 64)  # undecimated
     out = np.asarray(W.inverse())
     assert np.abs(out - img).max() < 1e-9
+
+
+def test_zero_copy_device_export(rng):
+    """get_image/get_coeff(copy=False) return the on-device jax.Array
+    with NO host round-trip (reference device-pointer export intent,
+    src/wt.cu:660-667), and the export speaks DLPack."""
+    import jax
+
+    img = rng.uniform(0, 255, (64, 64)).astype(np.float32)
+    W = Wavelets(img, wname="db3", levels=2)
+    out = W.get_image(copy=False)
+    assert isinstance(out, jax.Array)
+    assert out is W.d_image            # the very same device buffer
+    assert hasattr(out, "__dlpack__")
+    W.forward()
+    a = W.get_coeff(0, copy=False)
+    assert isinstance(a, jax.Array)
+    assert a is W._coeffs.approx
+    # round-trip through DLPack (zero-copy consumer hand-off)
+    back = jnp.from_dlpack(out)
+    assert np.asarray(back).tolist() == np.asarray(out).tolist()
+
+
+def test_circshift_not_inplace(rng):
+    img = rng.uniform(0, 255, (32, 32)).astype(np.float32)
+    W = Wavelets(img, wname="haar", levels=1)
+    before = W.get_image()
+    shifted = W.circshift(3, 5, inplace=False)
+    assert np.array_equal(W.get_image(), before)          # state untouched
+    assert np.array_equal(np.asarray(shifted),
+                          np.roll(before, (3, 5), (0, 1)))
+    W.circshift(3, 5)                                      # inplace default
+    assert np.array_equal(W.get_image(),
+                          np.roll(before, (3, 5), (0, 1)))

@@ -31,14 +31,32 @@ def _rel_err(tree_a, tree_b, scale):
 
 
 def test_mixed_swt2d_roundtrip(rng, monkeypatch):
+    """SWT in mixed mode routes to the EXACT kernels (measured faster
+    than b3 on undecimated levels); the b3 SWT MXU kernels themselves
+    are exercised directly against the gather oracle."""
+    import pdwt_tpu.kernels as kernels
+
     monkeypatch.setenv("PDWT_TPU_PRECISION", "mixed")
     w = get_wavelet("db7")
     x = jnp.asarray(rng.uniform(0, 255, (1, 256, 256)), jnp.float32)
     cg = sep.swt2d(x, w, 2, backend="gather")
     cm = sep.swt2d(x, w, 2, backend="pallas")
-    assert _rel_err(cm, cg, float(jnp.abs(cg.approx).max())) < 1e-4
+    assert _rel_err(cm, cg, float(jnp.abs(cg.approx).max())) < 1e-6
     ym = sep.iswt2d(cm, w, backend="pallas")
     assert float(jnp.abs(ym - x).max()) < 0.05
+
+    # direct b3 MXU level kernels vs oracle (level 2: dilated band)
+    scale = float(jnp.abs(cg.approx).max())
+    lvl1 = kernels.swt_fwd_level_2d_mxu(x, w.dec_lo, w.dec_hi, 1, "mixed")
+    lvl2 = kernels.swt_fwd_level_2d_mxu(lvl1[0], w.dec_lo, w.dec_hi, 2,
+                                        "mixed")
+    assert _rel_err(lvl2, tuple(jax.tree.leaves(
+        (cg.approx, cg.details[1]))), scale) < 1e-4
+    y = kernels.swt_inv_level_2d_mxu(lvl2[0], *lvl2[1:], w.rec_lo,
+                                     w.rec_hi, 2, "mixed")
+    y = kernels.swt_inv_level_2d_mxu(y, *lvl1[1:], w.rec_lo, w.rec_hi, 1,
+                                     "mixed")
+    assert float(jnp.abs(y - x).max()) < 0.05
 
 
 def test_bf16_swt2d_roundtrip(rng):
@@ -149,3 +167,27 @@ def test_bf16_deep_levels(rng):
     # the round-3 accuracy target: <= ~3 absolute on [0,255] data at
     # depth (round 2 was 16.0 with the all-bf16 chain)
     assert float(jnp.abs(yb.astype(jnp.float32) - x).max()) < 3.5
+
+
+def test_swt_mxu_inkernel_halo_equality(rng, monkeypatch):
+    """Opt-in in-kernel periodic halo (region DMAs from the unpadded
+    array) must reproduce the XLA-pad path bit-for-bit."""
+    import pdwt_tpu.kernels as kernels
+
+    w = get_wavelet("db7")
+    x = jnp.asarray(rng.uniform(0, 255, (1, 256, 256)), jnp.bfloat16)
+    subs = tuple(jnp.asarray(rng.uniform(-1, 1, (1, 256, 256)), dt)
+                 for dt in (jnp.float32, jnp.bfloat16, jnp.bfloat16,
+                            jnp.bfloat16))
+    ref_f = kernels.swt_fwd_level_2d_mxu(x, w.dec_lo, w.dec_hi, 2, "bf16")
+    ref_i = kernels.swt_inv_level_2d_mxu(*subs, w.rec_lo, w.rec_hi, 2,
+                                         "bf16")
+    monkeypatch.setenv("PDWT_TPU_INKERNEL_HALO", "1")
+    halo_f = kernels.swt_fwd_level_2d_mxu(x, w.dec_lo, w.dec_hi, 2, "bf16")
+    halo_i = kernels.swt_inv_level_2d_mxu(*subs, w.rec_lo, w.rec_hi, 2,
+                                          "bf16")
+    for a, b in zip(ref_f, halo_f):
+        assert jnp.array_equal(a.astype(jnp.float32),
+                               b.astype(jnp.float32))
+    assert jnp.array_equal(ref_i.astype(jnp.float32),
+                           halo_i.astype(jnp.float32))

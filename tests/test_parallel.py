@@ -164,3 +164,67 @@ def test_sharded_pallas_1d_matches_single_device(mesh, rng, swt,
         y = par.idwt1d(c_sh, w, 512, mesh, data_axis="data",
                        col_axis="col", backend="pallas")
     assert float(jnp.abs(y - x).max()) < 1e-5
+
+
+@pytest.mark.parametrize("swt", [False, True])
+def test_sharded_mxu_bf16_bit_identical(mesh, rng, monkeypatch, swt):
+    """Sharded bf16 MXU level == single-device MXU level bit-for-bit
+    when the tiles match (forced via PDWT_TPU_MXU_TILES): the ring halo
+    exchange delivers the same periodic values the local wrap does, and
+    bf16 halos move half the ICI traffic (round-3, VERDICT item 5)."""
+    monkeypatch.setenv("PDWT_PALLAS_INTERPRET", "1")
+    monkeypatch.setenv("PDWT_TPU_MXU_TILES", "128x128")
+    w = get_wavelet("db4")
+    x = rng.uniform(0, 255, (2, 512, 512)).astype(np.float32)
+    xb = jnp.asarray(x).astype(jnp.bfloat16)
+    xs = par.shard_image(xb, mesh, **AXES)
+    c_sh = par.dwt2d(xs, w, 1, mesh, swt=swt, backend="pallas", **AXES)
+    c_ref = (sep.swt2d if swt else sep.dwt2d)(xb, w, 1, backend="pallas")
+    assert c_sh.approx.dtype == jnp.float32
+    assert c_sh.details[0][0].dtype == jnp.bfloat16
+    assert _max_err(jax.tree.map(lambda t: t.astype(jnp.float32), c_sh),
+                    jax.tree.map(lambda t: t.astype(jnp.float32),
+                                 c_ref)) == 0.0
+    y_sh = par.idwt2d(c_sh, w, (512, 512), mesh, swt=swt,
+                      backend="pallas", **AXES)
+    y_ref = (sep.iswt2d(c_ref, w, backend="pallas") if swt
+             else sep.idwt2d(c_ref, w, (512, 512), backend="pallas"))
+    assert y_sh.dtype == jnp.bfloat16
+    assert _max_err(y_sh.astype(jnp.float32),
+                    y_ref.astype(jnp.float32)) == 0.0
+
+
+def test_sharded_mxu_modes_recon(mesh, rng, monkeypatch):
+    """Deeper sharded bf16/mixed runs (tile fallbacks engaged per shard)
+    still reconstruct within the modes' error contracts."""
+    monkeypatch.setenv("PDWT_PALLAS_INTERPRET", "1")
+    w = get_wavelet("db4")
+    x = rng.uniform(0, 255, (2, 256, 256)).astype(np.float32)
+    xb = jnp.asarray(x).astype(jnp.bfloat16)
+    xs = par.shard_image(xb, mesh, **AXES)
+    c_sh = par.dwt2d(xs, w, 2, mesh, backend="pallas", **AXES)
+    y_sh = par.idwt2d(c_sh, w, (256, 256), mesh, backend="pallas", **AXES)
+    assert y_sh.dtype == jnp.bfloat16
+    assert float(jnp.abs(y_sh.astype(jnp.float32) - x).max()) < 5.0
+
+    monkeypatch.setenv("PDWT_TPU_PRECISION", "mixed")
+    xs = par.shard_image(jnp.asarray(x), mesh, **AXES)
+    c_sh = par.dwt2d(xs, w, 2, mesh, backend="pallas", **AXES)
+    y_sh = par.idwt2d(c_sh, w, (256, 256), mesh, backend="pallas", **AXES)
+    assert float(jnp.abs(y_sh - jnp.asarray(x)).max()) < 0.1
+
+
+def test_sharded_mxu_1d_modes(mesh, rng, monkeypatch):
+    monkeypatch.setenv("PDWT_PALLAS_INTERPRET", "1")
+    w = get_wavelet("sym8")
+    x = rng.uniform(-10, 10, (64, 1024)).astype(np.float32)
+    xb = jnp.asarray(x).astype(jnp.bfloat16)
+    xs = par.shard_image(xb, mesh, data_axis="data", col_axis="col")
+    c_sh = par.dwt1d(xs, w, 2, mesh, data_axis="data", col_axis="col",
+                     backend="pallas")
+    assert c_sh.approx.dtype == jnp.float32
+    assert c_sh.details[0].dtype == jnp.bfloat16
+    y_sh = par.idwt1d(c_sh, w, 1024, mesh, data_axis="data",
+                      col_axis="col", backend="pallas")
+    assert y_sh.dtype == jnp.bfloat16
+    assert float(jnp.abs(y_sh.astype(jnp.float32) - x).max()) < 0.3
