@@ -32,8 +32,8 @@ def main() -> None:
     rng = np.random.default_rng(0)
     results = []
 
-    def record(name, pixels, fn, arg):
-        t = device_time(fn, arg)
+    def record(name, pixels, fn, arg, **kw):
+        t = device_time(fn, arg, **kw)
         rate = pixels / t / 1e6
         results.append({"config": name, "value": round(rate, 1),
                         "unit": "Mpix/s", "ms": round(t * 1e3, 3)})
@@ -42,8 +42,11 @@ def main() -> None:
     # 1. haar 2D single-level fwd+inv, 512x512
     img512 = jnp.asarray(rng.standard_normal((512, 512)), dtype=jnp.float32)
     wh = get_wavelet("haar")
+    # tiny config: widen the loop sizes so the slope rises above the
+    # tunnel's few-ms dispatch jitter (negative slopes otherwise)
     record("haar 2D 1-level fwd+inv 512x512", 512 * 512,
-           lambda x: sep.idwt2d(sep.dwt2d(x, wh, 1), wh, (512, 512)), img512)
+           lambda x: sep.idwt2d(sep.dwt2d(x, wh, 1), wh, (512, 512)),
+           img512, K=32, M2=17)
 
     # 2. separable db7 2D 5-level fwd+inv, 2048x2048
     img = jnp.asarray(rng.standard_normal((2048, 2048)), dtype=jnp.float32)
@@ -81,6 +84,57 @@ def main() -> None:
     record("non-separable db7 2D 5-level fwd+inv 2048x2048", 2048 * 2048,
            lambda x: ns.idwt2d_ns(ns.dwt2d_ns(x, qf, 5), qi,
                                   (2048, 2048)), img)
+
+    # 5b. genuinely-2D (rank-3) user quads through the rank-decomposed
+    # separable-sum path (timing config: synthetic quads, fwd+inv cost
+    # only — PR needs a biorthogonal 2D design)
+    rq = np.zeros((4, 8, 8))
+    g = np.random.default_rng(1)
+    for _ in range(3):
+        rq += np.einsum("si,j->sij", g.standard_normal((4, 8)),
+                        g.standard_normal(8))
+    rq /= np.abs(rq).sum(axis=(1, 2), keepdims=True)
+    img1kf = jnp.asarray(rng.standard_normal((1024, 1024)), jnp.float32)
+    record("non-separable RANK-3 quad 2D 2-level fwd+inv 1024x1024",
+           1024 * 1024,
+           lambda x: ns.idwt2d_ns(ns.dwt2d_ns(x, rq, 2), rq,
+                                  (1024, 1024)), img1kf)
+
+    # precision-mode variants of the headline configs (round 3): bf16 =
+    # MXU serving mode (bf16 details, f32 A-chain), mixed = f32 arrays
+    # with bf16x3 compute (~1e-5 rel; SWT routes mixed to exact kernels,
+    # which are faster than b3 on undecimated levels)
+    import os
+
+    imgb = img.astype(jnp.bfloat16)
+    record("db7 2D 5-level fwd+inv 2048x2048 [bf16]", 2048 * 2048,
+           lambda x: sep.idwt2d(sep.dwt2d(x, w7, 5), w7, (2048, 2048)),
+           imgb)
+    os.environ["PDWT_TPU_PRECISION"] = "mixed"
+    record("db7 2D 5-level fwd+inv 2048x2048 [mixed]", 2048 * 2048,
+           lambda x: sep.idwt2d(sep.dwt2d(x, w7, 5), w7,
+                                (2048, 2048)) * 1.0, img)
+    del os.environ["PDWT_TPU_PRECISION"]
+
+    sigb = sig.astype(jnp.bfloat16)
+
+    def cfg3b(x):
+        c = sep.dwt1d(x, w8, 4)
+        c = ops.soft_threshold(c, 0.1)
+        n = ops.norm1(c)
+        return sep.idwt1d(c, w8, 4096) + 0 * n.astype(x.dtype)
+
+    record("batched 1D sym8 4-level denoise 1024x4096 [bf16]", 1024 * 4096,
+           cfg3b, sigb)
+
+    img1kb = img1k.astype(jnp.bfloat16)
+
+    def cfg4b(x):
+        out, _ = denoise_step(x, key, "db7", 3, 1.0, swt=True)
+        return out
+
+    record("SWT db7 2D 3-level TI denoise step 1024x1024 [bf16]",
+           1024 * 1024, cfg4b, img1kb)
 
     for r in results:
         print(json.dumps(r))

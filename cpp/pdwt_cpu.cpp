@@ -32,17 +32,17 @@ inline long imod(long i, long n) {
 /* Generic strided single-axis decimated analysis.
  * in: n_other lines of length n_along (stride_along between elements,
  * stride_other between lines); out lines of length (n_along+1)/2. */
-void analysis_axis(const float *in, int n_along, int n_other,
+void analysis_axis(const pdwt_real *in, int n_along, int n_other,
                    long in_sa, long in_so,
                    const double *lo, const double *hi, int hlen,
-                   float *out_lo, float *out_hi, long out_sa, long out_so) {
+                   pdwt_real *out_lo, pdwt_real *out_hi, long out_sa, long out_so) {
   const int ne = n_along + (n_along % 2); /* virtual even extension */
   const int m = ne / 2;
   const int c = fwd_center(hlen);
   for (int r = 0; r < n_other; ++r) {
-    const float *row = in + (long)r * in_so;
-    float *olo = out_lo + (long)r * out_so;
-    float *ohi = out_hi + (long)r * out_so;
+    const pdwt_real *row = in + (long)r * in_so;
+    pdwt_real *olo = out_lo + (long)r * out_so;
+    pdwt_real *ohi = out_hi + (long)r * out_so;
     for (int t = 0; t < m; ++t) {
       double acc_l = 0.0, acc_h = 0.0;
       for (int j = 0; j < hlen; ++j) {
@@ -52,24 +52,24 @@ void analysis_axis(const float *in, int n_along, int n_other,
         acc_l += lo[hlen - 1 - j] * v;
         acc_h += hi[hlen - 1 - j] * v;
       }
-      olo[t * out_sa] = (float)acc_l;
-      ohi[t * out_sa] = (float)acc_h;
+      olo[t * out_sa] = (pdwt_real)acc_l;
+      ohi[t * out_sa] = (pdwt_real)acc_h;
     }
   }
 }
 
 /* Generic strided single-axis decimated synthesis: combine lo/hi lines of
  * length m into out lines of length out_len (2m-1 or 2m). */
-void synthesis_axis(const float *lo_in, const float *hi_in, int m,
+void synthesis_axis(const pdwt_real *lo_in, const pdwt_real *hi_in, int m,
                     int n_other, long in_sa, long in_so,
                     const double *rec_lo, const double *rec_hi, int hlen,
-                    int out_len, float *out, long out_sa, long out_so) {
+                    int out_len, pdwt_real *out, long out_sa, long out_so) {
   const int s = inv_shift(hlen);
   const long two_m = 2L * m;
   for (int r = 0; r < n_other; ++r) {
-    const float *rl = lo_in + (long)r * in_so;
-    const float *rh = hi_in + (long)r * in_so;
-    float *orow = out + (long)r * out_so;
+    const pdwt_real *rl = lo_in + (long)r * in_so;
+    const pdwt_real *rh = hi_in + (long)r * in_so;
+    pdwt_real *orow = out + (long)r * out_so;
     for (int g = 0; g < out_len; ++g) {
       double acc = 0.0;
       for (int j = 0; j < hlen; ++j) {
@@ -80,22 +80,22 @@ void synthesis_axis(const float *lo_in, const float *hi_in, int m,
                  rec_hi[hlen - 1 - j] * rh[t * in_sa];
         }
       }
-      orow[g * out_sa] = (float)acc;
+      orow[g * out_sa] = (pdwt_real)acc;
     }
   }
 }
 
 /* A-trous analysis along one axis at dilation f (full size, periodic). */
-void swt_analysis_axis(const float *in, int n_along, int n_other,
+void swt_analysis_axis(const pdwt_real *in, int n_along, int n_other,
                        long in_sa, long in_so,
                        const double *lo, const double *hi, int hlen, int f,
-                       float *out_lo, float *out_hi, long out_sa,
+                       pdwt_real *out_lo, pdwt_real *out_hi, long out_sa,
                        long out_so) {
   const long c = (long)fwd_center(hlen) * f;
   for (int r = 0; r < n_other; ++r) {
-    const float *row = in + (long)r * in_so;
-    float *olo = out_lo + (long)r * out_so;
-    float *ohi = out_hi + (long)r * out_so;
+    const pdwt_real *row = in + (long)r * in_so;
+    pdwt_real *olo = out_lo + (long)r * out_so;
+    pdwt_real *ohi = out_hi + (long)r * out_so;
     for (int t = 0; t < n_along; ++t) {
       double acc_l = 0.0, acc_h = 0.0;
       for (int j = 0; j < hlen; ++j) {
@@ -104,22 +104,22 @@ void swt_analysis_axis(const float *in, int n_along, int n_other,
         acc_l += lo[hlen - 1 - j] * v;
         acc_h += hi[hlen - 1 - j] * v;
       }
-      olo[t * out_sa] = (float)acc_l;
-      ohi[t * out_sa] = (float)acc_h;
+      olo[t * out_sa] = (pdwt_real)acc_l;
+      ohi[t * out_sa] = (pdwt_real)acc_h;
     }
   }
 }
 
 /* A-trous synthesis along one axis (1/2 factor folded in). */
-void swt_synthesis_axis(const float *lo_in, const float *hi_in, int n_along,
+void swt_synthesis_axis(const pdwt_real *lo_in, const pdwt_real *hi_in, int n_along,
                         int n_other, long in_sa, long in_so,
                         const double *rec_lo, const double *rec_hi, int hlen,
-                        int f, float *out, long out_sa, long out_so) {
+                        int f, pdwt_real *out, long out_sa, long out_so) {
   const long c = (long)(hlen / 2) * f;
   for (int r = 0; r < n_other; ++r) {
-    const float *rl = lo_in + (long)r * in_so;
-    const float *rh = hi_in + (long)r * in_so;
-    float *orow = out + (long)r * out_so;
+    const pdwt_real *rl = lo_in + (long)r * in_so;
+    const pdwt_real *rh = hi_in + (long)r * in_so;
+    pdwt_real *orow = out + (long)r * out_so;
     for (int t = 0; t < n_along; ++t) {
       double acc = 0.0;
       for (int j = 0; j < hlen; ++j) {
@@ -127,7 +127,7 @@ void swt_synthesis_axis(const float *lo_in, const float *hi_in, int n_along,
         acc += rec_lo[hlen - 1 - j] * rl[idx * in_sa] +
                rec_hi[hlen - 1 - j] * rh[idx * in_sa];
       }
-      orow[t * out_sa] = (float)(0.5 * acc);
+      orow[t * out_sa] = (pdwt_real)(0.5 * acc);
     }
   }
 }
@@ -148,18 +148,18 @@ int pdwt_max_level(int min_dim, int hlen) {
   return l;
 }
 
-int pdwt_dwt1_level(const float *x, int batch, int n, const double *dec_lo,
-                    const double *dec_hi, int hlen, float *out_lo,
-                    float *out_hi) {
+int pdwt_dwt1_level(const pdwt_real *x, int batch, int n, const double *dec_lo,
+                    const double *dec_hi, int hlen, pdwt_real *out_lo,
+                    pdwt_real *out_hi) {
   if (!x || !out_lo || !out_hi || n < 1 || batch < 1 || hlen < 2) return 1;
   analysis_axis(x, n, batch, 1, n, dec_lo, dec_hi, hlen, out_lo, out_hi, 1,
                 pdwt_div2(n));
   return 0;
 }
 
-int pdwt_idwt1_level(const float *lo, const float *hi, int batch, int m,
+int pdwt_idwt1_level(const pdwt_real *lo, const pdwt_real *hi, int batch, int m,
                      const double *rec_lo, const double *rec_hi, int hlen,
-                     int out_len, float *out) {
+                     int out_len, pdwt_real *out) {
   if (!lo || !hi || !out || m < 1 || batch < 1) return 1;
   if (out_len != 2 * m && out_len != 2 * m - 1) return 2;
   synthesis_axis(lo, hi, m, batch, 1, m, rec_lo, rec_hi, hlen, out_len, out,
@@ -167,42 +167,42 @@ int pdwt_idwt1_level(const float *lo, const float *hi, int batch, int m,
   return 0;
 }
 
-int pdwt_swt1_level(const float *x, int batch, int n, const double *dec_lo,
-                    const double *dec_hi, int hlen, int level, float *out_lo,
-                    float *out_hi) {
+int pdwt_swt1_level(const pdwt_real *x, int batch, int n, const double *dec_lo,
+                    const double *dec_hi, int hlen, int level, pdwt_real *out_lo,
+                    pdwt_real *out_hi) {
   if (!x || !out_lo || !out_hi || level < 1) return 1;
   swt_analysis_axis(x, n, batch, 1, n, dec_lo, dec_hi, hlen, 1 << (level - 1),
                     out_lo, out_hi, 1, n);
   return 0;
 }
 
-int pdwt_iswt1_level(const float *lo, const float *hi, int batch, int n,
+int pdwt_iswt1_level(const pdwt_real *lo, const pdwt_real *hi, int batch, int n,
                      const double *rec_lo, const double *rec_hi, int hlen,
-                     int level, float *out) {
+                     int level, pdwt_real *out) {
   if (!lo || !hi || !out || level < 1) return 1;
   swt_synthesis_axis(lo, hi, n, batch, 1, n, rec_lo, rec_hi, hlen,
                      1 << (level - 1), out, 1, n);
   return 0;
 }
 
-int pdwt_forward2d(const float *img, int nr, int nc, const double *dec_lo,
+int pdwt_forward2d(const pdwt_real *img, int nr, int nc, const double *dec_lo,
                    const double *dec_hi, int hlen, int levels, int swt,
-                   float **coeffs) {
+                   pdwt_real **coeffs) {
   if (!img || !coeffs || levels < 1) return 1;
-  std::vector<float> a(img, img + (long)nr * nc);
+  std::vector<pdwt_real> a(img, img + (long)nr * nc);
   int r = nr, c = nc;
   for (int l = 1; l <= levels; ++l) {
     if (!swt) {
       const int c2 = pdwt_div2(c), r2 = pdwt_div2(r);
       /* pass 1 along columns (x), decimate cols */
-      std::vector<float> tlo((long)r * c2), thi((long)r * c2);
+      std::vector<pdwt_real> tlo((long)r * c2), thi((long)r * c2);
       analysis_axis(a.data(), c, r, 1, c, dec_lo, dec_hi, hlen, tlo.data(),
                     thi.data(), 1, c2);
       /* pass 2 along rows (y), decimate rows; strided axis = rows */
-      std::vector<float> anew((long)r2 * c2);
-      float *H = coeffs[3 * (l - 1) + 1];
-      float *V = coeffs[3 * (l - 1) + 2];
-      float *D = coeffs[3 * (l - 1) + 3];
+      std::vector<pdwt_real> anew((long)r2 * c2);
+      pdwt_real *H = coeffs[3 * (l - 1) + 1];
+      pdwt_real *V = coeffs[3 * (l - 1) + 2];
+      pdwt_real *D = coeffs[3 * (l - 1) + 3];
       analysis_axis(tlo.data(), r, c2, c2, 1, dec_lo, dec_hi, hlen,
                     anew.data(), H, c2, 1);
       analysis_axis(thi.data(), r, c2, c2, 1, dec_lo, dec_hi, hlen, V, D, c2,
@@ -212,13 +212,13 @@ int pdwt_forward2d(const float *img, int nr, int nc, const double *dec_lo,
       c = c2;
     } else {
       const int f = 1 << (l - 1);
-      std::vector<float> tlo((long)r * c), thi((long)r * c);
+      std::vector<pdwt_real> tlo((long)r * c), thi((long)r * c);
       swt_analysis_axis(a.data(), c, r, 1, c, dec_lo, dec_hi, hlen, f,
                         tlo.data(), thi.data(), 1, c);
-      std::vector<float> anew((long)r * c);
-      float *H = coeffs[3 * (l - 1) + 1];
-      float *V = coeffs[3 * (l - 1) + 2];
-      float *D = coeffs[3 * (l - 1) + 3];
+      std::vector<pdwt_real> anew((long)r * c);
+      pdwt_real *H = coeffs[3 * (l - 1) + 1];
+      pdwt_real *V = coeffs[3 * (l - 1) + 2];
+      pdwt_real *D = coeffs[3 * (l - 1) + 3];
       swt_analysis_axis(tlo.data(), r, c, c, 1, dec_lo, dec_hi, hlen, f,
                         anew.data(), H, c, 1);
       swt_analysis_axis(thi.data(), r, c, c, 1, dec_lo, dec_hi, hlen, f, V, D,
@@ -226,13 +226,13 @@ int pdwt_forward2d(const float *img, int nr, int nc, const double *dec_lo,
       a.swap(anew);
     }
   }
-  std::memcpy(coeffs[0], a.data(), a.size() * sizeof(float));
+  std::memcpy(coeffs[0], a.data(), a.size() * sizeof(pdwt_real));
   return 0;
 }
 
-int pdwt_inverse2d(float *const *coeffs, int nr, int nc, const double *rec_lo,
+int pdwt_inverse2d(pdwt_real *const *coeffs, int nr, int nc, const double *rec_lo,
                    const double *rec_hi, int hlen, int levels, int swt,
-                   float *img_out) {
+                   pdwt_real *img_out) {
   if (!coeffs || !img_out || levels < 1) return 1;
   /* per-level size tables (top size first) */
   std::vector<int> rs(levels + 1), cs(levels + 1);
@@ -242,79 +242,79 @@ int pdwt_inverse2d(float *const *coeffs, int nr, int nc, const double *rec_lo,
     rs[i] = swt ? nr : pdwt_div2(rs[i - 1]);
     cs[i] = swt ? nc : pdwt_div2(cs[i - 1]);
   }
-  std::vector<float> a(coeffs[0],
+  std::vector<pdwt_real> a(coeffs[0],
                        coeffs[0] + (long)rs[levels] * cs[levels]);
   for (int l = levels; l >= 1; --l) {
     const int mr = rs[l], mc = cs[l];       /* subband size at this level */
     const int orr = rs[l - 1], oc = cs[l - 1]; /* output size */
-    const float *H = coeffs[3 * (l - 1) + 1];
-    const float *V = coeffs[3 * (l - 1) + 2];
-    const float *D = coeffs[3 * (l - 1) + 3];
+    const pdwt_real *H = coeffs[3 * (l - 1) + 1];
+    const pdwt_real *V = coeffs[3 * (l - 1) + 2];
+    const pdwt_real *D = coeffs[3 * (l - 1) + 3];
     if (!swt) {
       /* pass 1: combine (A,H) and (V,D) along rows (y) -> t1, t2 */
-      std::vector<float> t1((long)orr * mc), t2((long)orr * mc);
+      std::vector<pdwt_real> t1((long)orr * mc), t2((long)orr * mc);
       synthesis_axis(a.data(), H, mr, mc, mc, 1, rec_lo, rec_hi, hlen, orr,
                      t1.data(), mc, 1);
       synthesis_axis(V, D, mr, mc, mc, 1, rec_lo, rec_hi, hlen, orr,
                      t2.data(), mc, 1);
       /* pass 2: combine (t1,t2) along columns (x) */
-      std::vector<float> anew((long)orr * oc);
+      std::vector<pdwt_real> anew((long)orr * oc);
       synthesis_axis(t1.data(), t2.data(), mc, orr, 1, mc, rec_lo, rec_hi,
                      hlen, oc, anew.data(), 1, oc);
       a.swap(anew);
     } else {
       const int f = 1 << (l - 1);
-      std::vector<float> t1((long)orr * mc), t2((long)orr * mc);
+      std::vector<pdwt_real> t1((long)orr * mc), t2((long)orr * mc);
       swt_synthesis_axis(a.data(), H, mr, mc, mc, 1, rec_lo, rec_hi, hlen, f,
                          t1.data(), mc, 1);
       swt_synthesis_axis(V, D, mr, mc, mc, 1, rec_lo, rec_hi, hlen, f,
                          t2.data(), mc, 1);
-      std::vector<float> anew((long)orr * oc);
+      std::vector<pdwt_real> anew((long)orr * oc);
       swt_synthesis_axis(t1.data(), t2.data(), mc, orr, 1, mc, rec_lo, rec_hi,
                          hlen, f, anew.data(), 1, oc);
       a.swap(anew);
     }
   }
-  std::memcpy(img_out, a.data(), (long)nr * nc * sizeof(float));
+  std::memcpy(img_out, a.data(), (long)nr * nc * sizeof(pdwt_real));
   return 0;
 }
 
-int pdwt_forward1d(const float *x, int batch, int n, const double *dec_lo,
+int pdwt_forward1d(const pdwt_real *x, int batch, int n, const double *dec_lo,
                    const double *dec_hi, int hlen, int levels, int swt,
-                   float **coeffs) {
+                   pdwt_real **coeffs) {
   if (!x || !coeffs || levels < 1) return 1;
-  std::vector<float> a(x, x + (long)batch * n);
+  std::vector<pdwt_real> a(x, x + (long)batch * n);
   int m = n;
   for (int l = 1; l <= levels; ++l) {
     if (!swt) {
       const int m2 = pdwt_div2(m);
-      std::vector<float> anew((long)batch * m2);
+      std::vector<pdwt_real> anew((long)batch * m2);
       analysis_axis(a.data(), m, batch, 1, m, dec_lo, dec_hi, hlen,
                     anew.data(), coeffs[l], 1, m2);
       a.swap(anew);
       m = m2;
     } else {
-      std::vector<float> anew((long)batch * m);
+      std::vector<pdwt_real> anew((long)batch * m);
       swt_analysis_axis(a.data(), m, batch, 1, m, dec_lo, dec_hi, hlen,
                         1 << (l - 1), anew.data(), coeffs[l], 1, m);
       a.swap(anew);
     }
   }
-  std::memcpy(coeffs[0], a.data(), a.size() * sizeof(float));
+  std::memcpy(coeffs[0], a.data(), a.size() * sizeof(pdwt_real));
   return 0;
 }
 
-int pdwt_inverse1d(float *const *coeffs, int batch, int n,
+int pdwt_inverse1d(pdwt_real *const *coeffs, int batch, int n,
                    const double *rec_lo, const double *rec_hi, int hlen,
-                   int levels, int swt, float *out) {
+                   int levels, int swt, pdwt_real *out) {
   if (!coeffs || !out || levels < 1) return 1;
   std::vector<int> sz(levels + 1);
   sz[0] = n;
   for (int i = 1; i <= levels; ++i) sz[i] = swt ? n : pdwt_div2(sz[i - 1]);
-  std::vector<float> a(coeffs[0], coeffs[0] + (long)batch * sz[levels]);
+  std::vector<pdwt_real> a(coeffs[0], coeffs[0] + (long)batch * sz[levels]);
   for (int l = levels; l >= 1; --l) {
     const int m = sz[l], ol = sz[l - 1];
-    std::vector<float> anew((long)batch * ol);
+    std::vector<pdwt_real> anew((long)batch * ol);
     if (!swt) {
       synthesis_axis(a.data(), coeffs[l], m, batch, 1, m, rec_lo, rec_hi,
                      hlen, ol, anew.data(), 1, ol);
@@ -324,44 +324,44 @@ int pdwt_inverse1d(float *const *coeffs, int batch, int n,
     }
     a.swap(anew);
   }
-  std::memcpy(out, a.data(), (long)batch * n * sizeof(float));
+  std::memcpy(out, a.data(), (long)batch * n * sizeof(pdwt_real));
   return 0;
 }
 
-void pdwt_soft_threshold(float *x, long n, float beta) {
+void pdwt_soft_threshold(pdwt_real *x, long n, pdwt_real beta) {
   for (long i = 0; i < n; ++i) {
-    float v = x[i];
-    float m = std::fabs(v) - beta;
+    pdwt_real v = x[i];
+    pdwt_real m = std::fabs(v) - beta;
     x[i] = (m > 0.f) ? (v < 0.f ? -m : m) : 0.f;
   }
 }
 
-void pdwt_hard_threshold(float *x, long n, float beta) {
+void pdwt_hard_threshold(pdwt_real *x, long n, pdwt_real beta) {
   for (long i = 0; i < n; ++i)
     if (std::fabs(x[i]) <= beta) x[i] = 0.f;
 }
 
-void pdwt_proj_linf(float *x, long n, float beta) {
+void pdwt_proj_linf(pdwt_real *x, long n, pdwt_real beta) {
   for (long i = 0; i < n; ++i) {
-    float v = x[i];
-    float m = std::fabs(v) < beta ? std::fabs(v) : beta;
+    pdwt_real v = x[i];
+    pdwt_real m = std::fabs(v) < beta ? std::fabs(v) : beta;
     x[i] = v < 0.f ? -m : m;
   }
 }
 
-double pdwt_norm1(const float *x, long n) {
+double pdwt_norm1(const pdwt_real *x, long n) {
   double s = 0.0;
   for (long i = 0; i < n; ++i) s += std::fabs((double)x[i]);
   return s;
 }
 
-double pdwt_norm2sq(const float *x, long n) {
+double pdwt_norm2sq(const pdwt_real *x, long n) {
   double s = 0.0;
   for (long i = 0; i < n; ++i) s += (double)x[i] * (double)x[i];
   return s;
 }
 
-int pdwt_circshift2d(const float *in, float *out, int nr, int nc, int sr,
+int pdwt_circshift2d(const pdwt_real *in, pdwt_real *out, int nr, int nc, int sr,
                      int sc) {
   if (!in || !out || in == out) return 1;
   for (int r = 0; r < nr; ++r) {
@@ -387,8 +387,8 @@ inline int inv_shift_ns(int hlen) {
 
 /* one forward level: 2D periodic correlation with 4 quads + 2x2 decim
  * (or a-trous at dilation f).  in: (r, c); outs: 4 buffers. */
-void ns_fwd_level(const float *in, int r, int c, const double *quads,
-                  int hlen, int f, int decim, float **outs) {
+void ns_fwd_level(const pdwt_real *in, int r, int c, const double *quads,
+                  int hlen, int f, int decim, pdwt_real **outs) {
   const int re = decim ? r + (r % 2) : r;
   const int ce = decim ? c + (c % 2) : c;
   const int mr = decim ? re / 2 : r;
@@ -412,14 +412,14 @@ void ns_fwd_level(const float *in, int r, int c, const double *quads,
           acc[3] += quads[3 * qsz + qi] * v;
         }
       }
-      for (int b = 0; b < 4; ++b) outs[b][(long)m * mc + n] = (float)acc[b];
+      for (int b = 0; b < 4; ++b) outs[b][(long)m * mc + n] = (pdwt_real)acc[b];
     }
   }
 }
 
 /* one inverse level (decimated): 2D zero-stuffed polyphase. */
-void ns_inv_level(float *const *bands, int mr, int mc, const double *quads,
-                  int hlen, int orr, int oc, float *out) {
+void ns_inv_level(pdwt_real *const *bands, int mr, int mc, const double *quads,
+                  int hlen, int orr, int oc, pdwt_real *out) {
   const int s = inv_shift_ns(hlen);
   const long qsz = (long)hlen * hlen;
   const long tr = 2L * mr, tc = 2L * mc;
@@ -442,14 +442,14 @@ void ns_inv_level(float *const *bands, int mr, int mc, const double *quads,
                  quads[3 * qsz + qi] * bands[3][ti];
         }
       }
-      out[(long)g1 * oc + g2] = (float)acc;
+      out[(long)g1 * oc + g2] = (pdwt_real)acc;
     }
   }
 }
 
 /* one inverse level (a-trous): dilated correlation, 1/4 factor. */
-void ns_inv_swt_level(float *const *bands, int r, int c, const double *quads,
-                      int hlen, int f, float *out) {
+void ns_inv_swt_level(pdwt_real *const *bands, int r, int c, const double *quads,
+                      int hlen, int f, pdwt_real *out) {
   const long qsz = (long)hlen * hlen;
   const long cen = (long)(hlen / 2) * f;
   for (int g1 = 0; g1 < r; ++g1) {
@@ -467,7 +467,7 @@ void ns_inv_swt_level(float *const *bands, int r, int c, const double *quads,
                  quads[3 * qsz + qi] * bands[3][ti];
         }
       }
-      out[(long)g1 * c + g2] = (float)(0.25 * acc);
+      out[(long)g1 * c + g2] = (pdwt_real)(0.25 * acc);
     }
   }
 }
@@ -476,30 +476,30 @@ void ns_inv_swt_level(float *const *bands, int r, int c, const double *quads,
 
 extern "C" {
 
-int pdwt_forward2d_ns(const float *img, int nr, int nc, const double *quads,
-                      int hlen, int levels, int swt, float **coeffs) {
+int pdwt_forward2d_ns(const pdwt_real *img, int nr, int nc, const double *quads,
+                      int hlen, int levels, int swt, pdwt_real **coeffs) {
   if (!img || !quads || !coeffs || levels < 1) return 1;
-  std::vector<float> a(img, img + (long)nr * nc);
+  std::vector<pdwt_real> a(img, img + (long)nr * nc);
   int r = nr, c = nc;
   for (int l = 1; l <= levels; ++l) {
     const int f = swt ? (1 << (l - 1)) : 1;
     const int mr = swt ? r : pdwt_div2(r);
     const int mc = swt ? c : pdwt_div2(c);
-    std::vector<float> anew((long)mr * mc);
-    float *outs[4] = {anew.data(), coeffs[3 * (l - 1) + 1],
+    std::vector<pdwt_real> anew((long)mr * mc);
+    pdwt_real *outs[4] = {anew.data(), coeffs[3 * (l - 1) + 1],
                       coeffs[3 * (l - 1) + 2], coeffs[3 * (l - 1) + 3]};
     ns_fwd_level(a.data(), r, c, quads, hlen, f, swt ? 0 : 1, outs);
     a.swap(anew);
     r = mr;
     c = mc;
   }
-  std::memcpy(coeffs[0], a.data(), a.size() * sizeof(float));
+  std::memcpy(coeffs[0], a.data(), a.size() * sizeof(pdwt_real));
   return 0;
 }
 
-int pdwt_inverse2d_ns(float *const *coeffs, int nr, int nc,
+int pdwt_inverse2d_ns(pdwt_real *const *coeffs, int nr, int nc,
                       const double *quads_inv, int hlen, int levels, int swt,
-                      float *img_out) {
+                      pdwt_real *img_out) {
   if (!coeffs || !quads_inv || !img_out || levels < 1) return 1;
   std::vector<int> rs(levels + 1), cs(levels + 1);
   rs[0] = nr;
@@ -508,10 +508,10 @@ int pdwt_inverse2d_ns(float *const *coeffs, int nr, int nc,
     rs[i] = swt ? nr : pdwt_div2(rs[i - 1]);
     cs[i] = swt ? nc : pdwt_div2(cs[i - 1]);
   }
-  std::vector<float> a(coeffs[0], coeffs[0] + (long)rs[levels] * cs[levels]);
+  std::vector<pdwt_real> a(coeffs[0], coeffs[0] + (long)rs[levels] * cs[levels]);
   for (int l = levels; l >= 1; --l) {
-    std::vector<float> anew((long)rs[l - 1] * cs[l - 1]);
-    float *bands[4] = {a.data(), coeffs[3 * (l - 1) + 1],
+    std::vector<pdwt_real> anew((long)rs[l - 1] * cs[l - 1]);
+    pdwt_real *bands[4] = {a.data(), coeffs[3 * (l - 1) + 1],
                        coeffs[3 * (l - 1) + 2], coeffs[3 * (l - 1) + 3]};
     if (!swt) {
       ns_inv_level(bands, rs[l], cs[l], quads_inv, hlen, rs[l - 1],
@@ -522,31 +522,31 @@ int pdwt_inverse2d_ns(float *const *coeffs, int nr, int nc,
     }
     a.swap(anew);
   }
-  std::memcpy(img_out, a.data(), (long)nr * nc * sizeof(float));
+  std::memcpy(img_out, a.data(), (long)nr * nc * sizeof(pdwt_real));
   return 0;
 }
 
-void pdwt_shrink(float *x, long n, float beta) {
-  const float s = 1.0f / (1.0f + beta);
+void pdwt_shrink(pdwt_real *x, long n, pdwt_real beta) {
+  const pdwt_real s = 1.0f / (1.0f + beta);
   for (long i = 0; i < n; ++i) x[i] *= s;
 }
 
-void pdwt_group_soft_threshold(float *h, float *v, float *d, float *a,
-                               long n, float beta) {
+void pdwt_group_soft_threshold(pdwt_real *h, pdwt_real *v, pdwt_real *d, pdwt_real *a,
+                               long n, pdwt_real beta) {
   for (long i = 0; i < n; ++i) {
     double n2 = (double)h[i] * h[i] + (double)v[i] * v[i] +
                 (double)d[i] * d[i];
     if (a) n2 += (double)a[i] * a[i];
     const double norm = std::sqrt(n2);
     const double fac = norm > 0 ? std::max(1.0 - beta / norm, 0.0) : 0.0;
-    h[i] = (float)(h[i] * fac);
-    v[i] = (float)(v[i] * fac);
-    d[i] = (float)(d[i] * fac);
-    if (a) a[i] = (float)(a[i] * fac);
+    h[i] = (pdwt_real)(h[i] * fac);
+    v[i] = (pdwt_real)(v[i] * fac);
+    d[i] = (pdwt_real)(d[i] * fac);
+    if (a) a[i] = (pdwt_real)(a[i] * fac);
   }
 }
 
-void pdwt_axpy(float *y, const float *x, long n, float alpha) {
+void pdwt_axpy(pdwt_real *y, const pdwt_real *x, long n, pdwt_real alpha) {
   for (long i = 0; i < n; ++i) y[i] += alpha * x[i];
 }
 

@@ -15,6 +15,16 @@
 #ifndef PDWT_CPU_H
 #define PDWT_CPU_H
 
+/* Array element type: pdwt_real defaults to float; -DPDWT_DOUBLEPRECISION
+ * builds the double-precision library (libpdwt_cpud.so), mirroring the
+ * reference's dual build (reference: Makefile:36-39, src/filters.h:16-30).
+ * Filter taps are always double. */
+#ifdef PDWT_DOUBLEPRECISION
+typedef double pdwt_real;
+#else
+typedef float pdwt_real;
+#endif
+
 #ifdef __cplusplus
 extern "C" {
 #endif
@@ -24,25 +34,25 @@ extern "C" {
 /* Decimated analysis: x (batch, n) row-major -> out_lo/out_hi
  * (batch, (n+1)/2).  Periodic boundary; odd n virtually extends by
  * repeating the last element. */
-int pdwt_dwt1_level(const float *x, int batch, int n,
+int pdwt_dwt1_level(const pdwt_real *x, int batch, int n,
                     const double *dec_lo, const double *dec_hi, int hlen,
-                    float *out_lo, float *out_hi);
+                    pdwt_real *out_lo, pdwt_real *out_hi);
 
 /* Decimated synthesis: lo/hi (batch, m) -> out (batch, out_len),
  * out_len in {2m-1, 2m}. */
-int pdwt_idwt1_level(const float *lo, const float *hi, int batch, int m,
+int pdwt_idwt1_level(const pdwt_real *lo, const pdwt_real *hi, int batch, int m,
                      const double *rec_lo, const double *rec_hi, int hlen,
-                     int out_len, float *out);
+                     int out_len, pdwt_real *out);
 
 /* A-trous analysis at `level` >= 1 (dilation 2^(level-1)), full size. */
-int pdwt_swt1_level(const float *x, int batch, int n,
+int pdwt_swt1_level(const pdwt_real *x, int batch, int n,
                     const double *dec_lo, const double *dec_hi, int hlen,
-                    int level, float *out_lo, float *out_hi);
+                    int level, pdwt_real *out_lo, pdwt_real *out_hi);
 
 /* A-trous synthesis (includes the 1/2 normalization per pass). */
-int pdwt_iswt1_level(const float *lo, const float *hi, int batch, int n,
+int pdwt_iswt1_level(const pdwt_real *lo, const pdwt_real *hi, int batch, int n,
                      const double *rec_lo, const double *rec_hi, int hlen,
-                     int level, float *out);
+                     int level, pdwt_real *out);
 
 /* ---- multi-level drivers ---- */
 
@@ -51,34 +61,34 @@ int pdwt_iswt1_level(const float *lo, const float *hi, int batch, int n,
  * Hn, Vn, Dn] (the reference buffer layout,
  * /root/reference/src/common.cu:400-445).  H = highpass along rows.
  * swt != 0 keeps full size per level. */
-int pdwt_forward2d(const float *img, int nr, int nc,
+int pdwt_forward2d(const pdwt_real *img, int nr, int nc,
                    const double *dec_lo, const double *dec_hi, int hlen,
-                   int levels, int swt, float **coeffs);
+                   int levels, int swt, pdwt_real **coeffs);
 
-int pdwt_inverse2d(float *const *coeffs, int nr, int nc,
+int pdwt_inverse2d(pdwt_real *const *coeffs, int nr, int nc,
                    const double *rec_lo, const double *rec_hi, int hlen,
-                   int levels, int swt, float *img_out);
+                   int levels, int swt, pdwt_real *img_out);
 
 /* 1D forward, batched over rows: x (batch, n).  coeffs = levels + 1
  * pointers [A_n, D1, ..., Dn], each (batch, size_l). */
-int pdwt_forward1d(const float *x, int batch, int n,
+int pdwt_forward1d(const pdwt_real *x, int batch, int n,
                    const double *dec_lo, const double *dec_hi, int hlen,
-                   int levels, int swt, float **coeffs);
+                   int levels, int swt, pdwt_real **coeffs);
 
-int pdwt_inverse1d(float *const *coeffs, int batch, int n,
+int pdwt_inverse1d(pdwt_real *const *coeffs, int batch, int n,
                    const double *rec_lo, const double *rec_hi, int hlen,
-                   int levels, int swt, float *out);
+                   int levels, int swt, pdwt_real *out);
 
 /* ---- elementwise ops (in place) ---- */
 
-void pdwt_soft_threshold(float *x, long n, float beta);
-void pdwt_hard_threshold(float *x, long n, float beta);
-void pdwt_proj_linf(float *x, long n, float beta);
-double pdwt_norm1(const float *x, long n);
-double pdwt_norm2sq(const float *x, long n);
+void pdwt_soft_threshold(pdwt_real *x, long n, pdwt_real beta);
+void pdwt_hard_threshold(pdwt_real *x, long n, pdwt_real beta);
+void pdwt_proj_linf(pdwt_real *x, long n, pdwt_real beta);
+double pdwt_norm1(const pdwt_real *x, long n);
+double pdwt_norm2sq(const pdwt_real *x, long n);
 
 /* Circular shift of a (nr, nc) image by (sr, sc); out != in. */
-int pdwt_circshift2d(const float *in, float *out, int nr, int nc,
+int pdwt_circshift2d(const pdwt_real *in, pdwt_real *out, int nr, int nc,
                      int sr, int sc);
 
 /* ---- misc ---- */
@@ -98,19 +108,19 @@ extern "C" {
 /* ---- non-separable 2D engine (true 2D quads) ----
  * quads: 4 row-major (hlen x hlen) filters [LL, LH, HL, HH]
  * (H = highpass along rows; reference: src/nonseparable.cu:114-225). */
-int pdwt_forward2d_ns(const float *img, int nr, int nc, const double *quads,
-                      int hlen, int levels, int swt, float **coeffs);
-int pdwt_inverse2d_ns(float *const *coeffs, int nr, int nc,
+int pdwt_forward2d_ns(const pdwt_real *img, int nr, int nc, const double *quads,
+                      int hlen, int levels, int swt, pdwt_real **coeffs);
+int pdwt_inverse2d_ns(pdwt_real *const *coeffs, int nr, int nc,
                       const double *quads_inv, int hlen, int levels, int swt,
-                      float *img_out);
+                      pdwt_real *img_out);
 
 /* ---- remaining proximal ops (in place) ---- */
-void pdwt_shrink(float *x, long n, float beta);          /* x /= 1+beta */
+void pdwt_shrink(pdwt_real *x, long n, pdwt_real beta);          /* x /= 1+beta */
 /* group soft threshold over 3 detail buffers (+ optional approx) of the
  * same size (reference: src/common.cu:145-198). */
-void pdwt_group_soft_threshold(float *h, float *v, float *d, float *a,
-                               long n, float beta);
-void pdwt_axpy(float *y, const float *x, long n, float alpha);
+void pdwt_group_soft_threshold(pdwt_real *h, pdwt_real *v, pdwt_real *d, pdwt_real *a,
+                               long n, pdwt_real beta);
+void pdwt_axpy(pdwt_real *y, const pdwt_real *x, long n, pdwt_real alpha);
 
 #ifdef __cplusplus
 }

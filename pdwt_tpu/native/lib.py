@@ -1,4 +1,4 @@
-"""ctypes wrapper over libpdwt_cpu.so with numpy in/out.
+"""ctypes wrapper over libpdwt_cpu[d].so with numpy in/out.
 
 Mirrors the functional core API (multi-level 2D/1D DWT/SWT forward and
 inverse) on numpy arrays, returning the same ``Coeffs1D``/``Coeffs2D``
@@ -22,29 +22,53 @@ _CPP_DIR = os.path.join(
     os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
     "cpp",
 )
-_SO_PATH = os.path.join(_CPP_DIR, "libpdwt_cpu.so")
+# Two builds of the same engine, float and double arrays — mirroring the
+# reference's dual-precision libraries (reference: Makefile:23-39
+# libpdwt.so / libpdwtd.so).  Filter taps are double in both.
+_SO_NAMES = {np.dtype(np.float32): "libpdwt_cpu.so",
+             np.dtype(np.float64): "libpdwt_cpud.so"}
 
-_lib: Optional[ctypes.CDLL] = None
+_libs: dict = {}
 
 _c_float_p = ctypes.POINTER(ctypes.c_float)
 _c_double_p = ctypes.POINTER(ctypes.c_double)
-_c_float_pp = ctypes.POINTER(_c_float_p)
+
+# The active array dtype for the module-level API (set_dtype switches).
+_DTYPE = np.dtype(np.float32)
 
 
-def build(force: bool = False) -> str:
-    """Build libpdwt_cpu.so with make if missing or stale."""
+def set_dtype(dtype) -> None:
+    """Select the native array precision (np.float32 or np.float64) —
+    the runtime form of the reference's compile-time DOUBLEPRECISION
+    switch (reference: src/filters.h:16-30)."""
+    global _DTYPE
+    dt = np.dtype(dtype)
+    if dt not in _SO_NAMES:
+        raise ValueError(f"native engine supports float32/float64, got {dt}")
+    _DTYPE = dt
+
+
+def get_dtype():
+    return _DTYPE
+
+
+def build(force: bool = False, dtype=None) -> str:
+    """Build the native library with make if missing or stale."""
+    dt = np.dtype(dtype) if dtype is not None else _DTYPE
+    name = _SO_NAMES[dt]
+    so = os.path.join(_CPP_DIR, name)
     src = os.path.join(_CPP_DIR, "pdwt_cpu.cpp")
-    if force or not os.path.exists(_SO_PATH) or (
-        os.path.getmtime(_SO_PATH) < os.path.getmtime(src)
+    if force or not os.path.exists(so) or (
+        os.path.getmtime(so) < os.path.getmtime(src)
     ):
-        subprocess.run(["make", "libpdwt_cpu.so"], cwd=_CPP_DIR, check=True,
+        subprocess.run(["make", name], cwd=_CPP_DIR, check=True,
                        capture_output=True)
-    return _SO_PATH
+    return so
 
 
 def _load() -> ctypes.CDLL:
-    global _lib
-    if _lib is None:
+    lib = _libs.get(_DTYPE)
+    if lib is None:
         lib = ctypes.CDLL(build())
         lib.pdwt_forward2d.restype = ctypes.c_int
         lib.pdwt_inverse2d.restype = ctypes.c_int
@@ -52,8 +76,8 @@ def _load() -> ctypes.CDLL:
         lib.pdwt_inverse1d.restype = ctypes.c_int
         lib.pdwt_norm1.restype = ctypes.c_double
         lib.pdwt_norm2sq.restype = ctypes.c_double
-        _lib = lib
-    return _lib
+        _libs[_DTYPE] = lib
+    return lib
 
 
 def is_available() -> bool:
@@ -64,8 +88,17 @@ def is_available() -> bool:
         return False
 
 
-def _fptr(a: np.ndarray) -> _c_float_p:
-    return a.ctypes.data_as(_c_float_p)
+def _real_p():
+    return _c_double_p if _DTYPE == np.float64 else _c_float_p
+
+
+def _c_real(v: float):
+    return (ctypes.c_double(v) if _DTYPE == np.float64
+            else ctypes.c_float(v))
+
+
+def _fptr(a: np.ndarray):
+    return a.ctypes.data_as(_real_p())
 
 
 def _dptr(a: np.ndarray) -> _c_double_p:
@@ -73,18 +106,18 @@ def _dptr(a: np.ndarray) -> _c_double_p:
 
 
 def _ptr_array(arrs) -> ctypes.Array:
-    return (_c_float_p * len(arrs))(*[_fptr(a) for a in arrs])
+    return (_real_p() * len(arrs))(*[_fptr(a) for a in arrs])
 
 
 def dwt2d(img: np.ndarray, wav: Wavelet, levels: int, *,
           swt: bool = False) -> Coeffs2D:
     lib = _load()
-    img = np.ascontiguousarray(img, dtype=np.float32)
+    img = np.ascontiguousarray(img, dtype=_DTYPE)
     nr, nc = img.shape
     a_shape, det_shapes = coeff_shapes_2d(nr, nc, levels, swt)
-    bufs = [np.empty(a_shape, np.float32)]
+    bufs = [np.empty(a_shape, _DTYPE)]
     for s in det_shapes:
-        bufs.extend(np.empty(s, np.float32) for _ in range(3))
+        bufs.extend(np.empty(s, _DTYPE) for _ in range(3))
     rc = lib.pdwt_forward2d(
         _fptr(img), nr, nc, _dptr(wav.dec_lo), _dptr(wav.dec_hi),
         wav.hlen, levels, int(swt), _ptr_array(bufs))
@@ -102,10 +135,10 @@ def idwt2d(coeffs: Coeffs2D, wav: Wavelet, shape: Tuple[int, int], *,
     lib = _load()
     nr, nc = shape
     levels = coeffs.levels
-    bufs = [np.ascontiguousarray(coeffs.approx, np.float32)]
+    bufs = [np.ascontiguousarray(coeffs.approx, _DTYPE)]
     for det in coeffs.details:
-        bufs.extend(np.ascontiguousarray(b, np.float32) for b in det)
-    out = np.empty((nr, nc), np.float32)
+        bufs.extend(np.ascontiguousarray(b, _DTYPE) for b in det)
+    out = np.empty((nr, nc), _DTYPE)
     rc = lib.pdwt_inverse2d(
         _ptr_array(bufs), nr, nc, _dptr(wav.rec_lo), _dptr(wav.rec_hi),
         wav.hlen, levels, int(swt), _fptr(out))
@@ -117,11 +150,11 @@ def idwt2d(coeffs: Coeffs2D, wav: Wavelet, shape: Tuple[int, int], *,
 def dwt1d(x: np.ndarray, wav: Wavelet, levels: int, *,
           swt: bool = False) -> Coeffs1D:
     lib = _load()
-    x = np.ascontiguousarray(np.atleast_2d(x), dtype=np.float32)
+    x = np.ascontiguousarray(np.atleast_2d(x), dtype=_DTYPE)
     batch, n = x.shape
     a_len, det_lens = coeff_shapes_1d(n, levels, swt)
-    bufs = [np.empty((batch, a_len), np.float32)]
-    bufs.extend(np.empty((batch, m), np.float32) for m in det_lens)
+    bufs = [np.empty((batch, a_len), _DTYPE)]
+    bufs.extend(np.empty((batch, m), _DTYPE) for m in det_lens)
     rc = lib.pdwt_forward1d(
         _fptr(x), batch, n, _dptr(wav.dec_lo), _dptr(wav.dec_hi),
         wav.hlen, levels, int(swt), _ptr_array(bufs))
@@ -133,10 +166,10 @@ def dwt1d(x: np.ndarray, wav: Wavelet, levels: int, *,
 def idwt1d(coeffs: Coeffs1D, wav: Wavelet, length: int, *,
            swt: bool = False) -> np.ndarray:
     lib = _load()
-    bufs = [np.ascontiguousarray(coeffs.approx, np.float32)]
-    bufs.extend(np.ascontiguousarray(d, np.float32) for d in coeffs.details)
+    bufs = [np.ascontiguousarray(coeffs.approx, _DTYPE)]
+    bufs.extend(np.ascontiguousarray(d, _DTYPE) for d in coeffs.details)
     batch = bufs[0].shape[0]
-    out = np.empty((batch, length), np.float32)
+    out = np.empty((batch, length), _DTYPE)
     rc = lib.pdwt_inverse1d(
         _ptr_array(bufs), batch, length, _dptr(wav.rec_lo),
         _dptr(wav.rec_hi), wav.hlen, coeffs.levels, int(swt), _fptr(out))
@@ -147,21 +180,21 @@ def idwt1d(coeffs: Coeffs1D, wav: Wavelet, length: int, *,
 
 def soft_threshold(x: np.ndarray, beta: float) -> np.ndarray:
     lib = _load()
-    x = np.ascontiguousarray(x, np.float32).copy()
+    x = np.ascontiguousarray(x, _DTYPE).copy()
     lib.pdwt_soft_threshold(_fptr(x), ctypes.c_long(x.size),
-                            ctypes.c_float(beta))
+                            _c_real(beta))
     return x
 
 
 def norm1(x: np.ndarray) -> float:
     lib = _load()
-    x = np.ascontiguousarray(x, np.float32)
+    x = np.ascontiguousarray(x, _DTYPE)
     return float(lib.pdwt_norm1(_fptr(x), ctypes.c_long(x.size)))
 
 
 def norm2sq(x: np.ndarray) -> float:
     lib = _load()
-    x = np.ascontiguousarray(x, np.float32)
+    x = np.ascontiguousarray(x, _DTYPE)
     return float(lib.pdwt_norm2sq(_fptr(x), ctypes.c_long(x.size)))
 
 
@@ -169,14 +202,14 @@ def dwt2d_ns(img: np.ndarray, quads: np.ndarray, levels: int, *,
              swt: bool = False) -> Coeffs2D:
     """Non-separable 2D forward with true-2D quads (4, hlen, hlen)."""
     lib = _load()
-    img = np.ascontiguousarray(img, dtype=np.float32)
+    img = np.ascontiguousarray(img, dtype=_DTYPE)
     q = np.ascontiguousarray(quads, dtype=np.float64)
     hlen = q.shape[-1]
     nr, nc = img.shape
     a_shape, det_shapes = coeff_shapes_2d(nr, nc, levels, swt)
-    bufs = [np.empty(a_shape, np.float32)]
+    bufs = [np.empty(a_shape, _DTYPE)]
     for s in det_shapes:
-        bufs.extend(np.empty(s, np.float32) for _ in range(3))
+        bufs.extend(np.empty(s, _DTYPE) for _ in range(3))
     rc = lib.pdwt_forward2d_ns(_fptr(img), nr, nc, _dptr(q), hlen, levels,
                                int(swt), _ptr_array(bufs))
     if rc:
@@ -194,10 +227,10 @@ def idwt2d_ns(coeffs: Coeffs2D, quads_inv: np.ndarray,
     q = np.ascontiguousarray(quads_inv, dtype=np.float64)
     hlen = q.shape[-1]
     nr, nc = shape
-    bufs = [np.ascontiguousarray(coeffs.approx, np.float32)]
+    bufs = [np.ascontiguousarray(coeffs.approx, _DTYPE)]
     for det in coeffs.details:
-        bufs.extend(np.ascontiguousarray(b, np.float32) for b in det)
-    out = np.empty((nr, nc), np.float32)
+        bufs.extend(np.ascontiguousarray(b, _DTYPE) for b in det)
+    out = np.empty((nr, nc), _DTYPE)
     rc = lib.pdwt_inverse2d_ns(_ptr_array(bufs), nr, nc, _dptr(q), hlen,
                                coeffs.levels, int(swt), _fptr(out))
     if rc:
@@ -207,30 +240,30 @@ def idwt2d_ns(coeffs: Coeffs2D, quads_inv: np.ndarray,
 
 def shrink(x: np.ndarray, beta: float) -> np.ndarray:
     lib = _load()
-    x = np.ascontiguousarray(x, np.float32).copy()
-    lib.pdwt_shrink(_fptr(x), ctypes.c_long(x.size), ctypes.c_float(beta))
+    x = np.ascontiguousarray(x, _DTYPE).copy()
+    lib.pdwt_shrink(_fptr(x), ctypes.c_long(x.size), _c_real(beta))
     return x
 
 
 def group_soft_threshold(h, v, d, beta: float, a=None):
     """Group-lasso shrink over (h, v, d[, a]); returns new arrays."""
     lib = _load()
-    h = np.ascontiguousarray(h, np.float32).copy()
-    v = np.ascontiguousarray(v, np.float32).copy()
-    d = np.ascontiguousarray(d, np.float32).copy()
+    h = np.ascontiguousarray(h, _DTYPE).copy()
+    v = np.ascontiguousarray(v, _DTYPE).copy()
+    d = np.ascontiguousarray(d, _DTYPE).copy()
     ap = None
     if a is not None:
-        a = np.ascontiguousarray(a, np.float32).copy()
+        a = np.ascontiguousarray(a, _DTYPE).copy()
         ap = _fptr(a)
     lib.pdwt_group_soft_threshold(_fptr(h), _fptr(v), _fptr(d), ap,
-                                  ctypes.c_long(h.size), ctypes.c_float(beta))
+                                  ctypes.c_long(h.size), _c_real(beta))
     return (h, v, d) if a is None else (h, v, d, a)
 
 
 def axpy(y: np.ndarray, x: np.ndarray, alpha: float) -> np.ndarray:
     lib = _load()
-    y = np.ascontiguousarray(y, np.float32).copy()
-    x = np.ascontiguousarray(x, np.float32)
+    y = np.ascontiguousarray(y, _DTYPE).copy()
+    x = np.ascontiguousarray(x, _DTYPE)
     lib.pdwt_axpy(_fptr(y), _fptr(x), ctypes.c_long(y.size),
-                  ctypes.c_float(alpha))
+                  _c_real(alpha))
     return y

@@ -94,3 +94,27 @@ def test_native_extra_ops(rng):
     assert np.abs(gh - h * fac).max() < 1e-6
     assert np.abs(native.shrink(h, 2.0) - h / 3.0).max() < 1e-6
     assert np.abs(native.axpy(h, v, 1.5) - (h + 1.5 * v)).max() < 1e-6
+
+
+def test_native_double_precision_build(rng):
+    """The double-precision library (libpdwt_cpud.so, the analogue of
+    the reference's libpdwtd.so, Makefile:36-39) round-trips at f64
+    roundoff and cross-checks the f64 JAX path."""
+    import jax.numpy as jnp
+
+    from pdwt_tpu.core import separable as sep
+    from pdwt_tpu.filters import get_wavelet
+    from pdwt_tpu.native import lib as native
+
+    w = get_wavelet("db7")
+    x = rng.standard_normal((96, 96))
+    native.set_dtype(np.float64)
+    try:
+        c = native.dwt2d(x, w, 3)
+        assert c.approx.dtype == np.float64
+        y = native.idwt2d(c, w, (96, 96))
+        assert np.abs(y - x).max() < 1e-10          # f64 roundoff
+        cj = sep.dwt2d(jnp.asarray(x), w, 3, backend="fma")
+        assert np.abs(np.asarray(cj.approx) - c.approx).max() < 1e-10
+    finally:
+        native.set_dtype(np.float32)
