@@ -566,19 +566,25 @@ class Wavelets:
         return np.asarray(out) if copy else out
 
     def set_coeff(self, coeff, num: int):
+        # Cast to the EXISTING subband's dtype, not the spec dtype: in
+        # bf16 mode the approximation chain is carried f32 while details
+        # are bf16 (round 3), and set_coeff must not downcast it.
         ref = self._coeff_ref(num)
         if ref[0] == "a":
-            coeff = jnp.asarray(coeff, self._dtype).reshape(self._coeffs.approx.shape)
+            coeff = jnp.asarray(coeff, self._coeffs.approx.dtype).reshape(
+                self._coeffs.approx.shape)
             self._coeffs = type(self._coeffs)(coeff, self._coeffs.details)
             return
         details = list(self._coeffs.details)
         if ref[0] == "d2":
             level = list(details[ref[1]])
-            coeff = jnp.asarray(coeff, self._dtype).reshape(level[ref[2]].shape)
+            coeff = jnp.asarray(coeff, level[ref[2]].dtype).reshape(
+                level[ref[2]].shape)
             level[ref[2]] = coeff
             details[ref[1]] = tuple(level)
         else:
-            coeff = jnp.asarray(coeff, self._dtype).reshape(details[ref[1]].shape)
+            coeff = jnp.asarray(coeff, details[ref[1]].dtype).reshape(
+                details[ref[1]].shape)
             details[ref[1]] = coeff
         self._coeffs = type(self._coeffs)(self._coeffs.approx, tuple(details))
 

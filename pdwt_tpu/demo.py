@@ -37,6 +37,11 @@ def main(argv=None) -> int:
     p.add_argument("--out", default="res.dat")
     p.add_argument("--native", action="store_true",
                    help="use the C++ CPU engine instead of JAX")
+    p.add_argument("--precision", default="exact",
+                   choices=("exact", "mixed", "bf16"),
+                   help="compute mode (round 3): mixed = bf16x3 MXU "
+                        "(~1e-5 rel), bf16 = bf16 serving mode "
+                        "(bf16 details, f32 approximation chain)")
     p.add_argument("--interactive", action="store_true",
                    help="prompt for the configuration like the reference "
                         "demo does when run without arguments "
@@ -85,11 +90,20 @@ def main(argv=None) -> int:
             coeffs = type(coeffs)(coeffs.approx, det)
         rec = native.idwt2d(coeffs, w, (args.nr, args.nc), swt=args.swt)
     else:
+        import os
+
+        import jax.numpy as jnp
+
         from pdwt_tpu import Wavelets
 
+        dtype = jnp.float32
+        if args.precision == "mixed":
+            os.environ["PDWT_TPU_PRECISION"] = "mixed"
+        elif args.precision == "bf16":
+            dtype = jnp.bfloat16
         W = Wavelets(img, wname=args.wavelet, levels=args.levels,
                      do_swt=args.swt, do_separable=not args.nonseparable,
-                     do_cycle_spinning=args.cycle_spinning)
+                     do_cycle_spinning=args.cycle_spinning, dtype=dtype)
         W.print_informations()
         W.forward()
         print(f"norm1(coeffs) = {W.norm1():.6e}")
@@ -104,7 +118,7 @@ def main(argv=None) -> int:
         # prove reconstruction comes from the coefficients alone
         # (reference: src/demo.cpp:208-214)
         W.set_image(np.zeros_like(img))
-        rec = np.asarray(W.inverse())
+        rec = np.asarray(W.inverse(), dtype=np.float32)
 
     err = float(np.abs(rec - img).max())
     note = " (thresholded: expected nonzero)" if args.scenario == 3 else ""

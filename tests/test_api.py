@@ -266,3 +266,29 @@ def test_circshift_not_inplace(rng):
     W.circshift(3, 5)                                      # inplace default
     assert np.array_equal(W.get_image(),
                           np.roll(before, (3, 5), (0, 1)))
+
+
+def test_facade_bf16_mode(rng, monkeypatch):
+    """Stateful facade end-to-end in the bf16 serving mode (pallas
+    interpret): forward returns an f32 approximation chain with bf16
+    details; threshold, set_coeff, and inverse respect the dtype
+    contract."""
+    monkeypatch.setenv("PDWT_PALLAS_INTERPRET", "1")
+    img = rng.uniform(0, 255, (256, 256)).astype(np.float32)
+    W = Wavelets(img, wname="db4", levels=2, dtype=jnp.bfloat16,
+                 backend="pallas")
+    W.forward()
+    assert W._coeffs.approx.dtype == jnp.float32     # f32 A-chain
+    assert W._coeffs.details[0][0].dtype == jnp.bfloat16
+    # set_coeff must not downcast the f32 approximation
+    a = W.get_coeff(0)
+    W.set_coeff(a, 0)
+    assert W._coeffs.approx.dtype == jnp.float32
+    W.soft_threshold(2.0)
+    assert W._coeffs.details[0][0].dtype == jnp.bfloat16
+    W.set_image(np.zeros_like(img))
+    out = W.inverse()
+    assert out.dtype == jnp.bfloat16
+    # soft threshold at beta=2 perturbs by <= 2 per subband pass; loose
+    # functional bound on [0,255] data incl. bf16 mode error
+    assert np.abs(np.asarray(out, np.float32) - img).max() < 40
