@@ -101,6 +101,22 @@ def _mxu_mode(dtype) -> Optional[str]:
     return None
 
 
+def _f32(t):
+    return t.astype(jnp.float32) if t.dtype != jnp.float32 else t
+
+
+def _bf16_outs(mode):
+    """bf16-mode dtype contract for a level's outputs: f32 approximation
+    chain, bf16 details (see _dwt2d_pallas docstring); identity
+    otherwise.  Shared by the single-chip and sharded engines."""
+    def norm(a, h, v, d):
+        if mode == "bf16":
+            return (a.astype(jnp.float32),) + tuple(
+                t.astype(jnp.bfloat16) for t in (h, v, d))
+        return a, h, v, d
+    return norm
+
+
 def _auto_backend(backend: Optional[str], pad_fn) -> Optional[str]:
     """Resolve ``backend=None``: the PDWT_TPU_BACKEND env var /
     conv.set_default_backend override wins; otherwise the fused Pallas
@@ -143,11 +159,7 @@ def _dwt2d_pallas(x: jnp.ndarray, wav: Wavelet, levels: int) -> Coeffs2D:
     lo_t, hi_t = _ftup(wav.dec_lo), _ftup(wav.dec_hi)
     mode = _mxu_mode(x.dtype)
 
-    def norm_out(a, h, v, d):
-        if mode == "bf16":
-            return (a.astype(jnp.float32),) + tuple(
-                t.astype(jnp.bfloat16) for t in (h, v, d))
-        return a, h, v, d
+    norm_out = _bf16_outs(mode)
 
     details = []
     lvl = 0
@@ -209,7 +221,7 @@ def _idwt2d_pallas(coeffs: Coeffs2D, wav: Wavelet,
     mode = _mxu_mode(ddt)
     if mode == "bf16" and a.dtype != jnp.float32:
         a = a.astype(jnp.float32)
-    f32 = lambda t: t.astype(jnp.float32) if t.dtype != jnp.float32 else t
+    f32 = _f32
 
     # Fuse the deepest k levels into one VMEM-resident kernel when their
     # sizes halve exactly (no odd-size slicing among them).  The exact
@@ -269,6 +281,10 @@ def _idwt2d_pallas(coeffs: Coeffs2D, wav: Wavelet,
         else:
             y = y[:, :rows[i], :cols[i]]
         a = y
+    if mode == "bf16" and a.dtype != jnp.bfloat16:
+        # the tail fusion can cover EVERY level (start == -1, per-level
+        # loop never runs) — enforce the bf16 output contract here too
+        a = a.astype(jnp.bfloat16)
     return a.reshape(batch + a.shape[1:])
 
 
@@ -337,11 +353,7 @@ def _swt2d_pallas(x: jnp.ndarray, wav: Wavelet, levels: int) -> Coeffs2D:
     if mode == "mixed":
         mode = None
 
-    def norm_out(a, h, v, d):
-        if mode == "bf16":
-            return (a.astype(jnp.float32),) + tuple(
-                t.astype(jnp.bfloat16) for t in (h, v, d))
-        return a, h, v, d
+    norm_out = _bf16_outs(mode)
 
     details = []
     for lvl in range(1, levels + 1):
@@ -405,7 +417,7 @@ def _iswt2d_pallas(coeffs: Coeffs2D, wav: Wavelet) -> jnp.ndarray:
         mode = None  # exact SWT kernels beat b3 (see _swt2d_pallas)
     if mode == "bf16" and a.dtype != jnp.float32:
         a = a.astype(jnp.float32)
-    f32 = lambda t: t.astype(jnp.float32) if t.dtype != jnp.float32 else t
+    f32 = _f32
     for i in range(coeffs.levels - 1, -1, -1):
         h, v, d = (flat(t) for t in coeffs.details[i])
         y = None
@@ -521,7 +533,7 @@ def _idwt1d_pallas(coeffs: Coeffs1D, wav: Wavelet, length: int) -> jnp.ndarray:
     mode = _mxu_mode(ddt)
     if mode == "bf16" and a.dtype != jnp.float32:
         a = a.astype(jnp.float32)
-    f32 = lambda t: t.astype(jnp.float32) if t.dtype != jnp.float32 else t
+    f32 = _f32
     for i in range(levels - 1, -1, -1):
         d = flat(coeffs.details[i])
         y = None
@@ -608,7 +620,7 @@ def iswt2d_denoise(coeffs: Coeffs2D, wav: Wavelet, beta, *,
         mxu = None  # exact SWT kernels beat b3 (see _swt2d_pallas)
     if mxu == "bf16" and a.dtype != jnp.float32:
         a = a.astype(jnp.float32)
-    f32 = lambda t: t.astype(jnp.float32) if t.dtype != jnp.float32 else t
+    f32 = _f32
     if do_thresh_appcoeffs:
         a = thr(a, _app_beta(beta, levels, normalize))
     rec = (wav.rec_lo * 0.5, wav.rec_hi * 0.5)
@@ -710,7 +722,7 @@ def _iswt1d_pallas(coeffs: Coeffs1D, wav: Wavelet) -> jnp.ndarray:
         mode = None  # exact SWT kernels beat b3 (see _swt2d_pallas)
     if mode == "bf16" and a.dtype != jnp.float32:
         a = a.astype(jnp.float32)
-    f32 = lambda t: t.astype(jnp.float32) if t.dtype != jnp.float32 else t
+    f32 = _f32
     for i in range(coeffs.levels - 1, -1, -1):
         d = flat(coeffs.details[i])
         y = None

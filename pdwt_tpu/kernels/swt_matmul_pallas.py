@@ -42,26 +42,24 @@ from ..core import conv
 from .separable_pallas import (
     _INTERPRET,
     _ceil_to,
-    _phases,
     _taps,
 )
-from .matmul_pallas import _mats_for_scheme, _mm
+from .matmul_pallas import _mats_for_scheme, _mm, _tile_candidates
 from .swt_pallas import _thresh_tile
 
-_SWT_TILES_BIG = ((128, 256), (128, 128), (64, 128), (32, 128))
-_SWT_TILES_SMALL = ((64, 128), (32, 128), (128, 128), (128, 256))
 _SWT_VMEM = 11 * 1024 * 1024
 
 
 def _swt_mxu_tiles(r: int, c: int, hlen: int, f: int, scheme: str = "b1"):
     """Best (TR, TC) whose padded tile + matrices fit VMEM; None if
     unsupported (odd hlen, >40 taps, indivisible, or dilated span too
-    wide for the banded formulation to be worth it).  Preference order
-    per scheme as in matmul_pallas (b1 likes big tiles, b3/fd small)."""
+    wide for the banded formulation to be worth it).  Candidates and
+    preference order come from matmul_pallas._tile_candidates (one
+    scheme-keyed table, PDWT_TPU_MXU_TILES override included)."""
     if hlen % 2 or hlen > 40:
         return None
     span = (hlen - 1) * f
-    for tr, tc in (_SWT_TILES_SMALL if scheme == "b3" else _SWT_TILES_BIG):
+    for tr, tc in _tile_candidates(scheme):
         if r % tr or c % tc:
             continue
         if span > 2 * tr:  # K-dim waste explodes; VPU path wins
@@ -178,21 +176,30 @@ def _swt_fwd_mxu_kernel(scheme, ROWS, COLS, TR, TC, halo=None):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("hlen", "f", "scheme", "tiles",
-                                             "nshape", "out_dtypes", "halo"))
-def _swt_fwd_mxu_call(xp, mats, hlen, f, scheme, tiles, nshape, out_dtypes,
+def _swt_geometry(hlen: int, f: int, cen: int, tiles):
+    """Aligned-pad phases + padded tile dims for an à-trous pass with
+    center ``cen`` — computed ONCE and passed (static) into the jitted
+    calls so the entry wrappers and kernels can never disagree."""
+    TR, TC = tiles
+    span = (hlen - 1) * f
+    lo_r = _ceil_to(cen, 16)
+    lo_c = _ceil_to(cen, 128)
+    pr = lo_r - cen
+    pc = lo_c - cen
+    ROWS = _ceil_to(TR + span + pr, 16)
+    COLS = _ceil_to(TC + span + pc, 128)
+    return lo_r, lo_c, pr, pc, ROWS, COLS
+
+
+@functools.partial(jax.jit, static_argnames=("scheme", "tiles",
+                                             "nshape", "out_dtypes", "geom",
+                                             "halo"))
+def _swt_fwd_mxu_call(xp, mats, scheme, tiles, nshape, out_dtypes, geom,
                       halo=False):
     B = xp.shape[0]
     TR, TC = tiles
     nr, nc = nshape
-    span = (hlen - 1) * f
-    cen = conv.fwd_center(hlen) * f
-    lo_r = _ceil_to(cen, 16)
-    lo_c = _ceil_to(cen, 128)
-    pr = lo_r - cen
-    pc = _phases(cen)[3]
-    ROWS = _ceil_to(TR + span + pr, 16)
-    COLS = _ceil_to(TC + span + pc, 128)
+    lo_r, lo_c, pr, pc, ROWS, COLS = geom
     geoms = ((nr // TR, TR, lo_r, ROWS, nr, 16),
              (nc // TC, TC, lo_c, COLS, nc, 128)) if halo else None
     kernel = _swt_fwd_mxu_kernel(scheme, ROWS, COLS, TR, TC, geoms)
@@ -232,13 +239,9 @@ def swt_fwd_level_2d_mxu(x, dec_lo, dec_hi, level: int, mode: str,
     if tiles is None:
         return None
     TR, TC = tiles
-    span = (hlen - 1) * f
     cen = conv.fwd_center(hlen) * f
-    lo_r = _ceil_to(cen, 16)
-    pr = lo_r - cen
-    lo_c, pc = _phases(cen)[1], _phases(cen)[3]
-    ROWS = _ceil_to(TR + span + pr, 16)
-    COLS = _ceil_to(TC + span + pc, 128)
+    geom = _swt_geometry(hlen, f, cen, tiles)
+    lo_r, lo_c, pr, pc, ROWS, COLS = geom
     A, Bm = _swt_analysis_mats(dec_lo, dec_hi, ROWS, COLS, pr, pc, TR, TC, f)
     out_dtypes = ((jnp.float32, jnp.float32) if mode == "mixed"
                   else (jnp.float32, jnp.bfloat16))
@@ -247,15 +250,15 @@ def swt_fwd_level_2d_mxu(x, dec_lo, dec_hi, level: int, mode: str,
     if pad_fn is None and halo_enabled() \
             and halo_safe(r // TR, TR, lo_r, ROWS, r) \
             and halo_safe(c // TC, TC, lo_c, COLS, c):
-        return _swt_fwd_mxu_call(x, mats, hlen, f, scheme, (TR, TC),
-                                 (r, c), out_dtypes, halo=True)
+        return _swt_fwd_mxu_call(x, mats, scheme, (TR, TC), (r, c),
+                                 out_dtypes, geom, halo=True)
     hi_r = (r - TR + ROWS) - r - lo_r
     hi_c = (c - TC + COLS) - c - lo_c
     pad = pad_fn or conv.wrap_pad
     xp = pad(x, -1, lo_c, hi_c)
     xp = pad(xp, -2, lo_r, hi_r)
-    return _swt_fwd_mxu_call(xp, mats, hlen, f, scheme, (TR, TC), (r, c),
-                             out_dtypes)
+    return _swt_fwd_mxu_call(xp, mats, scheme, (TR, TC), (r, c),
+                             out_dtypes, geom)
 
 
 # ---------------------------------------------------------------------------
@@ -331,22 +334,16 @@ def _swt_inv_mxu_kernel(scheme, ROWS, COLS, TR, TC, thresh_mode,
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("hlen", "f", "scheme", "tiles",
-                                             "nshape", "out_dtype",
+@functools.partial(jax.jit, static_argnames=("scheme", "tiles",
+                                             "nshape", "out_dtype", "geom",
                                              "thresh_mode", "halo"))
-def _swt_inv_mxu_call(ap, hp, vp, dp, mats, hlen, f, scheme, tiles, nshape,
-                      out_dtype, thresh_mode=None, beta=None, halo=False):
+def _swt_inv_mxu_call(ap, hp, vp, dp, mats, scheme, tiles, nshape,
+                      out_dtype, geom, thresh_mode=None, beta=None,
+                      halo=False):
     B = ap.shape[0]
     TR, TC = tiles
     nr, nc = nshape
-    span = (hlen - 1) * f
-    cen = (hlen // 2) * f
-    lo_r = _ceil_to(cen, 16)
-    lo_c = _ceil_to(cen, 128)
-    pr = lo_r - cen
-    pc = _phases(cen)[3]
-    ROWS = _ceil_to(TR + span + pr, 16)
-    COLS = _ceil_to(TC + span + pc, 128)
+    lo_r, lo_c, pr, pc, ROWS, COLS = geom
     geoms = ((nr // TR, TR, lo_r, ROWS, nr, 16),
              (nc // TC, TC, lo_c, COLS, nc, 128)) if halo else None
     kernel = _swt_inv_mxu_kernel(scheme, ROWS, COLS, TR, TC, thresh_mode,
@@ -400,13 +397,9 @@ def swt_inv_level_2d_mxu(a, h, v, d, rec_lo, rec_hi, level: int, mode: str,
     if tiles is None:
         return None
     TR, TC = tiles
-    span = (hlen - 1) * f
     cen = (hlen // 2) * f  # swt synthesis center (src/separable.cu:559-568)
-    lo_r = _ceil_to(cen, 16)
-    pr = lo_r - cen
-    lo_c, pc = _phases(cen)[1], _phases(cen)[3]
-    ROWS = _ceil_to(TR + span + pr, 16)
-    COLS = _ceil_to(TC + span + pc, 128)
+    geom = _swt_geometry(hlen, f, cen, tiles)
+    lo_r, lo_c, pr, pc, ROWS, COLS = geom
 
     S, T = _swt_synthesis_mats(rec_lo, rec_hi, ROWS, COLS, pr, pc, TR, TC, f)
     mats = _mats_for_scheme((S, T), scheme)
@@ -416,8 +409,8 @@ def swt_inv_level_2d_mxu(a, h, v, d, rec_lo, rec_hi, level: int, mode: str,
     if pad_fn is None and halo_enabled() \
             and halo_safe(r // TR, TR, lo_r, ROWS, r) \
             and halo_safe(c // TC, TC, lo_c, COLS, c):
-        return _swt_inv_mxu_call(a, h, v, d, mats, hlen, f, scheme,
-                                 (TR, TC), (r, c), out_dtype,
+        return _swt_inv_mxu_call(a, h, v, d, mats, scheme,
+                                 (TR, TC), (r, c), out_dtype, geom,
                                  thresh_mode=tmode, beta=beta, halo=True)
 
     hi_r = (r - TR + ROWS) - r - lo_r
@@ -429,7 +422,7 @@ def swt_inv_level_2d_mxu(a, h, v, d, rec_lo, rec_hi, level: int, mode: str,
         return pad(arr, -2, lo_r, hi_r)
 
     return _swt_inv_mxu_call(pad2(a), pad2(h), pad2(v), pad2(d), mats,
-                             hlen, f, scheme, (TR, TC), (r, c), out_dtype,
+                             scheme, (TR, TC), (r, c), out_dtype, geom,
                              thresh_mode=tmode, beta=beta)
 
 

@@ -94,19 +94,8 @@ def _use_local_pallas(backend: Optional[str]) -> bool:
     return backend is None and jax.default_backend() == "tpu"
 
 
-def _norm_mxu_out(mode):
-    """bf16 mode dtype contract: f32 approximation chain, bf16 details
-    (see core.separable._dwt2d_pallas)."""
-    def norm(a, h, v, d):
-        if mode == "bf16":
-            return (a.astype(jnp.float32),) + tuple(
-                t.astype(jnp.bfloat16) for t in (h, v, d))
-        return a, h, v, d
-    return norm
-
-
-def _f32(t):
-    return t.astype(jnp.float32) if t.dtype != jnp.float32 else t
+from ..core.separable import _bf16_outs as _norm_mxu_out
+from ..core.separable import _f32
 
 
 def _local_pallas_dwt2d(xl, wav, levels, pad_fn):

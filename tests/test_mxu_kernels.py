@@ -191,3 +191,64 @@ def test_swt_mxu_inkernel_halo_equality(rng, monkeypatch):
                                b.astype(jnp.float32))
     assert jnp.array_equal(ref_i.astype(jnp.float32),
                            halo_i.astype(jnp.float32))
+
+
+def test_bf16_swt_denoise_fused_mxu_and_grad(rng):
+    """The MXU fused threshold+inverse (and its hand-written VJP) IS the
+    bf16-mode denoise path — exercise primal equality vs the unfused
+    composition and the gradient (image + beta) through the custom VJP."""
+    w = get_wavelet("db4")
+    x = jnp.asarray(rng.standard_normal((1, 128, 128)) * 10, jnp.float32)
+    xb = x.astype(jnp.bfloat16)
+    cb = sep.swt2d(xb, w, 2, backend="pallas")
+
+    for mode in ("soft", "hard"):
+        y_fused = sep.iswt2d_denoise(cb, w, 3.0, mode=mode,
+                                     backend="pallas")
+        assert y_fused.dtype == jnp.bfloat16
+        thr = ops.soft_threshold if mode == "soft" else ops.hard_threshold
+        y_ref = sep.iswt2d(thr(cb, 3.0), w, backend="pallas")
+        # same coefficients, same per-level kernels -> tight agreement
+        err = float(jnp.abs(y_fused.astype(jnp.float32)
+                            - y_ref.astype(jnp.float32)).max())
+        assert err < 0.5, (mode, err)
+
+    def loss(v, b, fused):
+        c = sep.swt2d(v, w, 1, backend="gather")
+        cbm = type(c)(c.approx,
+                      tuple(tuple(t.astype(jnp.bfloat16) for t in lev)
+                            for lev in c.details))
+        if fused:
+            y = sep.iswt2d_denoise(cbm, w, b, mode="soft",
+                                   backend="pallas")
+        else:
+            y = sep.iswt2d(ops.soft_threshold(cbm, b), w,
+                           backend="pallas")
+        return jnp.sum(y.astype(jnp.float32) ** 2)
+
+    gx_f, gb_f = jax.grad(loss, argnums=(0, 1))(x, 3.0, True)
+    assert bool(jnp.all(jnp.isfinite(gx_f)))
+    gx_r = jax.grad(loss, argnums=0)(x, 3.0, False)
+    scale = float(jnp.abs(gx_r).max())
+    assert float(jnp.abs(gx_f - gx_r).max()) / scale < 3e-2
+    # beta gradient vs finite differences OF THE FUSED LOSS (the unfused
+    # path thresholds in bf16 arithmetic — a quantizer whose autodiff/FD
+    # both differ; the fused kernel thresholds in f32)
+    eps = 1e-2
+    fd = (loss(x, 3.0 + eps, True) - loss(x, 3.0 - eps, True)) / (2 * eps)
+    assert abs(float(gb_f) - float(fd)) / abs(float(fd)) < 3e-2
+
+
+def test_bf16_tail_covers_all_levels_dtype(rng):
+    """384^2 db4 level-1: no MXU lane tile divides 192, the exact tail
+    kernel covers the WHOLE inverse — the bf16 output contract must
+    still hold (round-3 review finding: returned f32)."""
+    w = get_wavelet("db4")
+    x = jnp.asarray(rng.uniform(0, 255, (1, 384, 384)),
+                    jnp.float32).astype(jnp.bfloat16)
+    c = sep.dwt2d(x, w, 1, backend="pallas")
+    assert c.approx.dtype == jnp.float32
+    y = sep.idwt2d(c, w, (384, 384), backend="pallas")
+    assert y.dtype == jnp.bfloat16
+    assert float(jnp.abs(y.astype(jnp.float32)
+                         - x.astype(jnp.float32)).max()) < 3.0
