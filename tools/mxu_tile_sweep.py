@@ -55,6 +55,12 @@ def main(out_path: str = "tools/mxu_tile_sweep_results.json") -> None:
 
     results = {"device": f"{dev.platform}:{dev.device_kind}",
                "config": "2D db7 5-level fwd+inv 2048^2 / SWT TI 1024^2",
+               "caveat": "remote-tunnel timings swing ~2x between runs "
+                         "(MEMORY/CLAUDE.md); within-run ordering is "
+                         "meaningful, cross-run absolute values are not. "
+                         "The shipped defaults come from the cleanest "
+                         "(fast-phase) runs: b1/fd -> (128,256), "
+                         "b3 -> (64,128).",
                "sweep": []}
     for tiles in TILES:
         os.environ["PDWT_TPU_MXU_TILES"] = tiles
