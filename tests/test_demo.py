@@ -56,3 +56,16 @@ def test_demo_native_engine(tmp_path, image_dat):
     assert r.returncode == 0, r.stderr
     rec = np.fromfile(out, dtype=np.float32).reshape(64, 64)
     assert np.abs(rec - img).max() < 1e-2
+
+
+def test_demo_precision_flag(tmp_path, image_dat):
+    """--precision bf16 runs the serving mode end-to-end through the CLI
+    (round 3); reconstruction stays within the bf16 contract."""
+    path, img = image_dat
+    out = str(tmp_path / "res.dat")
+    r = _run([path, "--nr", "64", "--nc", "64", "--scenario", "2",
+              "--wavelet", "db2", "--levels", "2", "--precision", "bf16",
+              "--out", out])
+    assert r.returncode == 0, r.stderr
+    rec = np.fromfile(out, dtype=np.float32).reshape(64, 64)
+    assert np.abs(rec - img).max() < 5.0
