@@ -9,26 +9,49 @@ from __future__ import annotations
 
 from typing import Tuple, Union
 
+import ml_dtypes
 import numpy as np
 
 from ..core.separable import Coeffs1D, Coeffs2D
 
 Coeffs = Union[Coeffs1D, Coeffs2D]
 
+_BF16 = np.dtype(ml_dtypes.bfloat16)
+
+
+def _pack(data: dict, key: str, arr) -> None:
+    # npz has no bfloat16 descriptor (it would silently round-trip as
+    # raw void bytes); store as uint16 with a dtype tag instead.  The
+    # bf16 serving mode's detail subbands hit this (round 3).
+    a = np.asarray(arr)
+    if a.dtype == _BF16:
+        data[key] = a.view(np.uint16)
+        data[f"_dt_{key}"] = np.str_("bfloat16")
+    else:
+        data[key] = a
+
+
+def _unpack(z, key: str) -> np.ndarray:
+    a = z[key]
+    if f"_dt_{key}" in z.files and str(z[f"_dt_{key}"]) == "bfloat16":
+        return a.view(_BF16)
+    return a
+
 
 def save_coeffs(path: str, coeffs: Coeffs) -> None:
     """Write a coefficient pytree to ``path`` (.npz)."""
-    data = {"approx": np.asarray(coeffs.approx)}
+    data: dict = {}
+    _pack(data, "approx", coeffs.approx)
     if isinstance(coeffs, Coeffs2D):
         data["ndim"] = np.int64(2)
         for i, (h, v, d) in enumerate(coeffs.details):
-            data[f"h{i}"] = np.asarray(h)
-            data[f"v{i}"] = np.asarray(v)
-            data[f"d{i}"] = np.asarray(d)
+            _pack(data, f"h{i}", h)
+            _pack(data, f"v{i}", v)
+            _pack(data, f"d{i}", d)
     else:
         data["ndim"] = np.int64(1)
         for i, d in enumerate(coeffs.details):
-            data[f"d{i}"] = np.asarray(d)
+            _pack(data, f"d{i}", d)
     data["levels"] = np.int64(coeffs.levels)
     np.savez(path, **data)
 
@@ -38,10 +61,12 @@ def load_coeffs(path: str) -> Coeffs:
     with np.load(path) as z:
         levels = int(z["levels"])
         ndim = int(z["ndim"])
-        approx = z["approx"]
+        approx = _unpack(z, "approx")
         if ndim == 2:
             details = tuple(
-                (z[f"h{i}"], z[f"v{i}"], z[f"d{i}"]) for i in range(levels)
+                (_unpack(z, f"h{i}"), _unpack(z, f"v{i}"),
+                 _unpack(z, f"d{i}")) for i in range(levels)
             )
             return Coeffs2D(approx, details)
-        return Coeffs1D(approx, tuple(z[f"d{i}"] for i in range(levels)))
+        return Coeffs1D(approx,
+                        tuple(_unpack(z, f"d{i}") for i in range(levels)))

@@ -208,3 +208,29 @@ def test_debug_sanitizers(rng):
         validate_coeffs(bad, 37, 53, levels=2)
     c1 = sep.swt1d(x[0], w, 2)
     validate_coeffs(c1, 53, levels=2, swt=True)
+
+
+def test_checkpoint_roundtrip_bf16(tmp_path, rng, monkeypatch):
+    """bf16-mode coefficient pytrees (f32 approx + bf16 details) must
+    survive the npz round-trip exactly — npz has no bfloat16 descriptor,
+    so the checkpoint tags and views them as uint16 (round-3 fix)."""
+    import jax
+    import jax.numpy as jnp
+
+    from pdwt_tpu.core import separable as sep
+    from pdwt_tpu.filters import get_wavelet
+    from pdwt_tpu.utils.checkpoint import load_coeffs, save_coeffs
+
+    monkeypatch.setenv("PDWT_PALLAS_INTERPRET", "1")
+    w = get_wavelet("db4")
+    x = jnp.asarray(rng.uniform(0, 255, (256, 256)),
+                    jnp.float32).astype(jnp.bfloat16)
+    c = sep.dwt2d(x, w, 2, backend="pallas")
+    p = str(tmp_path / "c.npz")
+    save_coeffs(p, c)
+    c2 = load_coeffs(p)
+    assert c2.approx.dtype == np.float32
+    assert c2.details[0][0].dtype.name == "bfloat16"
+    for a, b in zip(jax.tree.leaves(c), jax.tree.leaves(c2)):
+        assert np.array_equal(np.asarray(a, np.float32),
+                              np.asarray(b, np.float32))
