@@ -151,11 +151,24 @@ def dwt2d_ns(x: jnp.ndarray, quads, levels: int) -> Coeffs2D:
             ))
         return Coeffs2D(_from_nchw(a, batch, 2), tuple(details))
     A, Bc = _rank_decomp(q)
+    from .. import kernels
+    from .separable import _bf16_outs, _f32, _mxu_mode
+
+    mode = _mxu_mode(x.dtype)
+    norm_out = _bf16_outs(mode)
     for _ in range(levels):
-        z = _rank_fwd_level(a, A, Bc)
-        a = z[:, 0:1]
+        res = None
+        if mode is not None:
+            # rank-r banded-matmul kernel (the true-2D MXU fast path)
+            res = kernels.ns_fwd_level_2d_mxu(a[:, 0], A, Bc, mode)
+        if res is None:
+            af = _f32(a) if mode is not None else a
+            z = _rank_fwd_level(af, A, Bc)
+            res = (z[:, 0], z[:, 1], z[:, 2], z[:, 3])
+        aa, h, v, d = norm_out(*res)
+        a = aa[:, None]
         details.append(tuple(
-            _from_nchw(z[:, k:k + 1], batch, 2) for k in (1, 2, 3)
+            _from_nchw(t[:, None], batch, 2) for t in (h, v, d)
         ))
     return Coeffs2D(_from_nchw(a, batch, 2), tuple(details))
 
@@ -207,10 +220,31 @@ def idwt2d_ns(coeffs: Coeffs2D, quads_inv, shape: Tuple[int, int]) -> jnp.ndarra
         return _from_nchw(a, batch, 2)
     a, batch = _to_nchw(coeffs.approx, 2)
     A, Bc = _rank_decomp(q)
+    from .. import kernels
+    from .separable import _f32, _mxu_mode
+
+    ddt = coeffs.details[-1][0].dtype if coeffs.details else a.dtype
+    mode = _mxu_mode(ddt)
+    if mode == "bf16":
+        a = _f32(a)
     for i in range(levels - 1, -1, -1):
         h, v, d = (_to_nchw(c, 2)[0] for c in coeffs.details[i])
-        z = jnp.concatenate([a, h, v, d], axis=1)
-        a = _rank_inv_level(z, A, Bc, (rows[i], cols[i]))
+        y = None
+        if mode is not None:
+            out_dt = (jnp.bfloat16 if (mode == "bf16" and i == 0)
+                      else jnp.float32)
+            y4 = kernels.ns_inv_level_2d_mxu(a[:, 0], h[:, 0], v[:, 0],
+                                             d[:, 0], A, Bc, mode, out_dt)
+            if y4 is not None:
+                y = y4[:, None, :rows[i], :cols[i]]
+        if y is None:
+            parts = ([_f32(t) for t in (a, h, v, d)]
+                     if mode is not None else [a, h, v, d])
+            z = jnp.concatenate(parts, axis=1)
+            y = _rank_inv_level(z, A, Bc, (rows[i], cols[i]))
+            if mode == "bf16" and i == 0:
+                y = y.astype(jnp.bfloat16)
+        a = y
     return _from_nchw(a, batch, 2)
 
 

@@ -39,6 +39,10 @@ from .mxu1d_pallas import (
     swt_inv_level_1d_mxu,
     swt_inv_level_1d_mxu_ad,
 )
+from .ns_matmul_pallas import (
+    ns_fwd_level_2d_mxu,
+    ns_inv_level_2d_mxu,
+)
 from .swt_matmul_pallas import (
     swt_fwd_level_2d_mxu,
     swt_fwd_level_2d_mxu_ad,
@@ -92,6 +96,7 @@ __all__ = [
     "swt_fwd_level_2d_mxu", "swt_inv_level_2d_mxu",
     "swt_fwd_level_2d_mxu_ad", "swt_inv_level_2d_mxu_ad",
     "swt_inv_level_2d_mxu_denoise_ad",
+    "ns_fwd_level_2d_mxu", "ns_inv_level_2d_mxu",
     "fwd_level_1d_mxu", "inv_level_1d_mxu",
     "fwd_level_1d_mxu_ad", "inv_level_1d_mxu_ad",
     "swt_fwd_level_1d_mxu", "swt_inv_level_1d_mxu",

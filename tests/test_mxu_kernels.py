@@ -252,3 +252,72 @@ def test_bf16_tail_covers_all_levels_dtype(rng):
     assert y.dtype == jnp.bfloat16
     assert float(jnp.abs(y.astype(jnp.float32)
                          - x.astype(jnp.float32)).max()) < 3.0
+
+
+def test_bf16_odd_sizes_fallback(rng):
+    """Odd/indivisible sizes in bf16 mode route through the virtual
+    extension + fma fallback while keeping the dtype contract."""
+    w = get_wavelet("db3")
+    x = jnp.asarray(rng.uniform(0, 255, (1, 95, 187)),
+                    jnp.float32).astype(jnp.bfloat16)
+    c = sep.dwt2d(x, w, 2, backend="pallas")
+    assert c.approx.dtype == jnp.float32
+    assert c.details[0][0].dtype == jnp.bfloat16
+    y = sep.idwt2d(c, w, (95, 187), backend="pallas")
+    assert y.dtype == jnp.bfloat16
+    assert float(jnp.abs(y.astype(jnp.float32)
+                         - x.astype(jnp.float32)).max()) < 3.0
+
+
+def test_bf16_grad_through_mxu(rng):
+    """jax.grad through the bf16 MXU roundtrip (custom VJPs with mixed
+    per-subband dtypes) runs and approximates the exact-path gradient."""
+    w = get_wavelet("db4")
+    x = jnp.asarray(rng.uniform(-1, 1, (1, 256, 256)), jnp.float32)
+
+    def loss(v, bf16):
+        u = v.astype(jnp.bfloat16) if bf16 else v
+        c = sep.dwt2d(u, w, 1, backend="pallas")
+        y = sep.idwt2d(c, w, (256, 256), backend="pallas")
+        return jnp.sum(y.astype(jnp.float32) ** 2)
+
+    gb = jax.grad(lambda v: loss(v, True))(x)
+    gf = jax.grad(lambda v: loss(v, False))(x)
+    assert bool(jnp.all(jnp.isfinite(gb)))
+    scale = float(jnp.abs(gf).max())
+    assert float(jnp.abs(gb - gf).max()) / scale < 0.1  # bf16-class agreement
+
+
+def test_rank_r_nonseparable_mxu(rng, monkeypatch):
+    """Genuinely-2D (rank-3) quads through the rank-decomposed MXU
+    kernels: mixed matches the exact rank path; bf16 keeps the dtype
+    contract (round-3: the one engine that had no fused-kernel path)."""
+    from pdwt_tpu.core import nonseparable as ns
+
+    q = np.zeros((4, 8, 8))
+    g = np.random.default_rng(7)
+    for _ in range(3):
+        q += np.einsum("si,j->sij", g.standard_normal((4, 8)),
+                       g.standard_normal(8))
+    q /= np.abs(q).sum(axis=(1, 2), keepdims=True)
+    x = jnp.asarray(rng.uniform(0, 255, (256, 256)), jnp.float32)
+
+    c_ref = ns.dwt2d_ns(x, q, 2)
+    y_ref = ns.idwt2d_ns(c_ref, q, (256, 256))
+
+    monkeypatch.setenv("PDWT_TPU_PRECISION", "mixed")
+    c_m = ns.dwt2d_ns(x, q, 2)
+    scale = float(jnp.abs(c_ref.approx).max())
+    assert _rel_err(c_m, c_ref, scale) < 1e-4
+    y_m = ns.idwt2d_ns(c_m, q, (256, 256))
+    assert (float(jnp.abs(y_m - y_ref).max())
+            / float(jnp.abs(y_ref).max())) < 1e-4
+    monkeypatch.delenv("PDWT_TPU_PRECISION")
+
+    cb = ns.dwt2d_ns(x.astype(jnp.bfloat16), q, 2)
+    assert cb.approx.dtype == jnp.float32
+    assert cb.details[0][0].dtype == jnp.bfloat16
+    yb = ns.idwt2d_ns(cb, q, (256, 256))
+    assert yb.dtype == jnp.bfloat16
+    assert (float(jnp.abs(yb.astype(jnp.float32) - y_ref).max())
+            / float(jnp.abs(y_ref).max())) < 2e-2
