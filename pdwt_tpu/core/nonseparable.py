@@ -298,18 +298,32 @@ def swt2d_ns(x: jnp.ndarray, quads, levels: int) -> Coeffs2D:
     details: List[Tuple[jnp.ndarray, ...]] = []
     a = arr
     A, Bc = _rank_decomp(q)
+    from .. import kernels
+    from .separable import _bf16_outs, _f32, _mxu_mode
+
+    mode = _mxu_mode(x.dtype)
+    norm_out = _bf16_outs(mode)
     for lvl in range(1, levels + 1):
         f = 1 << (lvl - 1)
-        t = conv.analysis_pass(a, list(Bc), axis=-1, dilation=f,
-                               decimate=False)
-        z = None
-        for k in range(Bc.shape[0]):
-            w4 = conv.analysis_pass(t[:, k:k + 1], list(A[:, k]), axis=-2,
-                                    dilation=f, decimate=False)
-            z = w4 if z is None else z + w4
-        a = z[:, 0:1]
+        res = None
+        if mode is not None:
+            res = kernels.ns_swt_fwd_level_2d_mxu(a[:, 0], A, Bc, lvl,
+                                                  mode)
+        if res is None:
+            af = _f32(a) if mode is not None else a
+            t = conv.analysis_pass(af, list(Bc), axis=-1, dilation=f,
+                                   decimate=False)
+            z = None
+            for k in range(Bc.shape[0]):
+                w4 = conv.analysis_pass(t[:, k:k + 1], list(A[:, k]),
+                                        axis=-2, dilation=f,
+                                        decimate=False)
+                z = w4 if z is None else z + w4
+            res = (z[:, 0], z[:, 1], z[:, 2], z[:, 3])
+        aa, h, v, d = norm_out(*res)
+        a = aa[:, None]
         details.append(tuple(
-            _from_nchw(z[:, k:k + 1], batch, 2) for k in (1, 2, 3)
+            _from_nchw(t_[:, None], batch, 2) for t_ in (h, v, d)
         ))
     return Coeffs2D(_from_nchw(a, batch, 2), tuple(details))
 
@@ -340,17 +354,39 @@ def iswt2d_ns(coeffs: Coeffs2D, quads_inv) -> jnp.ndarray:
         return _from_nchw(a, batch, 2)
     a, batch = _to_nchw(coeffs.approx, 2)
     # 1/4 normalization (reference: src/nonseparable.cu:393-396) carried
-    # on the shared column basis.
+    # on the shared column basis (the MXU kernel bakes it into G).
     A, Bc = _rank_decomp(q)
-    Bc = Bc * 0.25
+    Bc4 = Bc * 0.25
+    from .. import kernels
+    from .separable import _f32, _mxu_mode
+
+    ddt = coeffs.details[-1][0].dtype if coeffs.details else a.dtype
+    mode = _mxu_mode(ddt)
+    if mode == "bf16":
+        a = _f32(a)
     for i in range(coeffs.levels - 1, -1, -1):
         f = 1 << i
         h, v, d = (_to_nchw(c, 2)[0] for c in coeffs.details[i])
-        z = jnp.concatenate([a, h, v, d], axis=1)
-        ts = [conv.synthesis_pass(z, list(A[:, k]), axis=-2, dilation=f,
-                                  decimated=False)
-              for k in range(A.shape[1])]
-        t = jnp.concatenate(ts, axis=1)
-        a = conv.synthesis_pass(t, list(Bc), axis=-1, dilation=f,
-                                decimated=False)
+        y = None
+        if mode is not None:
+            out_dt = (jnp.bfloat16 if (mode == "bf16" and i == 0)
+                      else jnp.float32)
+            y4 = kernels.ns_swt_inv_level_2d_mxu(
+                a[:, 0], h[:, 0], v[:, 0], d[:, 0], A, Bc, i + 1, mode,
+                out_dt)
+            if y4 is not None:
+                y = y4[:, None]
+        if y is None:
+            parts = ([_f32(t_) for t_ in (a, h, v, d)]
+                     if mode is not None else [a, h, v, d])
+            z = jnp.concatenate(parts, axis=1)
+            ts = [conv.synthesis_pass(z, list(A[:, k]), axis=-2,
+                                      dilation=f, decimated=False)
+                  for k in range(A.shape[1])]
+            t = jnp.concatenate(ts, axis=1)
+            y = conv.synthesis_pass(t, list(Bc4), axis=-1, dilation=f,
+                                    decimated=False)
+            if mode == "bf16" and i == 0:
+                y = y.astype(jnp.bfloat16)
+        a = y
     return _from_nchw(a, batch, 2)

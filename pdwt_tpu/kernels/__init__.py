@@ -42,6 +42,8 @@ from .mxu1d_pallas import (
 from .ns_matmul_pallas import (
     ns_fwd_level_2d_mxu,
     ns_inv_level_2d_mxu,
+    ns_swt_fwd_level_2d_mxu,
+    ns_swt_inv_level_2d_mxu,
 )
 from .swt_matmul_pallas import (
     swt_fwd_level_2d_mxu,
@@ -97,6 +99,7 @@ __all__ = [
     "swt_fwd_level_2d_mxu_ad", "swt_inv_level_2d_mxu_ad",
     "swt_inv_level_2d_mxu_denoise_ad",
     "ns_fwd_level_2d_mxu", "ns_inv_level_2d_mxu",
+    "ns_swt_fwd_level_2d_mxu", "ns_swt_inv_level_2d_mxu",
     "fwd_level_1d_mxu", "inv_level_1d_mxu",
     "fwd_level_1d_mxu_ad", "inv_level_1d_mxu_ad",
     "swt_fwd_level_1d_mxu", "swt_inv_level_1d_mxu",

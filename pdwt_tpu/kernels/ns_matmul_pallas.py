@@ -311,3 +311,275 @@ def ns_inv_level_2d_mxu(a, h, v, d, A_rk, B_rk, mode: str, out_dtype=None):
 
     return _ns_inv_call(pad2(a), pad2(h), pad2(v), pad2(d), mats, scheme,
                         rank, (TR, TC), (mr, mc), (ROWS, COLS), out_dtype)
+
+
+# ---------------------------------------------------------------------------
+# à-trous (SWT) rank-r kernels: same block structure with dilated bands,
+# undecimated outputs (reference: src/nonseparable.cu:304-401; the 1/4
+# inverse normalization rides on the shared column basis)
+# ---------------------------------------------------------------------------
+
+def _ns_swt_fwd_mats(A_rk, B_rk, ROWS, COLS, pr, pc, TR, TC, f):
+    four, r, hlen = A_rk.shape
+    B = np.zeros((COLS, r * TC), np.float32)
+    for k in range(r):
+        taps = _rev(B_rk[k])
+        for n in range(TC):
+            for j in range(hlen):
+                B[pc + n + f * j, k * TC + n] += taps[j]
+    M = np.zeros((4 * TR, r * ROWS), np.float32)
+    for s in range(4):
+        for k in range(r):
+            taps = _rev(A_rk[s, k])
+            for m in range(TR):
+                for j in range(hlen):
+                    M[s * TR + m, k * ROWS + pr + m + f * j] += taps[j]
+    return B, M
+
+
+def _ns_swt_inv_mats(A_rk, B_rk, ROWS, COLS, pr, pc, TR, TC, f):
+    four, r, hlen = A_rk.shape
+    Ss = []
+    for k in range(r):
+        S = np.zeros((TR, 4 * ROWS), np.float32)
+        for s in range(4):
+            taps = _rev(A_rk[s, k])
+            for m in range(TR):
+                for j in range(hlen):
+                    S[m, s * ROWS + pr + m + f * j] += taps[j]
+        Ss.append(S)
+    Gt = np.zeros((TC, r * COLS), np.float32)
+    for k in range(r):
+        taps = _rev(B_rk[k] * 0.25)   # the engine's 1/4 normalization
+        for n in range(TC):
+            for j in range(hlen):
+                Gt[n, k * COLS + pc + n + f * j] += taps[j]
+    return Ss, Gt.T.copy()
+
+
+def _ns_swt_fwd_kernel(scheme, rank, ROWS, COLS, TR, TC):
+    per = 2 if scheme == "b3" else 1
+
+    def kernel(xp_hbm, *refs):
+        mats = refs[:2 * per]
+        a_ref, h_ref, v_ref, d_ref, xt, sem = refs[2 * per:]
+        b = pl.program_id(0)
+        i = pl.program_id(1)
+        j = pl.program_id(2)
+        dma = pltpu.make_async_copy(
+            xp_hbm.at[b, pl.ds(TR * i, ROWS), pl.ds(TC * j, COLS)],
+            xt, sem)
+        dma.start()
+        dma.wait()
+        x = xt[:]
+        Bp = tuple(m[:] for m in mats[:per])
+        Mp = tuple(m[:] for m in mats[per:])
+        if scheme == "b3":
+            t = _mm("b3", x, None, right_pair=Bp)
+        else:
+            t = _mm(scheme, x, Bp[0])
+        tstack = jnp.concatenate(
+            [t[:, k * TC:(k + 1) * TC] for k in range(rank)], axis=0)
+        if scheme == "b3":
+            out = _mm("b3", None, tstack, left_pair=Mp)
+        else:
+            out = _mm(scheme, Mp[0], tstack)
+        a_ref[0] = out[:TR].astype(a_ref.dtype)
+        h_ref[0] = out[TR:2 * TR].astype(h_ref.dtype)
+        v_ref[0] = out[2 * TR:3 * TR].astype(v_ref.dtype)
+        d_ref[0] = out[3 * TR:].astype(d_ref.dtype)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("scheme", "rank", "tiles",
+                                             "nshape", "geom", "out_dtypes"))
+def _ns_swt_fwd_call(xp, mats, scheme, rank, tiles, nshape, geom,
+                     out_dtypes):
+    B = xp.shape[0]
+    TR, TC = tiles
+    nr, nc = nshape
+    ROWS, COLS = geom
+    kernel = _ns_swt_fwd_kernel(scheme, rank, ROWS, COLS, TR, TC)
+    out_spec = pl.BlockSpec((1, TR, TC), lambda b, i, j: (b, i, j),
+                            memory_space=pltpu.VMEM)
+    a_dt, d_dt = out_dtypes
+    shapes = tuple(jax.ShapeDtypeStruct((B, nr, nc), dt)
+                   for dt in (a_dt, d_dt, d_dt, d_dt))
+    mat_specs = [
+        pl.BlockSpec(m.shape, (lambda b, i, j: (0, 0)),
+                     memory_space=pltpu.VMEM) for m in mats
+    ]
+    return pl.pallas_call(
+        kernel,
+        grid=(B, nr // TR, nc // TC),
+        out_shape=shapes,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] + mat_specs,
+        out_specs=(out_spec,) * 4,
+        scratch_shapes=[pltpu.VMEM((ROWS, COLS), xp.dtype),
+                        pltpu.SemaphoreType.DMA(())],
+        interpret=_INTERPRET(),
+    )(xp, *mats)
+
+
+def ns_swt_fwd_level_2d_mxu(x, A_rk, B_rk, level: int, mode: str):
+    """One à-trous rank-r non-separable forward level; None if
+    unsupported."""
+    Bsz, r0, c0 = x.shape
+    four, rank, hlen = A_rk.shape
+    f = 1 << (level - 1)
+    span = (hlen - 1) * f
+    if hlen % 2 or hlen > 40 or rank > _MAX_RANK:
+        return None
+    from .swt_matmul_pallas import _swt_scheme
+    scheme = _swt_scheme(mode, x.dtype)
+    tiles = _pick_mxu_tiles(r0, c0, hlen, scheme)
+    if tiles is None:
+        return None
+    TR, TC = tiles
+    if span > 2 * TR:
+        return None
+    cen = conv.fwd_center(hlen) * f
+    lo_r = _ceil_to(cen, 16)
+    lo_c = _ceil_to(cen, 128)
+    pr, pc = lo_r - cen, lo_c - cen
+    ROWS = _ceil_to(TR + span + pr, 16)
+    COLS = _ceil_to(TC + span + pc, 128)
+    est = (ROWS * COLS + COLS * rank * TC + 4 * TR * rank * ROWS
+           + ROWS * rank * TC) * 4
+    if est > _NS_VMEM:
+        return None
+    hi_r = (r0 - TR + ROWS) - r0 - lo_r
+    hi_c = (c0 - TC + COLS) - c0 - lo_c
+    xp = conv.wrap_pad(x, -1, lo_c, hi_c)
+    xp = conv.wrap_pad(xp, -2, lo_r, hi_r)
+    Bm, Mm = _ns_swt_fwd_mats(np.asarray(A_rk), np.asarray(B_rk), ROWS,
+                              COLS, pr, pc, TR, TC, f)
+    mats = (_mats_for_scheme((Bm,), scheme)
+            + _mats_for_scheme((Mm,), scheme))
+    out_dtypes = ((jnp.float32, jnp.float32) if mode == "mixed"
+                  else (jnp.float32, jnp.bfloat16))
+    return _ns_swt_fwd_call(xp, mats, scheme, rank, (TR, TC), (r0, c0),
+                            (ROWS, COLS), out_dtypes)
+
+
+def _ns_swt_inv_kernel(scheme, rank, ROWS, COLS, TR, TC):
+    per = 2 if scheme == "b3" else 1
+
+    def kernel(a_hbm, h_hbm, v_hbm, d_hbm, *refs):
+        mats = refs[:(rank + 1) * per]
+        out_ref, at, ht, vt, dt, sems = refs[(rank + 1) * per:]
+        b = pl.program_id(0)
+        i = pl.program_id(1)
+        j = pl.program_id(2)
+        copies = []
+        for idx, (src, dst) in enumerate(
+                ((a_hbm, at), (h_hbm, ht), (v_hbm, vt), (d_hbm, dt))):
+            dma = pltpu.make_async_copy(
+                src.at[b, pl.ds(TR * i, ROWS), pl.ds(TC * j, COLS)],
+                dst, sems.at[idx])
+            dma.start()
+            copies.append(dma)
+        for dma in copies:
+            dma.wait()
+        cd = jnp.bfloat16 if scheme == "b1" else jnp.float32
+        u = jnp.concatenate([t[:].astype(cd)
+                             for t in (at, ht, vt, dt)], axis=0)
+        tks = []
+        for k in range(rank):
+            Sp = tuple(m[:] for m in mats[k * per:(k + 1) * per])
+            if scheme == "b3":
+                tks.append(_mm("b3", None, u, left_pair=Sp))
+            else:
+                tks.append(_mm(scheme, Sp[0], u))
+        u2 = jnp.concatenate(tks, axis=1)       # (TR, rank*COLS)
+        Gp = tuple(m[:] for m in mats[rank * per:])
+        if scheme == "b3":
+            out = _mm("b3", u2, None, right_pair=Gp)
+        else:
+            out = _mm(scheme, u2, Gp[0])
+        out_ref[0] = out.astype(out_ref.dtype)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("scheme", "rank", "tiles",
+                                             "nshape", "geom", "out_dtype"))
+def _ns_swt_inv_call(ap, hp, vp, dp, mats, scheme, rank, tiles, nshape,
+                     geom, out_dtype):
+    B = ap.shape[0]
+    TR, TC = tiles
+    nr, nc = nshape
+    ROWS, COLS = geom
+    kernel = _ns_swt_inv_kernel(scheme, rank, ROWS, COLS, TR, TC)
+    out_spec = pl.BlockSpec((1, TR, TC), lambda b, i, j: (b, i, j),
+                            memory_space=pltpu.VMEM)
+    shape = jax.ShapeDtypeStruct((B, nr, nc), out_dtype)
+    mat_specs = [
+        pl.BlockSpec(m.shape, (lambda b, i, j: (0, 0)),
+                     memory_space=pltpu.VMEM) for m in mats
+    ]
+    tiles_scr = [pltpu.VMEM((ROWS, COLS), t.dtype)
+                 for t in (ap, hp, vp, dp)]
+    return pl.pallas_call(
+        kernel,
+        grid=(B, nr // TR, nc // TC),
+        out_shape=shape,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 4 + mat_specs,
+        out_specs=out_spec,
+        scratch_shapes=tiles_scr + [pltpu.SemaphoreType.DMA((4,))],
+        interpret=_INTERPRET(),
+    )(ap, hp, vp, dp, *mats)
+
+
+def ns_swt_inv_level_2d_mxu(a, h, v, d, A_rk, B_rk, level: int, mode: str,
+                            out_dtype=None):
+    """One à-trous rank-r non-separable inverse level (1/4 normalization
+    baked); None if unsupported."""
+    Bsz, r0, c0 = a.shape
+    four, rank, hlen = A_rk.shape
+    f = 1 << (level - 1)
+    span = (hlen - 1) * f
+    if hlen % 2 or hlen > 40 or rank > _MAX_RANK:
+        return None
+    if mode == "mixed":
+        scheme = "b3"
+        out_dtype = jnp.float32
+    elif mode == "bf16":
+        out_dtype = jnp.bfloat16 if out_dtype is None else out_dtype
+        scheme = "fd"
+        a = a.astype(jnp.float32)
+    else:
+        raise ValueError(mode)
+    tiles = _pick_mxu_tiles(r0, c0, hlen, scheme)
+    if tiles is None:
+        return None
+    TR, TC = tiles
+    if span > 2 * TR:
+        return None
+    cen = conv.swt_inv_center(hlen) * f
+    lo_r = _ceil_to(cen, 16)
+    lo_c = _ceil_to(cen, 128)
+    pr, pc = lo_r - cen, lo_c - cen
+    ROWS = _ceil_to(TR + span + pr, 16)
+    COLS = _ceil_to(TC + span + pc, 128)
+    est = (4 * ROWS * COLS + rank * TR * 4 * ROWS + rank * COLS * TC
+           + TR * rank * COLS) * 4
+    if est > _NS_VMEM:
+        return None
+    hi_r = (r0 - TR + ROWS) - r0 - lo_r
+    hi_c = (c0 - TC + COLS) - c0 - lo_c
+    Ss, G = _ns_swt_inv_mats(np.asarray(A_rk), np.asarray(B_rk), ROWS,
+                             COLS, pr, pc, TR, TC, f)
+    mats = ()
+    for S in Ss:
+        mats = mats + _mats_for_scheme((S,), scheme)
+    mats = mats + _mats_for_scheme((G,), scheme)
+
+    def pad2(arr):
+        arr = conv.wrap_pad(arr, -1, lo_c, hi_c)
+        return conv.wrap_pad(arr, -2, lo_r, hi_r)
+
+    return _ns_swt_inv_call(pad2(a), pad2(h), pad2(v), pad2(d), mats,
+                            scheme, rank, (TR, TC), (r0, c0),
+                            (ROWS, COLS), out_dtype)

@@ -321,3 +321,35 @@ def test_rank_r_nonseparable_mxu(rng, monkeypatch):
     assert yb.dtype == jnp.bfloat16
     assert (float(jnp.abs(yb.astype(jnp.float32) - y_ref).max())
             / float(jnp.abs(y_ref).max())) < 2e-2
+
+
+def test_rank_r_nonseparable_swt_mxu(rng, monkeypatch):
+    """À-trous rank-r quads through the MXU (dilated rank-block bands)."""
+    from pdwt_tpu.core import nonseparable as ns
+
+    q = np.zeros((4, 8, 8))
+    g = np.random.default_rng(7)
+    for _ in range(3):
+        q += np.einsum("si,j->sij", g.standard_normal((4, 8)),
+                       g.standard_normal(8))
+    q /= np.abs(q).sum(axis=(1, 2), keepdims=True)
+    x = jnp.asarray(rng.uniform(0, 255, (256, 256)), jnp.float32)
+
+    c_ref = ns.swt2d_ns(x, q, 2)
+    y_ref = ns.iswt2d_ns(c_ref, q)
+
+    monkeypatch.setenv("PDWT_TPU_PRECISION", "mixed")
+    c_m = ns.swt2d_ns(x, q, 2)
+    assert _rel_err(c_m, c_ref, float(jnp.abs(c_ref.approx).max())) < 1e-4
+    y_m = ns.iswt2d_ns(c_m, q)
+    assert (float(jnp.abs(y_m - y_ref).max())
+            / float(jnp.abs(y_ref).max())) < 1e-4
+    monkeypatch.delenv("PDWT_TPU_PRECISION")
+
+    cb = ns.swt2d_ns(x.astype(jnp.bfloat16), q, 2)
+    assert cb.approx.dtype == jnp.float32
+    assert cb.details[0][0].dtype == jnp.bfloat16
+    yb = ns.iswt2d_ns(cb, q)
+    assert yb.dtype == jnp.bfloat16
+    assert (float(jnp.abs(yb.astype(jnp.float32) - y_ref).max())
+            / float(jnp.abs(y_ref).max())) < 2e-2
