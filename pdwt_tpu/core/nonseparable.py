@@ -127,7 +127,8 @@ def _inv_level(z, quads, out_shape):
     return out
 
 
-def dwt2d_ns(x: jnp.ndarray, quads, levels: int) -> Coeffs2D:
+def dwt2d_ns(x: jnp.ndarray, quads, levels: int, *,
+             pad_fn=None) -> Coeffs2D:
     q = _check_quads(quads)
     fac = _try_factor(q)
     arr, batch = _to_nchw(x, 2)
@@ -141,10 +142,10 @@ def dwt2d_ns(x: jnp.ndarray, quads, levels: int) -> Coeffs2D:
             from . import separable as sep
 
             wav = Wavelet("ns-factored", lo_r, hi_r, lo_r, hi_r)
-            return sep.dwt2d(x, wav, levels)
+            return sep.dwt2d(x, wav, levels, pad_fn=pad_fn)
         for _ in range(levels):
-            t = conv.analysis_pass(a, (lo_c, hi_c), axis=-1)
-            z = conv.analysis_pass(t, (lo_r, hi_r), axis=-2)
+            t = conv.analysis_pass(a, (lo_c, hi_c), axis=-1, pad_fn=pad_fn)
+            z = conv.analysis_pass(t, (lo_r, hi_r), axis=-2, pad_fn=pad_fn)
             a = z[:, 0:1]
             details.append(tuple(
                 _from_nchw(z[:, k:k + 1], batch, 2) for k in (1, 2, 3)
@@ -158,12 +159,12 @@ def dwt2d_ns(x: jnp.ndarray, quads, levels: int) -> Coeffs2D:
     norm_out = _bf16_outs(mode)
     for _ in range(levels):
         res = None
-        if mode is not None:
+        if mode is not None and pad_fn is None:
             # rank-r banded-matmul kernel (the true-2D MXU fast path)
             res = kernels.ns_fwd_level_2d_mxu(a[:, 0], A, Bc, mode)
         if res is None:
             af = _f32(a) if mode is not None else a
-            z = _rank_fwd_level(af, A, Bc)
+            z = _rank_fwd_level(af, A, Bc, pad_fn)
             res = (z[:, 0], z[:, 1], z[:, 2], z[:, 3])
         aa, h, v, d = norm_out(*res)
         a = aa[:, None]
@@ -173,29 +174,34 @@ def dwt2d_ns(x: jnp.ndarray, quads, levels: int) -> Coeffs2D:
     return Coeffs2D(_from_nchw(a, batch, 2), tuple(details))
 
 
-def _rank_fwd_level(a, A, Bc):
+def _rank_fwd_level(a, A, Bc, pad_fn=None):
     """One decimated level of the rank-r separable-sum (see _rank_decomp):
     one K=r column pass, then r K=4 row passes accumulated."""
     r = Bc.shape[0]
-    t = conv.analysis_pass(a, list(Bc), axis=-1)        # (B, r, H, W/2)
+    t = conv.analysis_pass(a, list(Bc), axis=-1,
+                           pad_fn=pad_fn)               # (B, r, H, W/2)
     z = None
     for k in range(r):
-        w4 = conv.analysis_pass(t[:, k:k + 1], list(A[:, k]), axis=-2)
+        w4 = conv.analysis_pass(t[:, k:k + 1], list(A[:, k]), axis=-2,
+                                pad_fn=pad_fn)
         z = w4 if z is None else z + w4
     return z
 
 
-def _rank_inv_level(z, A, Bc, out_shape):
+def _rank_inv_level(z, A, Bc, out_shape, pad_fn=None):
     """Inverse of _rank_fwd_level: r K=4 row-synthesis calls (summing the
     subbands), then one K=r column synthesis (summing the rank terms)."""
     r = Bc.shape[0]
     ts = [conv.synthesis_pass(z, list(A[:, k]), axis=-2,
-                              out_len=out_shape[0]) for k in range(r)]
+                              out_len=out_shape[0], pad_fn=pad_fn)
+          for k in range(r)]
     t = jnp.concatenate(ts, axis=1)                     # (B, r, H, mc)
-    return conv.synthesis_pass(t, list(Bc), axis=-1, out_len=out_shape[1])
+    return conv.synthesis_pass(t, list(Bc), axis=-1, out_len=out_shape[1],
+                               pad_fn=pad_fn)
 
 
-def idwt2d_ns(coeffs: Coeffs2D, quads_inv, shape: Tuple[int, int]) -> jnp.ndarray:
+def idwt2d_ns(coeffs: Coeffs2D, quads_inv, shape: Tuple[int, int], *,
+              pad_fn=None) -> jnp.ndarray:
     q = _check_quads(quads_inv)
     fac = _try_factor(q)
     levels = coeffs.levels
@@ -208,15 +214,15 @@ def idwt2d_ns(coeffs: Coeffs2D, quads_inv, shape: Tuple[int, int]) -> jnp.ndarra
             from . import separable as sep
 
             wav = Wavelet("ns-factored", lo_r, hi_r, lo_r, hi_r)
-            return sep.idwt2d(coeffs, wav, shape)
+            return sep.idwt2d(coeffs, wav, shape, pad_fn=pad_fn)
         a, batch = _to_nchw(coeffs.approx, 2)
         for i in range(levels - 1, -1, -1):
             h, v, d = (_to_nchw(c, 2)[0] for c in coeffs.details[i])
             z = jnp.concatenate([a, h, v, d], axis=1)
             t = conv.synthesis_pass(z, (lo_r, hi_r), axis=-2,
-                                    out_len=rows[i])
+                                    out_len=rows[i], pad_fn=pad_fn)
             a = conv.synthesis_pass(t, (lo_c, hi_c), axis=-1,
-                                    out_len=cols[i])
+                                    out_len=cols[i], pad_fn=pad_fn)
         return _from_nchw(a, batch, 2)
     a, batch = _to_nchw(coeffs.approx, 2)
     A, Bc = _rank_decomp(q)
@@ -230,7 +236,7 @@ def idwt2d_ns(coeffs: Coeffs2D, quads_inv, shape: Tuple[int, int]) -> jnp.ndarra
     for i in range(levels - 1, -1, -1):
         h, v, d = (_to_nchw(c, 2)[0] for c in coeffs.details[i])
         y = None
-        if mode is not None:
+        if mode is not None and pad_fn is None:
             out_dt = (jnp.bfloat16 if (mode == "bf16" and i == 0)
                       else jnp.float32)
             y4 = kernels.ns_inv_level_2d_mxu(a[:, 0], h[:, 0], v[:, 0],
@@ -241,7 +247,7 @@ def idwt2d_ns(coeffs: Coeffs2D, quads_inv, shape: Tuple[int, int]) -> jnp.ndarra
             parts = ([_f32(t) for t in (a, h, v, d)]
                      if mode is not None else [a, h, v, d])
             z = jnp.concatenate(parts, axis=1)
-            y = _rank_inv_level(z, A, Bc, (rows[i], cols[i]))
+            y = _rank_inv_level(z, A, Bc, (rows[i], cols[i]), pad_fn)
             if mode == "bf16" and i == 0:
                 y = y.astype(jnp.bfloat16)
         a = y
@@ -269,7 +275,8 @@ def _inv_swt_level(z, quads, factor):
     return _conv2d(u, kern, dilation=(factor, factor))
 
 
-def swt2d_ns(x: jnp.ndarray, quads, levels: int) -> Coeffs2D:
+def swt2d_ns(x: jnp.ndarray, quads, levels: int, *,
+             pad_fn=None) -> Coeffs2D:
     q = _check_quads(quads)
     fac = _try_factor(q)
     if fac is not None:
@@ -279,16 +286,17 @@ def swt2d_ns(x: jnp.ndarray, quads, levels: int) -> Coeffs2D:
             from . import separable as sep
 
             return sep.swt2d(x, Wavelet("ns-factored", lo_r, hi_r,
-                                        lo_r, hi_r), levels)
+                                        lo_r, hi_r), levels,
+                             pad_fn=pad_fn)
         arr, batch = _to_nchw(x, 2)
         details = []
         a = arr
         for lvl in range(1, levels + 1):
             f = 1 << (lvl - 1)
             t = conv.analysis_pass(a, (lo_c, hi_c), axis=-1, dilation=f,
-                                   decimate=False)
+                                   decimate=False, pad_fn=pad_fn)
             z = conv.analysis_pass(t, (lo_r, hi_r), axis=-2, dilation=f,
-                                   decimate=False)
+                                   decimate=False, pad_fn=pad_fn)
             a = z[:, 0:1]
             details.append(tuple(
                 _from_nchw(z[:, k:k + 1], batch, 2) for k in (1, 2, 3)
@@ -309,18 +317,18 @@ def swt2d_ns(x: jnp.ndarray, quads, levels: int) -> Coeffs2D:
     for lvl in range(1, levels + 1):
         f = 1 << (lvl - 1)
         res = None
-        if mode is not None:
+        if mode is not None and pad_fn is None:
             res = kernels.ns_swt_fwd_level_2d_mxu(a[:, 0], A, Bc, lvl,
                                                   mode)
         if res is None:
             af = _f32(a) if mode is not None else a
             t = conv.analysis_pass(af, list(Bc), axis=-1, dilation=f,
-                                   decimate=False)
+                                   decimate=False, pad_fn=pad_fn)
             z = None
             for k in range(Bc.shape[0]):
                 w4 = conv.analysis_pass(t[:, k:k + 1], list(A[:, k]),
                                         axis=-2, dilation=f,
-                                        decimate=False)
+                                        decimate=False, pad_fn=pad_fn)
                 z = w4 if z is None else z + w4
             res = (z[:, 0], z[:, 1], z[:, 2], z[:, 3])
         aa, h, v, d = norm_out(*res)
@@ -331,7 +339,7 @@ def swt2d_ns(x: jnp.ndarray, quads, levels: int) -> Coeffs2D:
     return Coeffs2D(_from_nchw(a, batch, 2), tuple(details))
 
 
-def iswt2d_ns(coeffs: Coeffs2D, quads_inv) -> jnp.ndarray:
+def iswt2d_ns(coeffs: Coeffs2D, quads_inv, *, pad_fn=None) -> jnp.ndarray:
     q = _check_quads(quads_inv)
     fac = _try_factor(q)
     if fac is not None:
@@ -341,7 +349,7 @@ def iswt2d_ns(coeffs: Coeffs2D, quads_inv) -> jnp.ndarray:
             from . import separable as sep
 
             return sep.iswt2d(coeffs, Wavelet("ns-factored", lo_r, hi_r,
-                                              lo_r, hi_r))
+                                              lo_r, hi_r), pad_fn=pad_fn)
         # 1/4 total = 1/2 per separable pass (src/nonseparable.cu:393-396)
         rec_r = (lo_r * 0.5, hi_r * 0.5)
         rec_c = (lo_c * 0.5, hi_c * 0.5)
@@ -351,9 +359,9 @@ def iswt2d_ns(coeffs: Coeffs2D, quads_inv) -> jnp.ndarray:
             h, v, d = (_to_nchw(c, 2)[0] for c in coeffs.details[i])
             z = jnp.concatenate([a, h, v, d], axis=1)
             t = conv.synthesis_pass(z, rec_r, axis=-2, dilation=f,
-                                    decimated=False)
+                                    decimated=False, pad_fn=pad_fn)
             a = conv.synthesis_pass(t, rec_c, axis=-1, dilation=f,
-                                    decimated=False)
+                                    decimated=False, pad_fn=pad_fn)
         return _from_nchw(a, batch, 2)
     a, batch = _to_nchw(coeffs.approx, 2)
     # 1/4 normalization (reference: src/nonseparable.cu:393-396) carried
@@ -373,7 +381,7 @@ def iswt2d_ns(coeffs: Coeffs2D, quads_inv) -> jnp.ndarray:
         f = 1 << i
         h, v, d = (_to_nchw(c, 2)[0] for c in coeffs.details[i])
         y = None
-        if mode is not None:
+        if mode is not None and pad_fn is None:
             out_dt = (jnp.bfloat16 if (mode == "bf16" and i == 0)
                       else jnp.float32)
             y4 = kernels.ns_swt_inv_level_2d_mxu(
@@ -386,11 +394,12 @@ def iswt2d_ns(coeffs: Coeffs2D, quads_inv) -> jnp.ndarray:
                      if mode is not None else [a, h, v, d])
             z = jnp.concatenate(parts, axis=1)
             ts = [conv.synthesis_pass(z, list(A[:, k]), axis=-2,
-                                      dilation=f, decimated=False)
+                                      dilation=f, decimated=False,
+                                      pad_fn=pad_fn)
                   for k in range(A.shape[1])]
             t = jnp.concatenate(ts, axis=1)
             y = conv.synthesis_pass(t, list(Bc4), axis=-1, dilation=f,
-                                    decimated=False)
+                                    decimated=False, pad_fn=pad_fn)
             if mode == "bf16" and i == 0:
                 y = y.astype(jnp.bfloat16)
         a = y

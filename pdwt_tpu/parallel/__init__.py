@@ -8,17 +8,22 @@ from .mesh import init_distributed, make_mesh
 from .sharded import (
     dwt1d,
     dwt2d,
+    dwt2d_ns,
     idwt1d,
     idwt2d,
+    idwt2d_ns,
     iswt1d,
     iswt2d,
     shard_image,
+    iswt2d_ns,
     swt1d,
     swt2d,
+    swt2d_ns,
 )
 
 __all__ = [
     "make_mesh", "init_distributed", "make_pad_fn", "ring_wrap_pad", "shard_image",
     "dwt1d", "dwt2d", "idwt1d", "idwt2d",
     "swt1d", "swt2d", "iswt1d", "iswt2d",
+    "dwt2d_ns", "idwt2d_ns", "swt2d_ns", "iswt2d_ns",
 ]

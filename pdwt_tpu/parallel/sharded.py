@@ -655,3 +655,69 @@ def shard_image(x, mesh: Mesh, *, data_axis=None, row_axis=None,
     else:
         spec = _spec1d(x.ndim, data_axis, col_axis)
     return jax.device_put(x, NamedSharding(mesh, spec))
+
+
+# ---------------------------------------------------------------------------
+# non-separable (true-2D quads): new capability — the reference NS
+# engine is single-GPU (src/nonseparable.cu); here the same rank-
+# decomposed passes run per shard with the ring halo exchange.
+# ---------------------------------------------------------------------------
+
+def dwt2d_ns(x, quads, levels: int, mesh: Mesh, *,
+             data_axis: Optional[str] = None,
+             row_axis: Optional[str] = None,
+             col_axis: Optional[str] = None, swt: bool = False) -> Coeffs2D:
+    """Sharded non-separable 2D DWT (or SWT with ``swt=True``)."""
+    from ..core import nonseparable as ns_core
+
+    _validate2d(x, mesh, data_axis, row_axis, col_axis, levels, swt)
+    spec = _spec2d(x.ndim, data_axis, row_axis, col_axis)
+    pad_fn = make_pad_fn(dict(mesh.shape), row_axis, col_axis)
+    core = ns_core.swt2d_ns if swt else ns_core.dwt2d_ns
+
+    def local(xl):
+        return core(xl, quads, levels, pad_fn=pad_fn)
+
+    f = jax.shard_map(local, mesh=mesh, in_specs=spec, out_specs=spec,
+                      check_vma=False)
+    return f(x)
+
+
+def idwt2d_ns(coeffs: Coeffs2D, quads_inv, shape: Tuple[int, int],
+              mesh: Mesh, *, data_axis: Optional[str] = None,
+              row_axis: Optional[str] = None,
+              col_axis: Optional[str] = None,
+              swt: bool = False) -> jnp.ndarray:
+    """Sharded inverse of :func:`dwt2d_ns`."""
+    from ..core import nonseparable as ns_core
+
+    levels = coeffs.levels
+    a = coeffs.approx
+    _validate2d(a, mesh, data_axis, None, None, levels, swt)
+    if row_axis is not None:
+        _check_div("row", shape[0], mesh.shape[row_axis], levels, swt)
+    if col_axis is not None:
+        _check_div("col", shape[1], mesh.shape[col_axis], levels, swt)
+    spec = _spec2d(a.ndim, data_axis, row_axis, col_axis)
+    pad_fn = make_pad_fn(dict(mesh.shape), row_axis, col_axis)
+    local_shape = (shape[0] // _axis_size(mesh, row_axis),
+                   shape[1] // _axis_size(mesh, col_axis))
+
+    def local(cl):
+        if swt:
+            return ns_core.iswt2d_ns(cl, quads_inv, pad_fn=pad_fn)
+        return ns_core.idwt2d_ns(cl, quads_inv, local_shape, pad_fn=pad_fn)
+
+    f = jax.shard_map(local, mesh=mesh, in_specs=spec, out_specs=spec,
+                      check_vma=False)
+    return f(coeffs)
+
+
+def swt2d_ns(x, quads, levels, mesh, **kw) -> Coeffs2D:
+    return dwt2d_ns(x, quads, levels, mesh, swt=True, **kw)
+
+
+def iswt2d_ns(coeffs, quads_inv, mesh, *, shape=None, **kw) -> jnp.ndarray:
+    return idwt2d_ns(coeffs, quads_inv,
+                     coeffs.approx.shape[-2:] if shape is None else shape,
+                     mesh, swt=True, **kw)
