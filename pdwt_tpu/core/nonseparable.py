@@ -128,7 +128,7 @@ def _inv_level(z, quads, out_shape):
 
 
 def dwt2d_ns(x: jnp.ndarray, quads, levels: int, *,
-             pad_fn=None) -> Coeffs2D:
+             backend=None, pad_fn=None) -> Coeffs2D:
     q = _check_quads(quads)
     fac = _try_factor(q)
     arr, batch = _to_nchw(x, 2)
@@ -142,7 +142,8 @@ def dwt2d_ns(x: jnp.ndarray, quads, levels: int, *,
             from . import separable as sep
 
             wav = Wavelet("ns-factored", lo_r, hi_r, lo_r, hi_r)
-            return sep.dwt2d(x, wav, levels, pad_fn=pad_fn)
+            return sep.dwt2d(x, wav, levels, backend=backend,
+                             pad_fn=pad_fn)
         for _ in range(levels):
             t = conv.analysis_pass(a, (lo_c, hi_c), axis=-1, pad_fn=pad_fn)
             z = conv.analysis_pass(t, (lo_r, hi_r), axis=-2, pad_fn=pad_fn)
@@ -153,15 +154,19 @@ def dwt2d_ns(x: jnp.ndarray, quads, levels: int, *,
         return Coeffs2D(_from_nchw(a, batch, 2), tuple(details))
     A, Bc = _rank_decomp(q)
     from .. import kernels
-    from .separable import _bf16_outs, _f32, _mxu_mode
+    from .separable import _auto_backend, _bf16_outs, _f32, _mxu_mode
 
     mode = _mxu_mode(x.dtype)
+    if _auto_backend(backend, pad_fn) != "pallas":
+        mode = None  # MXU kernels need the pallas backend (TPU or
+        # explicit override); honors PDWT_TPU_BACKEND like separable
     norm_out = _bf16_outs(mode)
     for _ in range(levels):
         res = None
         if mode is not None and pad_fn is None:
             # rank-r banded-matmul kernel (the true-2D MXU fast path)
-            res = kernels.ns_fwd_level_2d_mxu(a[:, 0], A, Bc, mode)
+            res = kernels.ns_fwd_level_2d_mxu_ad(
+                a[:, 0], kernels.ns_tup3(A), kernels.ns_tup2(Bc), mode)
         if res is None:
             af = _f32(a) if mode is not None else a
             z = _rank_fwd_level(af, A, Bc, pad_fn)
@@ -201,7 +206,7 @@ def _rank_inv_level(z, A, Bc, out_shape, pad_fn=None):
 
 
 def idwt2d_ns(coeffs: Coeffs2D, quads_inv, shape: Tuple[int, int], *,
-              pad_fn=None) -> jnp.ndarray:
+              backend=None, pad_fn=None) -> jnp.ndarray:
     q = _check_quads(quads_inv)
     fac = _try_factor(q)
     levels = coeffs.levels
@@ -214,7 +219,8 @@ def idwt2d_ns(coeffs: Coeffs2D, quads_inv, shape: Tuple[int, int], *,
             from . import separable as sep
 
             wav = Wavelet("ns-factored", lo_r, hi_r, lo_r, hi_r)
-            return sep.idwt2d(coeffs, wav, shape, pad_fn=pad_fn)
+            return sep.idwt2d(coeffs, wav, shape, backend=backend,
+                              pad_fn=pad_fn)
         a, batch = _to_nchw(coeffs.approx, 2)
         for i in range(levels - 1, -1, -1):
             h, v, d = (_to_nchw(c, 2)[0] for c in coeffs.details[i])
@@ -227,10 +233,13 @@ def idwt2d_ns(coeffs: Coeffs2D, quads_inv, shape: Tuple[int, int], *,
     a, batch = _to_nchw(coeffs.approx, 2)
     A, Bc = _rank_decomp(q)
     from .. import kernels
-    from .separable import _f32, _mxu_mode
+    from .separable import _auto_backend, _f32, _mxu_mode
 
     ddt = coeffs.details[-1][0].dtype if coeffs.details else a.dtype
     mode = _mxu_mode(ddt)
+    if _auto_backend(backend, pad_fn) != "pallas":
+        mode = None  # MXU kernels need the pallas backend (TPU or
+        # explicit override); honors PDWT_TPU_BACKEND like separable
     if mode == "bf16":
         a = _f32(a)
     for i in range(levels - 1, -1, -1):
@@ -239,8 +248,9 @@ def idwt2d_ns(coeffs: Coeffs2D, quads_inv, shape: Tuple[int, int], *,
         if mode is not None and pad_fn is None:
             out_dt = (jnp.bfloat16 if (mode == "bf16" and i == 0)
                       else jnp.float32)
-            y4 = kernels.ns_inv_level_2d_mxu(a[:, 0], h[:, 0], v[:, 0],
-                                             d[:, 0], A, Bc, mode, out_dt)
+            y4 = kernels.ns_inv_level_2d_mxu_ad(
+                a[:, 0], h[:, 0], v[:, 0], d[:, 0], kernels.ns_tup3(A),
+                kernels.ns_tup2(Bc), mode, out_dt)
             if y4 is not None:
                 y = y4[:, None, :rows[i], :cols[i]]
         if y is None:
@@ -276,7 +286,7 @@ def _inv_swt_level(z, quads, factor):
 
 
 def swt2d_ns(x: jnp.ndarray, quads, levels: int, *,
-             pad_fn=None) -> Coeffs2D:
+             backend=None, pad_fn=None) -> Coeffs2D:
     q = _check_quads(quads)
     fac = _try_factor(q)
     if fac is not None:
@@ -287,7 +297,7 @@ def swt2d_ns(x: jnp.ndarray, quads, levels: int, *,
 
             return sep.swt2d(x, Wavelet("ns-factored", lo_r, hi_r,
                                         lo_r, hi_r), levels,
-                             pad_fn=pad_fn)
+                             backend=backend, pad_fn=pad_fn)
         arr, batch = _to_nchw(x, 2)
         details = []
         a = arr
@@ -307,9 +317,12 @@ def swt2d_ns(x: jnp.ndarray, quads, levels: int, *,
     a = arr
     A, Bc = _rank_decomp(q)
     from .. import kernels
-    from .separable import _bf16_outs, _f32, _mxu_mode
+    from .separable import _auto_backend, _bf16_outs, _f32, _mxu_mode
 
     mode = _mxu_mode(x.dtype)
+    if _auto_backend(backend, pad_fn) != "pallas":
+        mode = None  # MXU kernels need the pallas backend (TPU or
+        # explicit override); honors PDWT_TPU_BACKEND like separable
     if mode == "mixed":
         mode = None  # undecimated b3 measured slower than exact (1.4 vs
         # 2.3 GPix/s on chip) — same policy as separable SWT
@@ -318,8 +331,9 @@ def swt2d_ns(x: jnp.ndarray, quads, levels: int, *,
         f = 1 << (lvl - 1)
         res = None
         if mode is not None and pad_fn is None:
-            res = kernels.ns_swt_fwd_level_2d_mxu(a[:, 0], A, Bc, lvl,
-                                                  mode)
+            res = kernels.ns_swt_fwd_level_2d_mxu_ad(
+                a[:, 0], kernels.ns_tup3(A), kernels.ns_tup2(Bc), lvl,
+                mode)
         if res is None:
             af = _f32(a) if mode is not None else a
             t = conv.analysis_pass(af, list(Bc), axis=-1, dilation=f,
@@ -339,7 +353,8 @@ def swt2d_ns(x: jnp.ndarray, quads, levels: int, *,
     return Coeffs2D(_from_nchw(a, batch, 2), tuple(details))
 
 
-def iswt2d_ns(coeffs: Coeffs2D, quads_inv, *, pad_fn=None) -> jnp.ndarray:
+def iswt2d_ns(coeffs: Coeffs2D, quads_inv, *, backend=None,
+              pad_fn=None) -> jnp.ndarray:
     q = _check_quads(quads_inv)
     fac = _try_factor(q)
     if fac is not None:
@@ -349,7 +364,8 @@ def iswt2d_ns(coeffs: Coeffs2D, quads_inv, *, pad_fn=None) -> jnp.ndarray:
             from . import separable as sep
 
             return sep.iswt2d(coeffs, Wavelet("ns-factored", lo_r, hi_r,
-                                              lo_r, hi_r), pad_fn=pad_fn)
+                                              lo_r, hi_r),
+                              backend=backend, pad_fn=pad_fn)
         # 1/4 total = 1/2 per separable pass (src/nonseparable.cu:393-396)
         rec_r = (lo_r * 0.5, hi_r * 0.5)
         rec_c = (lo_c * 0.5, hi_c * 0.5)
@@ -369,10 +385,13 @@ def iswt2d_ns(coeffs: Coeffs2D, quads_inv, *, pad_fn=None) -> jnp.ndarray:
     A, Bc = _rank_decomp(q)
     Bc4 = Bc * 0.25
     from .. import kernels
-    from .separable import _f32, _mxu_mode
+    from .separable import _auto_backend, _f32, _mxu_mode
 
     ddt = coeffs.details[-1][0].dtype if coeffs.details else a.dtype
     mode = _mxu_mode(ddt)
+    if _auto_backend(backend, pad_fn) != "pallas":
+        mode = None  # MXU kernels need the pallas backend (TPU or
+        # explicit override); honors PDWT_TPU_BACKEND like separable
     if mode == "mixed":
         mode = None  # exact beats undecimated b3 (see swt2d_ns)
     if mode == "bf16":
@@ -384,9 +403,9 @@ def iswt2d_ns(coeffs: Coeffs2D, quads_inv, *, pad_fn=None) -> jnp.ndarray:
         if mode is not None and pad_fn is None:
             out_dt = (jnp.bfloat16 if (mode == "bf16" and i == 0)
                       else jnp.float32)
-            y4 = kernels.ns_swt_inv_level_2d_mxu(
-                a[:, 0], h[:, 0], v[:, 0], d[:, 0], A, Bc, i + 1, mode,
-                out_dt)
+            y4 = kernels.ns_swt_inv_level_2d_mxu_ad(
+                a[:, 0], h[:, 0], v[:, 0], d[:, 0], kernels.ns_tup3(A),
+                kernels.ns_tup2(Bc), i + 1, mode, out_dt)
             if y4 is not None:
                 y = y4[:, None]
         if y is None:

@@ -583,3 +583,170 @@ def ns_swt_inv_level_2d_mxu(a, h, v, d, A_rk, B_rk, level: int, mode: str,
     return _ns_swt_inv_call(pad2(a), pad2(h), pad2(v), pad2(d), mats,
                             scheme, rank, (TR, TC), (r0, c0),
                             (ROWS, COLS), out_dtype)
+
+
+# ---------------------------------------------------------------------------
+# autodiff wrappers: the rank-r transform is a sum of separable passes,
+# so its adjoint is the rank-r synthesis with per-filter reversed taps
+# (and vice versa); the à-trous pair carries the 4x / 0.25x factors that
+# cancel the inverse's baked 1/4 normalization (same algebra as the
+# separable swt wrappers).  Filters ride as nested tuples (hashable
+# nondiff args); fallbacks defer-import the core rank compositions.
+# ---------------------------------------------------------------------------
+
+def _tup2(m):
+    return tuple(tuple(float(v) for v in row) for row in np.asarray(m))
+
+
+def _tup3(m):
+    return tuple(_tup2(x) for x in np.asarray(m))
+
+
+def _core_ns():
+    from ..core import nonseparable as ns_core
+    return ns_core
+
+
+def _rank_fwd_fallback(x, A, Bc):
+    ns_core = _core_ns()
+    z = ns_core._rank_fwd_level(x.astype(jnp.float32)[:, None], A, Bc)
+    return z[:, 0], z[:, 1], z[:, 2], z[:, 3]
+
+
+def _rank_inv_fallback(a, h, v, d, A, Bc, out_shape):
+    ns_core = _core_ns()
+    z = jnp.concatenate([t.astype(jnp.float32)[:, None]
+                         for t in (a, h, v, d)], axis=1)
+    return ns_core._rank_inv_level(z, A, Bc, out_shape)[:, 0]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def ns_fwd_level_2d_mxu_ad(x, A_t, B_t, mode):
+    return ns_fwd_level_2d_mxu(x, np.asarray(A_t), np.asarray(B_t), mode)
+
+
+def _ns_fwd_ad_fwd(x, A_t, B_t, mode):
+    return (ns_fwd_level_2d_mxu_ad(x, A_t, B_t, mode),
+            jnp.zeros((0,), x.dtype))
+
+
+def _ns_fwd_ad_bwd(A_t, B_t, mode, probe, ct):
+    a, h, v, d = ct
+    A_r = np.asarray(A_t)[..., ::-1]
+    B_r = np.asarray(B_t)[:, ::-1]
+    y = ns_inv_level_2d_mxu(a, h, v, d, A_r, B_r, mode,
+                            out_dtype=probe.dtype)
+    if y is None:
+        shape = (2 * a.shape[-2], 2 * a.shape[-1])
+        y = _rank_inv_fallback(a, h, v, d, A_r, B_r,
+                               shape).astype(probe.dtype)
+    return (y,)
+
+
+ns_fwd_level_2d_mxu_ad.defvjp(_ns_fwd_ad_fwd, _ns_fwd_ad_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def ns_inv_level_2d_mxu_ad(a, h, v, d, A_t, B_t, mode, out_dtype=None):
+    return ns_inv_level_2d_mxu(a, h, v, d, np.asarray(A_t),
+                               np.asarray(B_t), mode, out_dtype=out_dtype)
+
+
+def _ns_inv_ad_fwd(a, h, v, d, A_t, B_t, mode, out_dtype):
+    res = tuple(jnp.zeros((0,), t.dtype) for t in (a, h, v, d))
+    return ns_inv_level_2d_mxu_ad(a, h, v, d, A_t, B_t, mode,
+                                  out_dtype), res
+
+
+def _ns_inv_ad_bwd(A_t, B_t, mode, out_dtype, probes, ct):
+    A_r = np.asarray(A_t)[..., ::-1]
+    B_r = np.asarray(B_t)[:, ::-1]
+    res = ns_fwd_level_2d_mxu(ct, A_r, B_r, mode)
+    if res is None:
+        res = _rank_fwd_fallback(ct, A_r, B_r)
+    return tuple(t.astype(p.dtype) for t, p in zip(res, probes))
+
+
+ns_inv_level_2d_mxu_ad.defvjp(_ns_inv_ad_fwd, _ns_inv_ad_bwd)
+
+
+def _rank_swt_fwd_fallback(x, A, Bc, level):
+    ns_core = _core_ns()
+    import jax.numpy as _jnp
+    f = 1 << (level - 1)
+    a = x.astype(jnp.float32)[:, None]
+    t = conv.analysis_pass(a, list(Bc), axis=-1, dilation=f,
+                           decimate=False)
+    z = None
+    for k in range(Bc.shape[0]):
+        w4 = conv.analysis_pass(t[:, k:k + 1], list(A[:, k]), axis=-2,
+                                dilation=f, decimate=False)
+        z = w4 if z is None else z + w4
+    return z[:, 0], z[:, 1], z[:, 2], z[:, 3]
+
+
+def _rank_swt_inv_fallback(a, h, v, d, A, Bc4, level):
+    f = 1 << (level - 1)
+    z = jnp.concatenate([t.astype(jnp.float32)[:, None]
+                         for t in (a, h, v, d)], axis=1)
+    ts = [conv.synthesis_pass(z, list(A[:, k]), axis=-2, dilation=f,
+                              decimated=False) for k in range(A.shape[1])]
+    t = jnp.concatenate(ts, axis=1)
+    return conv.synthesis_pass(t, list(Bc4), axis=-1, dilation=f,
+                               decimated=False)[:, 0]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
+def ns_swt_fwd_level_2d_mxu_ad(x, A_t, B_t, level, mode):
+    return ns_swt_fwd_level_2d_mxu(x, np.asarray(A_t), np.asarray(B_t),
+                                   level, mode)
+
+
+def _ns_sfwd_ad_fwd(x, A_t, B_t, level, mode):
+    return (ns_swt_fwd_level_2d_mxu_ad(x, A_t, B_t, level, mode),
+            jnp.zeros((0,), x.dtype))
+
+
+def _ns_sfwd_ad_bwd(A_t, B_t, level, mode, probe, ct):
+    a, h, v, d = ct
+    A_r = np.asarray(A_t)[..., ::-1]
+    B_r = np.asarray(B_t)[:, ::-1]
+    # the inverse bakes 0.25 on the column basis; the adjoint is the
+    # UNnormalized synthesis -> scale by 4
+    y = ns_swt_inv_level_2d_mxu(a, h, v, d, A_r, 4.0 * B_r, level, mode,
+                                out_dtype=probe.dtype)
+    if y is None:
+        y = _rank_swt_inv_fallback(a, h, v, d, A_r, B_r,
+                                   level).astype(probe.dtype)
+    return (y,)
+
+
+ns_swt_fwd_level_2d_mxu_ad.defvjp(_ns_sfwd_ad_fwd, _ns_sfwd_ad_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+def ns_swt_inv_level_2d_mxu_ad(a, h, v, d, A_t, B_t, level, mode,
+                               out_dtype=None):
+    return ns_swt_inv_level_2d_mxu(a, h, v, d, np.asarray(A_t),
+                                   np.asarray(B_t), level, mode,
+                                   out_dtype=out_dtype)
+
+
+def _ns_sinv_ad_fwd(a, h, v, d, A_t, B_t, level, mode, out_dtype):
+    res = tuple(jnp.zeros((0,), t.dtype) for t in (a, h, v, d))
+    return ns_swt_inv_level_2d_mxu_ad(a, h, v, d, A_t, B_t, level, mode,
+                                      out_dtype), res
+
+
+def _ns_sinv_ad_bwd(A_t, B_t, level, mode, out_dtype, probes, ct):
+    A_r = np.asarray(A_t)[..., ::-1]
+    B_r = np.asarray(B_t)[:, ::-1]
+    # primal applies (A, 0.25*Bc); adjoint analyzes with the reversed
+    # effective filters
+    res = ns_swt_fwd_level_2d_mxu(ct, A_r, 0.25 * B_r, level, mode)
+    if res is None:
+        res = _rank_swt_fwd_fallback(ct, A_r, 0.25 * B_r, level)
+    return tuple(t.astype(p.dtype) for t, p in zip(res, probes))
+
+
+ns_swt_inv_level_2d_mxu_ad.defvjp(_ns_sinv_ad_fwd, _ns_sinv_ad_bwd)

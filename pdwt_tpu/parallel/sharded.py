@@ -672,7 +672,10 @@ def dwt2d_ns(x, quads, levels: int, mesh: Mesh, *,
 
     _validate2d(x, mesh, data_axis, row_axis, col_axis, levels, swt)
     spec = _spec2d(x.ndim, data_axis, row_axis, col_axis)
-    pad_fn = make_pad_fn(dict(mesh.shape), row_axis, col_axis)
+    # data-axis-only sharding needs no halo exchange: pad_fn=None keeps
+    # the MXU kernels eligible per shard
+    pad_fn = (make_pad_fn(dict(mesh.shape), row_axis, col_axis)
+              if (row_axis is not None or col_axis is not None) else None)
     core = ns_core.swt2d_ns if swt else ns_core.dwt2d_ns
 
     def local(xl):
@@ -699,7 +702,8 @@ def idwt2d_ns(coeffs: Coeffs2D, quads_inv, shape: Tuple[int, int],
     if col_axis is not None:
         _check_div("col", shape[1], mesh.shape[col_axis], levels, swt)
     spec = _spec2d(a.ndim, data_axis, row_axis, col_axis)
-    pad_fn = make_pad_fn(dict(mesh.shape), row_axis, col_axis)
+    pad_fn = (make_pad_fn(dict(mesh.shape), row_axis, col_axis)
+              if (row_axis is not None or col_axis is not None) else None)
     local_shape = (shape[0] // _axis_size(mesh, row_axis),
                    shape[1] // _axis_size(mesh, col_axis))
 

@@ -306,18 +306,18 @@ def test_rank_r_nonseparable_mxu(rng, monkeypatch):
     y_ref = ns.idwt2d_ns(c_ref, q, (256, 256))
 
     monkeypatch.setenv("PDWT_TPU_PRECISION", "mixed")
-    c_m = ns.dwt2d_ns(x, q, 2)
+    c_m = ns.dwt2d_ns(x, q, 2, backend="pallas")
     scale = float(jnp.abs(c_ref.approx).max())
     assert _rel_err(c_m, c_ref, scale) < 1e-4
-    y_m = ns.idwt2d_ns(c_m, q, (256, 256))
+    y_m = ns.idwt2d_ns(c_m, q, (256, 256), backend="pallas")
     assert (float(jnp.abs(y_m - y_ref).max())
             / float(jnp.abs(y_ref).max())) < 1e-4
     monkeypatch.delenv("PDWT_TPU_PRECISION")
 
-    cb = ns.dwt2d_ns(x.astype(jnp.bfloat16), q, 2)
+    cb = ns.dwt2d_ns(x.astype(jnp.bfloat16), q, 2, backend="pallas")
     assert cb.approx.dtype == jnp.float32
     assert cb.details[0][0].dtype == jnp.bfloat16
-    yb = ns.idwt2d_ns(cb, q, (256, 256))
+    yb = ns.idwt2d_ns(cb, q, (256, 256), backend="pallas")
     assert yb.dtype == jnp.bfloat16
     assert (float(jnp.abs(yb.astype(jnp.float32) - y_ref).max())
             / float(jnp.abs(y_ref).max())) < 2e-2
@@ -339,17 +339,80 @@ def test_rank_r_nonseparable_swt_mxu(rng, monkeypatch):
     y_ref = ns.iswt2d_ns(c_ref, q)
 
     monkeypatch.setenv("PDWT_TPU_PRECISION", "mixed")
-    c_m = ns.swt2d_ns(x, q, 2)
+    c_m = ns.swt2d_ns(x, q, 2, backend="pallas")
     assert _rel_err(c_m, c_ref, float(jnp.abs(c_ref.approx).max())) < 1e-4
-    y_m = ns.iswt2d_ns(c_m, q)
+    y_m = ns.iswt2d_ns(c_m, q, backend="pallas")
     assert (float(jnp.abs(y_m - y_ref).max())
             / float(jnp.abs(y_ref).max())) < 1e-4
     monkeypatch.delenv("PDWT_TPU_PRECISION")
 
-    cb = ns.swt2d_ns(x.astype(jnp.bfloat16), q, 2)
+    cb = ns.swt2d_ns(x.astype(jnp.bfloat16), q, 2, backend="pallas")
     assert cb.approx.dtype == jnp.float32
     assert cb.details[0][0].dtype == jnp.bfloat16
-    yb = ns.iswt2d_ns(cb, q)
+    yb = ns.iswt2d_ns(cb, q, backend="pallas")
     assert yb.dtype == jnp.bfloat16
     assert (float(jnp.abs(yb.astype(jnp.float32) - y_ref).max())
             / float(jnp.abs(y_ref).max())) < 2e-2
+
+
+def test_ns_mxu_gated_off_non_pallas(rng, monkeypatch):
+    """NS MXU kernels must not fire outside the pallas backend: bf16
+    rank quads on the CPU default backend (no interpret) run the conv
+    rank path instead of crashing; PDWT_TPU_BACKEND=fma is honored."""
+    from pdwt_tpu.core import nonseparable as ns
+
+    monkeypatch.delenv("PDWT_PALLAS_INTERPRET", raising=False)
+    q = np.zeros((4, 6, 6))
+    g = np.random.default_rng(5)
+    for _ in range(2):
+        q += np.einsum("si,j->sij", g.standard_normal((4, 6)),
+                       g.standard_normal(6))
+    x = jnp.asarray(rng.uniform(0, 255, (128, 128)),
+                    jnp.float32).astype(jnp.bfloat16)
+    c = ns.dwt2d_ns(x, q, 1)        # would crash if MXU fired on CPU
+    y = ns.idwt2d_ns(c, q, (128, 128))
+    assert y.shape == (128, 128)
+    monkeypatch.setenv("PDWT_TPU_BACKEND", "fma")
+    import pdwt_tpu.core.conv as conv_mod
+    conv_mod.set_default_backend("fma")
+    try:
+        c = ns.swt2d_ns(x, q, 1)
+        assert c.approx.shape == (128, 128)
+    finally:
+        conv_mod.set_default_backend(None)
+
+
+def test_ns_mxu_grad(rng, monkeypatch):
+    """jax.grad through the NS MXU custom VJPs (decimated + à-trous)
+    matches the exact rank path."""
+    from pdwt_tpu.core import nonseparable as ns
+
+    monkeypatch.setenv("PDWT_TPU_PRECISION", "mixed")
+    q = np.zeros((4, 6, 6))
+    g = np.random.default_rng(5)
+    for _ in range(2):
+        q += np.einsum("si,j->sij", g.standard_normal((4, 6)),
+                       g.standard_normal(6))
+    q /= np.abs(q).sum(axis=(1, 2), keepdims=True)
+    x = jnp.asarray(rng.uniform(-1, 1, (256, 256)), jnp.float32)
+
+    def loss(v, be):
+        c = ns.dwt2d_ns(v, q, 1, backend=be)
+        y = ns.idwt2d_ns(c, q, (256, 256), backend=be)
+        return jnp.sum(y ** 2)
+
+    gm = jax.grad(lambda v: loss(v, "pallas"))(x)
+    ge = jax.grad(lambda v: loss(v, None))(x)
+    scale = float(jnp.abs(ge).max())
+    assert bool(jnp.all(jnp.isfinite(gm)))
+    assert float(jnp.abs(gm - ge).max()) / scale < 1e-3
+
+    # bf16 à-trous grad runs through the swt NS VJPs
+    def loss_swt(v):
+        u = v.astype(jnp.bfloat16)
+        c = ns.swt2d_ns(u, q, 1, backend="pallas")
+        y = ns.iswt2d_ns(c, q, backend="pallas")
+        return jnp.sum(y.astype(jnp.float32) ** 2)
+
+    gb = jax.grad(loss_swt)(x)
+    assert bool(jnp.all(jnp.isfinite(gb)))
