@@ -193,11 +193,14 @@ def test_swt_mxu_inkernel_halo_equality(rng, monkeypatch):
                            halo_i.astype(jnp.float32))
 
 
-def test_bf16_swt_denoise_fused_mxu_and_grad(rng):
+def test_bf16_swt_denoise_fused_mxu_and_grad():
     """The MXU fused threshold+inverse (and its hand-written VJP) IS the
     bf16-mode denoise path — exercise primal equality vs the unfused
-    composition and the gradient (image + beta) through the custom VJP."""
+    composition and the gradient (image + beta) through the custom VJP.
+    Local fixed rng: the bound on the FD beta check is sample-sensitive
+    and must not depend on test order."""
     w = get_wavelet("db4")
+    rng = np.random.default_rng(20240817)
     x = jnp.asarray(rng.standard_normal((1, 128, 128)) * 10, jnp.float32)
     xb = x.astype(jnp.bfloat16)
     cb = sep.swt2d(xb, w, 2, backend="pallas")
