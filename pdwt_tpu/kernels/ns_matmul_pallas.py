@@ -96,7 +96,10 @@ def _ns_inv_mats(A_rk, B_rk, ROWS, COLS, pr, pc, TR, TC):
 
 # --- forward ---------------------------------------------------------------
 
-def _ns_fwd_kernel(scheme, rank, TRR, COLS, TR, TC):
+def _ns_fwd_kernel(scheme, rank, WIN_R, WIN_C, TR, TC, stride):
+    """Shared by the decimated (stride=2) and à-trous (stride=1)
+    forward kernels — the rank/block algebra is identical; only the
+    DMA tile stride and window dims differ."""
     per = 2 if scheme == "b3" else 1
 
     def kernel(xp_hbm, *refs):
@@ -106,7 +109,8 @@ def _ns_fwd_kernel(scheme, rank, TRR, COLS, TR, TC):
         i = pl.program_id(1)
         j = pl.program_id(2)
         dma = pltpu.make_async_copy(
-            xp_hbm.at[b, pl.ds(2 * TR * i, TRR), pl.ds(2 * TC * j, COLS)],
+            xp_hbm.at[b, pl.ds(stride * TR * i, WIN_R),
+                      pl.ds(stride * TC * j, WIN_C)],
             xt, sem)
         dma.start()
         dma.wait()
@@ -138,7 +142,7 @@ def _ns_fwd_call(xp, mats, scheme, rank, tiles, mshape, geom, out_dtypes):
     TR, TC = tiles
     mr, mc = mshape
     TRR, COLS = geom
-    kernel = _ns_fwd_kernel(scheme, rank, TRR, COLS, TR, TC)
+    kernel = _ns_fwd_kernel(scheme, rank, TRR, COLS, TR, TC, 2)
     out_spec = pl.BlockSpec((1, TR, TC), lambda b, i, j: (b, i, j),
                             memory_space=pltpu.VMEM)
     a_dt, d_dt = out_dtypes
@@ -357,41 +361,6 @@ def _ns_swt_inv_mats(A_rk, B_rk, ROWS, COLS, pr, pc, TR, TC, f):
     return Ss, Gt.T.copy()
 
 
-def _ns_swt_fwd_kernel(scheme, rank, ROWS, COLS, TR, TC):
-    per = 2 if scheme == "b3" else 1
-
-    def kernel(xp_hbm, *refs):
-        mats = refs[:2 * per]
-        a_ref, h_ref, v_ref, d_ref, xt, sem = refs[2 * per:]
-        b = pl.program_id(0)
-        i = pl.program_id(1)
-        j = pl.program_id(2)
-        dma = pltpu.make_async_copy(
-            xp_hbm.at[b, pl.ds(TR * i, ROWS), pl.ds(TC * j, COLS)],
-            xt, sem)
-        dma.start()
-        dma.wait()
-        x = xt[:]
-        Bp = tuple(m[:] for m in mats[:per])
-        Mp = tuple(m[:] for m in mats[per:])
-        if scheme == "b3":
-            t = _mm("b3", x, None, right_pair=Bp)
-        else:
-            t = _mm(scheme, x, Bp[0])
-        tstack = jnp.concatenate(
-            [t[:, k * TC:(k + 1) * TC] for k in range(rank)], axis=0)
-        if scheme == "b3":
-            out = _mm("b3", None, tstack, left_pair=Mp)
-        else:
-            out = _mm(scheme, Mp[0], tstack)
-        a_ref[0] = out[:TR].astype(a_ref.dtype)
-        h_ref[0] = out[TR:2 * TR].astype(h_ref.dtype)
-        v_ref[0] = out[2 * TR:3 * TR].astype(v_ref.dtype)
-        d_ref[0] = out[3 * TR:].astype(d_ref.dtype)
-
-    return kernel
-
-
 @functools.partial(jax.jit, static_argnames=("scheme", "rank", "tiles",
                                              "nshape", "geom", "out_dtypes"))
 def _ns_swt_fwd_call(xp, mats, scheme, rank, tiles, nshape, geom,
@@ -400,7 +369,7 @@ def _ns_swt_fwd_call(xp, mats, scheme, rank, tiles, nshape, geom,
     TR, TC = tiles
     nr, nc = nshape
     ROWS, COLS = geom
-    kernel = _ns_swt_fwd_kernel(scheme, rank, ROWS, COLS, TR, TC)
+    kernel = _ns_fwd_kernel(scheme, rank, ROWS, COLS, TR, TC, 1)
     out_spec = pl.BlockSpec((1, TR, TC), lambda b, i, j: (b, i, j),
                             memory_space=pltpu.VMEM)
     a_dt, d_dt = out_dtypes
@@ -463,46 +432,6 @@ def ns_swt_fwd_level_2d_mxu(x, A_rk, B_rk, level: int, mode: str):
                             (ROWS, COLS), out_dtypes)
 
 
-def _ns_swt_inv_kernel(scheme, rank, ROWS, COLS, TR, TC):
-    per = 2 if scheme == "b3" else 1
-
-    def kernel(a_hbm, h_hbm, v_hbm, d_hbm, *refs):
-        mats = refs[:(rank + 1) * per]
-        out_ref, at, ht, vt, dt, sems = refs[(rank + 1) * per:]
-        b = pl.program_id(0)
-        i = pl.program_id(1)
-        j = pl.program_id(2)
-        copies = []
-        for idx, (src, dst) in enumerate(
-                ((a_hbm, at), (h_hbm, ht), (v_hbm, vt), (d_hbm, dt))):
-            dma = pltpu.make_async_copy(
-                src.at[b, pl.ds(TR * i, ROWS), pl.ds(TC * j, COLS)],
-                dst, sems.at[idx])
-            dma.start()
-            copies.append(dma)
-        for dma in copies:
-            dma.wait()
-        cd = jnp.bfloat16 if scheme == "b1" else jnp.float32
-        u = jnp.concatenate([t[:].astype(cd)
-                             for t in (at, ht, vt, dt)], axis=0)
-        tks = []
-        for k in range(rank):
-            Sp = tuple(m[:] for m in mats[k * per:(k + 1) * per])
-            if scheme == "b3":
-                tks.append(_mm("b3", None, u, left_pair=Sp))
-            else:
-                tks.append(_mm(scheme, Sp[0], u))
-        u2 = jnp.concatenate(tks, axis=1)       # (TR, rank*COLS)
-        Gp = tuple(m[:] for m in mats[rank * per:])
-        if scheme == "b3":
-            out = _mm("b3", u2, None, right_pair=Gp)
-        else:
-            out = _mm(scheme, u2, Gp[0])
-        out_ref[0] = out.astype(out_ref.dtype)
-
-    return kernel
-
-
 @functools.partial(jax.jit, static_argnames=("scheme", "rank", "tiles",
                                              "nshape", "geom", "out_dtype"))
 def _ns_swt_inv_call(ap, hp, vp, dp, mats, scheme, rank, tiles, nshape,
@@ -511,7 +440,9 @@ def _ns_swt_inv_call(ap, hp, vp, dp, mats, scheme, rank, tiles, nshape,
     TR, TC = tiles
     nr, nc = nshape
     ROWS, COLS = geom
-    kernel = _ns_swt_inv_kernel(scheme, rank, ROWS, COLS, TR, TC)
+    # the inverse kernel body is shape-agnostic (matrices carry the
+    # decimated-vs-à-trous difference) — shared with _ns_inv_call
+    kernel = _ns_inv_kernel(scheme, rank, ROWS, COLS, TR, TC)
     out_spec = pl.BlockSpec((1, TR, TC), lambda b, i, j: (b, i, j),
                             memory_space=pltpu.VMEM)
     shape = jax.ShapeDtypeStruct((B, nr, nc), out_dtype)
