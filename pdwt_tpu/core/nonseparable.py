@@ -161,12 +161,12 @@ def dwt2d_ns(x: jnp.ndarray, quads, levels: int, *,
         mode = None  # MXU kernels need the pallas backend (TPU or
         # explicit override); honors PDWT_TPU_BACKEND like separable
     norm_out = _bf16_outs(mode)
+    A_t, B_t = kernels.ns_tup3(A), kernels.ns_tup2(Bc)
     for _ in range(levels):
         res = None
         if mode is not None and pad_fn is None:
             # rank-r banded-matmul kernel (the true-2D MXU fast path)
-            res = kernels.ns_fwd_level_2d_mxu_ad(
-                a[:, 0], kernels.ns_tup3(A), kernels.ns_tup2(Bc), mode)
+            res = kernels.ns_fwd_level_2d_mxu_ad(a[:, 0], A_t, B_t, mode)
         if res is None:
             af = _f32(a) if mode is not None else a
             z = _rank_fwd_level(af, A, Bc, pad_fn)
@@ -242,6 +242,7 @@ def idwt2d_ns(coeffs: Coeffs2D, quads_inv, shape: Tuple[int, int], *,
         # explicit override); honors PDWT_TPU_BACKEND like separable
     if mode == "bf16":
         a = _f32(a)
+    A_t, B_t = kernels.ns_tup3(A), kernels.ns_tup2(Bc)
     for i in range(levels - 1, -1, -1):
         h, v, d = (_to_nchw(c, 2)[0] for c in coeffs.details[i])
         y = None
@@ -249,8 +250,8 @@ def idwt2d_ns(coeffs: Coeffs2D, quads_inv, shape: Tuple[int, int], *,
             out_dt = (jnp.bfloat16 if (mode == "bf16" and i == 0)
                       else jnp.float32)
             y4 = kernels.ns_inv_level_2d_mxu_ad(
-                a[:, 0], h[:, 0], v[:, 0], d[:, 0], kernels.ns_tup3(A),
-                kernels.ns_tup2(Bc), mode, out_dt)
+                a[:, 0], h[:, 0], v[:, 0], d[:, 0], A_t, B_t, mode,
+                out_dt)
             if y4 is not None:
                 y = y4[:, None, :rows[i], :cols[i]]
         if y is None:
@@ -327,13 +328,13 @@ def swt2d_ns(x: jnp.ndarray, quads, levels: int, *,
         mode = None  # undecimated b3 measured slower than exact (1.4 vs
         # 2.3 GPix/s on chip) — same policy as separable SWT
     norm_out = _bf16_outs(mode)
+    A_t, B_t = kernels.ns_tup3(A), kernels.ns_tup2(Bc)
     for lvl in range(1, levels + 1):
         f = 1 << (lvl - 1)
         res = None
         if mode is not None and pad_fn is None:
             res = kernels.ns_swt_fwd_level_2d_mxu_ad(
-                a[:, 0], kernels.ns_tup3(A), kernels.ns_tup2(Bc), lvl,
-                mode)
+                a[:, 0], A_t, B_t, lvl, mode)
         if res is None:
             af = _f32(a) if mode is not None else a
             t = conv.analysis_pass(af, list(Bc), axis=-1, dilation=f,
@@ -396,6 +397,7 @@ def iswt2d_ns(coeffs: Coeffs2D, quads_inv, *, backend=None,
         mode = None  # exact beats undecimated b3 (see swt2d_ns)
     if mode == "bf16":
         a = _f32(a)
+    A_t, B_t = kernels.ns_tup3(A), kernels.ns_tup2(Bc)
     for i in range(coeffs.levels - 1, -1, -1):
         f = 1 << i
         h, v, d = (_to_nchw(c, 2)[0] for c in coeffs.details[i])
@@ -404,8 +406,8 @@ def iswt2d_ns(coeffs: Coeffs2D, quads_inv, *, backend=None,
             out_dt = (jnp.bfloat16 if (mode == "bf16" and i == 0)
                       else jnp.float32)
             y4 = kernels.ns_swt_inv_level_2d_mxu_ad(
-                a[:, 0], h[:, 0], v[:, 0], d[:, 0], kernels.ns_tup3(A),
-                kernels.ns_tup2(Bc), i + 1, mode, out_dt)
+                a[:, 0], h[:, 0], v[:, 0], d[:, 0], A_t, B_t, i + 1,
+                mode, out_dt)
             if y4 is not None:
                 y = y4[:, None]
         if y is None:

@@ -508,8 +508,7 @@ def _inv_mxu_bwd(rec_lo_t, rec_hi_t, mode, out_dtype, probes, ct):
     res = fwd_level_2d_mxu(ct, lo_r, hi_r, mode)
     if res is None:
         from .separable_pallas import _fma_fwd_level
-        r = _fma_fwd_level(ct.astype(jnp.float32), lo_r, hi_r)
-        res = tuple(t for t in r)
+        res = _fma_fwd_level(ct.astype(jnp.float32), lo_r, hi_r)
     return tuple(t.astype(p.dtype) for t, p in zip(res, probes))
 
 

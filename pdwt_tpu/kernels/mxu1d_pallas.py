@@ -311,7 +311,7 @@ def swt_inv_level_1d_mxu(lo, hi, rec_lo, rec_hi, level: int, mode: str,
     span = (hlen - 1) * f
     if span > 2 * TC:
         return None
-    cen = (hlen // 2) * f
+    cen = conv.swt_inv_center(hlen) * f
     lo_c, pc = _phases(cen)[1], _phases(cen)[3]
     COLS = _ceil_to(TC + span + pc, 128)
     hi_c = (n - TC + COLS) - n - lo_c

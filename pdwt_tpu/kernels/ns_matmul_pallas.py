@@ -36,7 +36,7 @@ from .separable_pallas import (
     _poly_geometry,
 )
 from .matmul_pallas import _mats_for_scheme, _mm, _pick_mxu_tiles
-from .swt_matmul_pallas import _mode_scheme
+from .swt_matmul_pallas import _mode_scheme, _swt_geometry, _swt_scheme
 
 _MAX_RANK = 4
 _NS_VMEM = 10 * 1024 * 1024
@@ -400,7 +400,6 @@ def ns_swt_fwd_level_2d_mxu(x, A_rk, B_rk, level: int, mode: str):
     span = (hlen - 1) * f
     if hlen % 2 or hlen > 40 or rank > _MAX_RANK:
         return None
-    from .swt_matmul_pallas import _swt_scheme
     scheme = _swt_scheme(mode, x.dtype)
     tiles = _pick_mxu_tiles(r0, c0, hlen, scheme)
     if tiles is None:
@@ -409,11 +408,7 @@ def ns_swt_fwd_level_2d_mxu(x, A_rk, B_rk, level: int, mode: str):
     if span > 2 * TR:
         return None
     cen = conv.fwd_center(hlen) * f
-    lo_r = _ceil_to(cen, 16)
-    lo_c = _ceil_to(cen, 128)
-    pr, pc = lo_r - cen, lo_c - cen
-    ROWS = _ceil_to(TR + span + pr, 16)
-    COLS = _ceil_to(TC + span + pc, 128)
+    lo_r, lo_c, pr, pc, ROWS, COLS = _swt_geometry(hlen, f, cen, tiles)
     est = (ROWS * COLS + COLS * rank * TC + 4 * TR * rank * ROWS
            + ROWS * rank * TC) * 4
     if est > _NS_VMEM:
@@ -489,11 +484,7 @@ def ns_swt_inv_level_2d_mxu(a, h, v, d, A_rk, B_rk, level: int, mode: str,
     if span > 2 * TR:
         return None
     cen = conv.swt_inv_center(hlen) * f
-    lo_r = _ceil_to(cen, 16)
-    lo_c = _ceil_to(cen, 128)
-    pr, pc = lo_r - cen, lo_c - cen
-    ROWS = _ceil_to(TR + span + pr, 16)
-    COLS = _ceil_to(TC + span + pc, 128)
+    lo_r, lo_c, pr, pc, ROWS, COLS = _swt_geometry(hlen, f, cen, tiles)
     est = (4 * ROWS * COLS + rank * TR * 4 * ROWS + rank * COLS * TC
            + TR * rank * COLS) * 4
     if est > _NS_VMEM:
@@ -602,8 +593,6 @@ ns_inv_level_2d_mxu_ad.defvjp(_ns_inv_ad_fwd, _ns_inv_ad_bwd)
 
 
 def _rank_swt_fwd_fallback(x, A, Bc, level):
-    ns_core = _core_ns()
-    import jax.numpy as _jnp
     f = 1 << (level - 1)
     a = x.astype(jnp.float32)[:, None]
     t = conv.analysis_pass(a, list(Bc), axis=-1, dilation=f,

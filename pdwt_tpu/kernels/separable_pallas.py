@@ -91,8 +91,26 @@ def _phases(lo: int, *, lane_aligned: bool = True):
     return lo_r, lo_c, lo_r - lo, lo_c - lo
 
 
+def _vpu_tile_override(mr: int, mc: int):
+    """Sweep knob: PDWT_TPU_VPU_TILES="TRxTC" pins the exact-kernel tile
+    pair (when divisibility holds), bypassing the VMEM estimate so
+    tools/vpu_tile_sweep.py can measure configs the conservative formula
+    rejects.  Not a user-facing knob — oversized tiles fail Mosaic
+    compilation."""
+    env = __import__("os").environ.get("PDWT_TPU_VPU_TILES")
+    if not env:
+        return None
+    tr, tc = (int(v) for v in env.split("x"))
+    if mr % tr == 0 and mc % tc == 0:
+        return tr, tc
+    return None
+
+
 def _pick_tiles_2d(mr: int, mc: int, hlen: int, *, inv: bool):
     """Largest (TR, TC) pair whose kernel body fits the VMEM budget."""
+    ov = _vpu_tile_override(mr, mc)
+    if ov is not None:
+        return ov
     if inv:
         _, _, lo, hi = _poly_geometry(hlen)
         _, _, pr, pc = _phases(lo, lane_aligned=False)

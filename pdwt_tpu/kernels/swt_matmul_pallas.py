@@ -397,7 +397,7 @@ def swt_inv_level_2d_mxu(a, h, v, d, rec_lo, rec_hi, level: int, mode: str,
     if tiles is None:
         return None
     TR, TC = tiles
-    cen = (hlen // 2) * f  # swt synthesis center (src/separable.cu:559-568)
+    cen = conv.swt_inv_center(hlen) * f
     geom = _swt_geometry(hlen, f, cen, tiles)
     lo_r, lo_c, pr, pc, ROWS, COLS = geom
 

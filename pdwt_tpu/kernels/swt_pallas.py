@@ -32,6 +32,7 @@ from .separable_pallas import (
     _pick_tile,
     _poly_geometry,
     _taps,
+    _vpu_tile_override,
     _SUB_TILES,
     _LANE_TILES,
     _VMEM_BUDGET,
@@ -68,6 +69,9 @@ def _fir_atrous_pair_sub(lo_band, hi_band, taps_lo, taps_hi, n_out, f,
 def _swt_tiles(nr: int, nc: int, hlen: int, f: int, lo: int = 0):
     span = (hlen - 1) * f
     _, _, pr, pc = _phases(lo)
+    ov = _vpu_tile_override(nr, nc)
+    if ov is not None:
+        return ov
     best = None
     for tr in _SUB_TILES:
         if nr % tr:
