@@ -157,3 +157,28 @@ def test_tail_fusion_halo_wider_than_level(rng, monkeypatch):
     assert err < 1e-4
     yp = S.idwt2d(cp, w, (64, 128), backend="pallas")
     assert float(jnp.abs(yp - x).max()) < 1e-4
+
+
+def test_vpu_tile_override_equality(rng, monkeypatch):
+    """PDWT_TPU_VPU_TILES (the tile-sweep knob) pins the exact-kernel
+    tile pair without changing results; non-dividing tiles fall back to
+    the default picker."""
+    monkeypatch.setenv("PDWT_PALLAS_INTERPRET", "1")
+    w = get_wavelet("db7")
+    x = jnp.asarray(rng.standard_normal((1, 128, 256)), jnp.float32)
+    ref = S.dwt2d(x, w, 2, backend="pallas")
+    for tiles in ("32x128", "64x256", "48x128"):  # 48 divides nothing
+        monkeypatch.setenv("PDWT_TPU_VPU_TILES", tiles)
+        cp = S.dwt2d(x, w, 2, backend="pallas")
+        err = max(float(jnp.abs(a - b).max()) for a, b in zip(
+            jax.tree_util.tree_leaves(cp), jax.tree_util.tree_leaves(ref)))
+        assert err == 0.0, (tiles, err)
+        yp = S.idwt2d(cp, w, (128, 256), backend="pallas")
+        assert float(jnp.abs(yp - x).max()) < 1e-4, tiles
+    monkeypatch.setenv("PDWT_TPU_VPU_TILES", "32x128")
+    cs = S.swt2d(x, w, 2, backend="pallas")
+    monkeypatch.delenv("PDWT_TPU_VPU_TILES")
+    cs_ref = S.swt2d(x, w, 2, backend="pallas")
+    err = max(float(jnp.abs(a - b).max()) for a, b in zip(
+        jax.tree_util.tree_leaves(cs), jax.tree_util.tree_leaves(cs_ref)))
+    assert err == 0.0, err
