@@ -7,6 +7,20 @@ fused kernel in a run; configs that exceed real VMEM fail Mosaic
 compilation and are recorded as "compile_error".  Sweeps the headline
 roundtrip (2D db7 5-level 2048^2) and the exact SWT TI step (1024^2
 3-level db7).  Run: ``python tools/vpu_tile_sweep.py [out.json]``.
+
+Static analysis of the db7 candidates (what the default picker does
+and what the sweep can change) — input-region cells per output pixel
+measure the redundant-halo + lane-padding work of the forward pass:
+
+  fwd L1-3 default (128,256): 272x640 cells for 32.8k out = 5.31  10.0 MB
+      (256,128):              528x384 = 6.18 cells/out (WORSE)    11.6 MB
+      (256,256):              528x640 = 5.16 cells/out (-3%)      19.3 MB
+  inv L1-3 default: already (256,256) (smaller halo geometry).
+
+So the only head-room the 11 MB budget hides is fwd (256,256) at an
+estimated 19.3 MB — a real-VMEM gamble worth one measured attempt —
+and the predicted ceiling is ~3% on pass-1 work.  The inverse cannot
+improve by tiling (already maximal).
 """
 from __future__ import annotations
 
