@@ -7,6 +7,9 @@ arbitrary (including odd) sizes, a 72-wavelet filter bank plus custom
 filters, batched 1D transforms, thresholding / proximal operators, norms,
 cycle spinning, and multi-chip sharded execution over a
 ``jax.sharding.Mesh`` with ring halo exchange (see :mod:`pdwt_tpu.parallel`).
+Beyond the reference: 3D DWT/SWT (``core.dwt3d`` etc. — the reference's
+first stated limitation), custom filters of any length, and
+multi-resolution SWT approximation stacks (``keep_approx=True``).
 
 Layers:
 

@@ -34,7 +34,6 @@ from .core import separable as sep_core
 from .core.separable import Coeffs1D, Coeffs2D
 from .core.shapes import coeff_shapes_1d, coeff_shapes_2d, div2, max_level
 from .filters import (
-    MAX_FILTER_WIDTH,
     Wavelet,
     get_wavelet,
     make_custom_wavelet,
@@ -609,12 +608,10 @@ class Wavelets:
                 raise ValueError(
                     "set_filters_forward(): expected 4 filters for "
                     "non-separable filtering")
+            # No length cap: the reference's 40-tap limit is a CUDA
+            # constant-memory artifact its own TODO.txt asks to remove.
             q = np.stack([np.asarray(f, np.float64) for f in
                           (filter1, filter2, filter3, filter4)])
-            if q.shape[-1] > MAX_FILTER_WIDTH:
-                raise ValueError(
-                    f"filter length ({q.shape[-1]}) exceeds the maximum size "
-                    f"({MAX_FILTER_WIDTH})")
             self._quads_fwd = q
             n = q.shape[-1]
         self.spec = dataclasses.replace(self.spec, wname=filtername, hlen=n)

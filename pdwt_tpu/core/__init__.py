@@ -11,14 +11,23 @@ from .separable import (
     swt1d,
     swt2d,
 )
+from .separable3d import (
+    DETAIL_KEYS_3D,
+    Coeffs3D,
+    dwt3d,
+    idwt3d,
+    iswt3d,
+    swt3d,
+)
 from .nonseparable import dwt2d_ns, idwt2d_ns, iswt2d_ns, swt2d_ns
 from .haar import haar_dwt1d, haar_dwt2d, haar_idwt1d, haar_idwt2d
 from .shapes import coeff_shapes_1d, coeff_shapes_2d, div2, level_sizes, max_level
 from . import conv
 
 __all__ = [
-    "Coeffs1D", "Coeffs2D",
+    "Coeffs1D", "Coeffs2D", "Coeffs3D", "DETAIL_KEYS_3D",
     "dwt1d", "dwt2d", "idwt1d", "idwt2d",
+    "dwt3d", "idwt3d", "swt3d", "iswt3d",
     "swt1d", "swt2d", "iswt1d", "iswt2d", "iswt2d_denoise",
     "dwt2d_ns", "idwt2d_ns", "swt2d_ns", "iswt2d_ns",
     "haar_dwt1d", "haar_dwt2d", "haar_idwt1d", "haar_idwt2d",

@@ -153,12 +153,17 @@ def zero_stuff(x: jnp.ndarray, axis: int) -> jnp.ndarray:
     return y.reshape(new_shape)
 
 
-def _kernel_4d(taps: np.ndarray, axis: int) -> np.ndarray:
-    """Reshape (O, I, hlen) 1D taps into an OIHW kernel along H or W."""
+def _kernel_nd(taps: np.ndarray, axis: int, ndim: int) -> np.ndarray:
+    """Reshape (O, I, hlen) 1D taps into an OI+spatial kernel with the
+    taps along spatial ``axis`` of an (N, C, *spatial) array."""
     o, i, hlen = taps.shape
-    if axis == -1 or axis == 3:
-        return taps.reshape(o, i, 1, hlen)
-    return taps.reshape(o, i, hlen, 1)
+    shape = [o, i] + [1] * (ndim - 2)
+    shape[axis % ndim] = hlen
+    return taps.reshape(shape)
+
+
+_CONV_DIMS = {2: ("NCHW", "OIHW", "NCHW"),
+              3: ("NCDHW", "OIDHW", "NCDHW")}
 
 
 def _conv_nchw(
@@ -176,7 +181,7 @@ def _conv_nchw(
         window_strides=window_strides,
         padding="VALID",
         rhs_dilation=rhs_dilation,
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        dimension_numbers=_CONV_DIMS[x.ndim - 2],
         feature_group_count=feature_group_count,
         precision=_precision(dtype),
         preferred_element_type=_accum_dtype(dtype),
@@ -332,15 +337,16 @@ def analysis_pass(
         return _fma_analysis(xp, taps, axis, decimate=decimate,
                              dilation=dilation)
     if backend == "xla":
-        kern = _kernel_4d(
+        kern = _kernel_nd(
             np.broadcast_to(taps[None], (ch, k, hlen)).reshape(ch * k, 1, hlen),
-            axis,
+            axis, xp.ndim,
         )
-        strides = [1, 1]
-        dil = [1, 1]
-        ax4 = axis % 4
-        strides[ax4 - 2] = 2 if decimate else 1
-        dil[ax4 - 2] = dilation
+        sr = xp.ndim - 2
+        strides = [1] * sr
+        dil = [1] * sr
+        axp = (axis % xp.ndim) - 2
+        strides[axp] = 2 if decimate else 1
+        dil[axp] = dilation
         return _conv_nchw(
             xp, kern, window_strides=tuple(strides), rhs_dilation=tuple(dil),
             feature_group_count=ch,
@@ -406,15 +412,16 @@ def synthesis_pass(
     if backend == "fma":
         out = _fma_synthesis(up, taps, axis, dilation=dilation)
     elif backend == "xla":
-        kern = _kernel_4d(
+        kern = _kernel_nd(
             np.broadcast_to(taps[None], (ch_out, k, hlen)).reshape(ch_out, k, hlen)
             [:, :, :],
-            axis,
+            axis, up.ndim,
         )
-        dil = [1, 1]
-        dil[(axis % 4) - 2] = dilation
+        sr = up.ndim - 2
+        dil = [1] * sr
+        dil[(axis % up.ndim) - 2] = dilation
         out = _conv_nchw(
-            up, kern, window_strides=(1, 1), rhs_dilation=tuple(dil),
+            up, kern, window_strides=(1,) * sr, rhs_dilation=tuple(dil),
             feature_group_count=ch_out,
         )
     elif backend == "gather":
@@ -423,8 +430,10 @@ def synthesis_pass(
         # diagonal and sum within each group.
         corr = _gather_corr(up, taps, axis, stride=1, dilation=dilation,
                             split_channels=True)
-        b, _, h, w = corr.shape
-        out = jnp.einsum("bgkkhw->bghw", corr.reshape(b, ch_out, k, k, h, w))
+        b = corr.shape[0]
+        sp = corr.shape[2:]
+        out = jnp.einsum("bgkk...->bg...",
+                         corr.reshape((b, ch_out, k, k) + sp))
     else:
         raise ValueError(f"unknown backend {backend!r}")
 

@@ -337,7 +337,8 @@ def idwt2d(coeffs: Coeffs2D, wav: Wavelet, shape: Tuple[int, int], *,
 # 2D stationary (a-trous)
 # ---------------------------------------------------------------------------
 
-def _swt2d_pallas(x: jnp.ndarray, wav: Wavelet, levels: int) -> Coeffs2D:
+def _swt2d_pallas(x: jnp.ndarray, wav: Wavelet, levels: int,
+                  keep_approx: bool = False):
     from .. import kernels
 
     batch = x.shape[:-2]
@@ -356,6 +357,7 @@ def _swt2d_pallas(x: jnp.ndarray, wav: Wavelet, levels: int) -> Coeffs2D:
     norm_out = _bf16_outs(mode)
 
     details = []
+    approxs = []
     for lvl in range(1, levels + 1):
         res = None
         if mode is not None:
@@ -375,19 +377,33 @@ def _swt2d_pallas(x: jnp.ndarray, wav: Wavelet, levels: int) -> Coeffs2D:
         a, h, v, d = norm_out(*res)
         details.append(tuple(t.reshape(batch + t.shape[1:])
                              for t in (h, v, d)))
-    return Coeffs2D(a.reshape(batch + a.shape[1:]), tuple(details))
+        if keep_approx:
+            approxs.append(a.reshape(batch + a.shape[1:]))
+    coeffs = Coeffs2D(a.reshape(batch + a.shape[1:]), tuple(details))
+    return (coeffs, tuple(approxs)) if keep_approx else coeffs
 
 
 def swt2d(x: jnp.ndarray, wav: Wavelet, levels: int, *,
-          backend: Optional[str] = None, pad_fn=None) -> Coeffs2D:
+          backend: Optional[str] = None, pad_fn=None,
+          keep_approx: bool = False):
+    """Stationary (à-trous) 2D wavelet transform.
+
+    ``keep_approx=True`` additionally returns the per-level approximation
+    stack ``(A_1, …, A_levels)`` — the multi-resolution feature the
+    reference's TODO.txt asks for ("return all app coeffs") but only
+    stores the last of (reference: src/separable.cu:496-537).  Returns
+    ``(Coeffs2D, approxs)`` in that case; ``approxs[-1]`` is
+    ``coeffs.approx``.
+    """
     backend = _auto_backend(backend, pad_fn)
     if backend == "pallas":
         if pad_fn is not None:
             raise ValueError("pallas backend does not support pad_fn")
-        return _swt2d_pallas(x, wav, levels)
+        return _swt2d_pallas(x, wav, levels, keep_approx=keep_approx)
     arr, batch = _to_nchw(x, 2)
     dec = (wav.dec_lo, wav.dec_hi)
     details: List[Tuple[jnp.ndarray, ...]] = []
+    approxs: List[jnp.ndarray] = []
     a = arr
     for lvl in range(1, levels + 1):
         f = 1 << (lvl - 1)
@@ -399,7 +415,10 @@ def swt2d(x: jnp.ndarray, wav: Wavelet, levels: int, *,
         details.append(tuple(
             _from_nchw(z[:, k:k + 1], batch, 2) for k in (1, 2, 3)
         ))
-    return Coeffs2D(_from_nchw(a, batch, 2), tuple(details))
+        if keep_approx:
+            approxs.append(_from_nchw(a, batch, 2))
+    coeffs = Coeffs2D(_from_nchw(a, batch, 2), tuple(details))
+    return (coeffs, tuple(approxs)) if keep_approx else coeffs
 
 
 def _iswt2d_pallas(coeffs: Coeffs2D, wav: Wavelet) -> jnp.ndarray:
@@ -653,7 +672,8 @@ def iswt2d_denoise(coeffs: Coeffs2D, wav: Wavelet, beta, *,
     return a.reshape(batch + a.shape[1:])
 
 
-def _swt1d_pallas(x: jnp.ndarray, wav: Wavelet, levels: int) -> Coeffs1D:
+def _swt1d_pallas(x: jnp.ndarray, wav: Wavelet, levels: int,
+                  keep_approx: bool = False):
     from .. import kernels
 
     batch = x.shape[:-1]
@@ -665,6 +685,7 @@ def _swt1d_pallas(x: jnp.ndarray, wav: Wavelet, levels: int) -> Coeffs1D:
     if mode == "mixed":
         mode = None  # exact SWT kernels beat b3 (see _swt2d_pallas)
     details = []
+    approxs = []
     for lvl in range(1, levels + 1):
         res = None
         if mode is not None:
@@ -684,19 +705,25 @@ def _swt1d_pallas(x: jnp.ndarray, wav: Wavelet, levels: int) -> Coeffs1D:
                        res[1].astype(jnp.bfloat16))
         a, d = res
         details.append(d.reshape(batch + d.shape[1:]))
-    return Coeffs1D(a.reshape(batch + a.shape[1:]), tuple(details))
+        if keep_approx:
+            approxs.append(a.reshape(batch + a.shape[1:]))
+    coeffs = Coeffs1D(a.reshape(batch + a.shape[1:]), tuple(details))
+    return (coeffs, tuple(approxs)) if keep_approx else coeffs
 
 
 def swt1d(x: jnp.ndarray, wav: Wavelet, levels: int, *,
-          backend: Optional[str] = None, pad_fn=None) -> Coeffs1D:
+          backend: Optional[str] = None, pad_fn=None,
+          keep_approx: bool = False):
+    """Stationary 1D transform; ``keep_approx`` as in :func:`swt2d`."""
     backend = _auto_backend(backend, pad_fn)
     if backend == "pallas":
         if pad_fn is not None:
             raise ValueError("pallas backend does not support pad_fn")
-        return _swt1d_pallas(x, wav, levels)
+        return _swt1d_pallas(x, wav, levels, keep_approx=keep_approx)
     arr, batch = _to_nchw(x, 1)
     dec = (wav.dec_lo, wav.dec_hi)
     details: List[jnp.ndarray] = []
+    approxs: List[jnp.ndarray] = []
     a = arr
     for lvl in range(1, levels + 1):
         f = 1 << (lvl - 1)
@@ -704,7 +731,10 @@ def swt1d(x: jnp.ndarray, wav: Wavelet, levels: int, *,
                                backend=backend, pad_fn=pad_fn)
         a = z[:, 0:1]
         details.append(_from_nchw(z[:, 1:2], batch, 1))
-    return Coeffs1D(_from_nchw(a, batch, 1), tuple(details))
+        if keep_approx:
+            approxs.append(_from_nchw(a, batch, 1))
+    coeffs = Coeffs1D(_from_nchw(a, batch, 1), tuple(details))
+    return (coeffs, tuple(approxs)) if keep_approx else coeffs
 
 
 def _iswt1d_pallas(coeffs: Coeffs1D, wav: Wavelet) -> jnp.ndarray:

@@ -17,9 +17,11 @@ A TPU-native re-design of the reference filter machinery:
   we resolve the alias everywhere).
 
 * custom filters: the reference caps user filters at 40 taps because of the
-  constant-memory buffer (reference: src/common.h:15, src/wt.cu:562-565).
-  We keep the same constant as a sanity bound for API parity, though nothing
-  in the TPU design actually requires it.
+  constant-memory buffer (reference: src/common.h:15, src/wt.cu:562-565) and
+  its own TODO list asks to lift that bound (reference: TODO.txt "Should
+  allow > 40 coeffs").  Nothing in the TPU design requires it — filters are
+  jit-time constants — so arbitrary lengths are accepted; MAX_FILTER_WIDTH
+  is kept only as documentation of the reference's limit.
 """
 from __future__ import annotations
 
@@ -29,7 +31,9 @@ from typing import Dict, Optional, Tuple
 
 import numpy as np
 
-# API-parity bound, reference: src/common.h:15 (MAX_FILTER_WIDTH).
+# The REFERENCE's custom-filter bound (src/common.h:15, a CUDA
+# __constant__ buffer size).  Informational only: this framework accepts
+# longer filters (the reference's own TODO.txt asks for exactly that).
 MAX_FILTER_WIDTH = 40
 
 _DATA_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "_data.npz")
@@ -144,14 +148,11 @@ def make_custom_wavelet(
     rec_hi,
 ) -> Wavelet:
     """Build a custom filter bank (reference: Wavelets::set_filters_forward /
-    set_filters_inverse, src/wt.cu:560-602).  The 40-tap bound is kept for
-    parity with the reference's constant-memory limit."""
-    w = Wavelet(name.lower(), dec_lo, dec_hi, rec_lo, rec_hi)
-    if w.hlen > MAX_FILTER_WIDTH:
-        raise ValueError(
-            f"filter length ({w.hlen}) exceeds the maximum size ({MAX_FILTER_WIDTH})"
-        )
-    return w
+    set_filters_inverse, src/wt.cu:560-602).  Unlike the reference, which
+    rejects filters longer than its 40-tap constant-memory buffer (and whose
+    TODO.txt asks to lift that), any length is accepted here: filters are
+    jit-time constants on TPU."""
+    return Wavelet(name.lower(), dec_lo, dec_hi, rec_lo, rec_hi)
 
 
 def register_wavelet(w: Wavelet) -> None:

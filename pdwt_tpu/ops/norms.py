@@ -19,8 +19,9 @@ import jax
 import jax.numpy as jnp
 
 from ..core.separable import Coeffs1D, Coeffs2D
+from ..core.separable3d import Coeffs3D
 
-Coeffs = Union[Coeffs1D, Coeffs2D]
+Coeffs = Union[Coeffs1D, Coeffs2D, Coeffs3D]
 
 
 def _accum(dtype):

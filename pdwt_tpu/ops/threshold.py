@@ -30,10 +30,11 @@ from typing import Union
 import jax.numpy as jnp
 
 from ..core.separable import Coeffs1D, Coeffs2D
+from ..core.separable3d import Coeffs3D
 
 _SQRT2 = math.sqrt(2.0)
 
-Coeffs = Union[Coeffs1D, Coeffs2D]
+Coeffs = Union[Coeffs1D, Coeffs2D, Coeffs3D]
 
 
 def _app_beta(beta, nlevels: int, normalize: bool):
@@ -61,9 +62,9 @@ def _clip_linf(x, b):
 def _map_details(coeffs: Coeffs, fn_per_level):
     new_details = []
     for i, det in enumerate(coeffs.details):
-        if isinstance(coeffs, Coeffs2D):
+        if isinstance(det, tuple):  # 2D (H,V,D) / 3D 7-band levels
             new_details.append(tuple(fn_per_level(arr, i) for arr in det))
-        else:
+        else:  # 1D: one detail array per level
             new_details.append(fn_per_level(det, i))
     return type(coeffs)(coeffs.approx, tuple(new_details))
 
@@ -119,21 +120,17 @@ def group_soft_threshold(coeffs: Coeffs, beta, *,
         b = beta / (_SQRT2 ** (i + 1)) if normalize else beta
         last = i == n - 1
         include_a = do_thresh_appcoeffs and last
-        if isinstance(coeffs, Coeffs2D):
-            h, v, d = det
-            norm2 = h * h + v * v + d * d
-        else:
-            d1 = det
-            norm2 = d1 * d1
+        bands = det if isinstance(det, tuple) else (det,)
+        norm2 = sum(x * x for x in bands)
         if include_a:
             norm2 = norm2 + coeffs.approx * coeffs.approx
         norm = jnp.sqrt(norm2)
         fac = jnp.where(norm > 0,
                         jnp.maximum(1 - jnp.asarray(b, norm.dtype) / norm, 0), 0)
-        if isinstance(coeffs, Coeffs2D):
-            new_details.append((h * fac, v * fac, d * fac))
+        if isinstance(det, tuple):
+            new_details.append(tuple(x * fac for x in bands))
         else:
-            new_details.append(d1 * fac)
+            new_details.append(det * fac)
         if include_a:
             new_approx = coeffs.approx * fac
     return type(coeffs)(new_approx, tuple(new_details))

@@ -1,0 +1,198 @@
+"""3D separable DWT/SWT tests — the capability the reference lists as
+its first limitation ("3D is not handled at the moment",
+reference: README.md) and therefore has no counterpart kernels for.
+The per-axis index semantics are the same core/conv.py spec the 1D/2D
+tests pin down; these tests assert 3D-specific structure on top."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pdwt_tpu import ops
+from pdwt_tpu.core import separable as S
+from pdwt_tpu.core import separable3d as S3
+from pdwt_tpu.filters import get_wavelet
+
+BACKENDS = ("fma", "gather", "xla")
+
+
+def _vol(rng, shape=(16, 24, 32)):
+    return jnp.asarray(rng.standard_normal(shape))
+
+
+def test_dwt3d_perfect_reconstruction(rng):
+    w = get_wavelet("db4")
+    for shape in [(16, 24, 32), (15, 21, 33)]:  # incl. odd sizes
+        x = _vol(rng, shape)
+        for bk in BACKENDS:
+            c = S3.dwt3d(x, w, 2, backend=bk)
+            y = S3.idwt3d(c, w, shape, backend=bk)
+            err = float(jnp.abs(y - x).max())
+            assert err < 1e-9, (shape, bk, err)
+
+
+def test_dwt3d_backend_equality(rng):
+    w = get_wavelet("db7")
+    x = _vol(rng)
+    ref = S3.dwt3d(x, w, 2, backend="fma")
+    for bk in ("gather", "xla"):
+        c = S3.dwt3d(x, w, 2, backend=bk)
+        for a, b in zip(jax.tree.leaves(ref), jax.tree.leaves(c)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=0, atol=1e-12)
+
+
+def test_swt3d_perfect_reconstruction(rng):
+    w = get_wavelet("db3")
+    for shape in [(12, 20, 24), (11, 19, 23)]:
+        x = _vol(rng, shape)
+        for bk in BACKENDS:
+            c = S3.swt3d(x, w, 2, backend=bk)
+            y = S3.iswt3d(c, w, backend=bk)
+            err = float(jnp.abs(y - x).max())
+            assert err < 1e-9, (shape, bk, err)
+            assert c.approx.shape == shape  # undecimated
+            assert all(b.shape == shape for lv in c.details for b in lv)
+
+
+def test_dwt3d_shapes_and_channel_order(rng):
+    """Sizes follow div2 per axis; the 7 detail bands follow the
+    documented channel order ch = 4*k_col + 2*k_row + k_dep: a volume
+    varying ONLY along depth puts all detail energy in bands whose key
+    has d in the depth slot (daa at level 1)."""
+    w = get_wavelet("haar")
+    x = jnp.broadcast_to(
+        jnp.asarray(rng.standard_normal((16, 1, 1))), (16, 8, 8))
+    c = S3.dwt3d(x, w, 1, backend="fma")
+    assert c.approx.shape == (8, 4, 4)
+    assert len(c.details[0]) == 7
+    energies = [float(jnp.abs(b).max()) for b in c.details[0]]
+    # key order: daa, ada, dda, aad, dad, add, ddd
+    assert S3.DETAIL_KEYS_3D[0] == "daa"
+    assert energies[0] > 1e-3  # depth-highpass captures the variation
+    for k, e in zip(S3.DETAIL_KEYS_3D[1:], energies[1:]):
+        assert e < 1e-9, (k, e)
+
+
+def test_dwt3d_equals_axiswise_1d_composition(rng):
+    """One 3D level == the 1D analysis applied along each axis in turn
+    (cols, rows, depth) — ties the 3D engine to the validated 1D spec."""
+    w = get_wavelet("db2")
+    x = _vol(rng, (8, 12, 16))
+
+    def analysis_axis(v, axis):
+        from pdwt_tpu.core import conv
+
+        arr = v[None, None]  # (1, 1, D, R, C) or with channels folded
+        out = conv.analysis_pass(arr, (w.dec_lo, w.dec_hi), axis=axis,
+                                 backend="gather")
+        return out[0]  # (2, ...)
+
+    t = analysis_axis(x, -1)                       # (2, D, R, C/2)
+    z = jnp.stack([analysis_axis(t[k], -2)
+                   for k in range(2)])             # (2, 2, D, R/2, C/2)
+    u = jnp.stack([jnp.stack([analysis_axis(z[i, j], -3)
+                              for j in range(2)])
+                   for i in range(2)])             # (2,2,2,D/2,R/2,C/2)
+    c = S3.dwt3d(x, w, 1, backend="gather")
+    # u[k_col, k_row, k_dep] vs channel 4*k_col + 2*k_row + k_dep
+    np.testing.assert_allclose(np.asarray(u[0, 0, 0]),
+                               np.asarray(c.approx), atol=1e-12)
+    for ch in range(1, 8):
+        kc, kr, kd = ch >> 2, (ch >> 1) & 1, ch & 1
+        np.testing.assert_allclose(np.asarray(u[kc, kr, kd]),
+                                   np.asarray(c.details[0][ch - 1]),
+                                   atol=1e-12, err_msg=str(ch))
+
+
+def test_3d_multilevel_sizes(rng):
+    w = get_wavelet("db2")
+    x = _vol(rng, (24, 24, 40))
+    c = S3.dwt3d(x, w, 3, backend="fma")
+    assert c.approx.shape == (3, 3, 5)
+    assert [lv[0].shape for lv in c.details] == [
+        (12, 12, 20), (6, 6, 10), (3, 3, 5)]
+
+
+def test_3d_batched(rng):
+    w = get_wavelet("db3")
+    x = _vol(rng, (2, 12, 16, 24))  # leading batch axis
+    c = S3.dwt3d(x, w, 2, backend="fma")
+    assert c.approx.shape == (2, 3, 4, 6)
+    y = S3.idwt3d(c, w, (12, 16, 24), backend="fma")
+    assert y.shape == x.shape
+    assert float(jnp.abs(y - x).max()) < 1e-9
+    # batch slices are independent
+    c0 = S3.dwt3d(x[0], w, 2, backend="fma")
+    np.testing.assert_allclose(np.asarray(c.approx[0]),
+                               np.asarray(c0.approx), atol=1e-12)
+
+
+def test_swt3d_keep_approx(rng):
+    w = get_wavelet("db2")
+    x = _vol(rng, (8, 12, 16))
+    c, approxs = S3.swt3d(x, w, 2, backend="fma", keep_approx=True)
+    assert len(approxs) == 2
+    np.testing.assert_array_equal(np.asarray(approxs[-1]),
+                                  np.asarray(c.approx))
+    np.testing.assert_allclose(
+        np.asarray(approxs[0]),
+        np.asarray(S3.swt3d(x, w, 1, backend="fma").approx), atol=1e-12)
+
+
+def test_3d_threshold_and_norms(rng):
+    """The ops pytree machinery covers Coeffs3D."""
+    w = get_wavelet("db2")
+    x = _vol(rng, (8, 12, 16))
+    c = S3.dwt3d(x, w, 2, backend="fma")
+    n1 = float(ops.norm1(c))
+    assert n1 > 0 and np.isfinite(n1)
+    ct = ops.soft_threshold(c, 0.5, normalize=True)
+    assert ct.approx.shape == c.approx.shape
+    assert float(ops.norm1(ct)) < n1
+    cg = ops.group_soft_threshold(c, 0.5, do_thresh_appcoeffs=True)
+    assert float(ops.norm2sq(cg)) < float(ops.norm2sq(c))
+    th = float(ops.thresholded_norm1(c, 0.5))
+    assert np.isfinite(th)
+    # hard threshold + shrink smoke
+    ops.hard_threshold(c, 0.5)
+    ops.shrink(c, 0.5)
+
+
+def test_3d_gradients(rng):
+    """jax.grad flows through the 3D transforms (pure jnp compositions)."""
+    w = get_wavelet("db2")
+    x = _vol(rng, (8, 8, 16)).astype(jnp.float32)
+
+    def loss(v):
+        c = S3.dwt3d(v, w, 1, backend="fma")
+        return ops.norm2sq(c)
+
+    g = jax.grad(loss)(x)
+    # analysis is orthogonal-ish for db2: grad of ||Wx||^2 = 2x exactly
+    # when W is orthonormal (periodic db2 is)
+    np.testing.assert_allclose(np.asarray(g), 2 * np.asarray(x),
+                               rtol=0, atol=1e-4)
+
+
+def test_3d_pallas_composition_interpret(rng, monkeypatch):
+    """backend="pallas" (fused 2D level kernel + fma depth pass) matches
+    the fma composition bit-for-bit-ish in interpret mode."""
+    monkeypatch.setenv("PDWT_PALLAS_INTERPRET", "1")
+    w = get_wavelet("db4")
+    shape = (8, 32, 256)
+    x = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+    ref = S3.dwt3d(x, w, 2, backend="fma")
+    c = S3.dwt3d(x, w, 2, backend="pallas")
+    for a, b in zip(jax.tree.leaves(ref), jax.tree.leaves(c)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=1e-5)
+    y = S3.idwt3d(c, w, shape, backend="pallas")
+    assert float(jnp.abs(y - x).max()) < 1e-5
+    cs = S3.swt3d(x, w, 2, backend="pallas")
+    refs = S3.swt3d(x, w, 2, backend="fma")
+    for a, b in zip(jax.tree.leaves(refs), jax.tree.leaves(cs)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=1e-5)
+    ys = S3.iswt3d(cs, w, backend="pallas")
+    assert float(jnp.abs(ys - x).max()) < 1e-5

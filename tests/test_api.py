@@ -196,10 +196,21 @@ def test_custom_filters_legall53(rng):
     assert np.abs(out - img).max() < 1e-9
 
 
-def test_custom_filters_too_long(rng):
-    W = Wavelets(_image(rng), wname="db2", levels=1)
-    with pytest.raises(ValueError, match="maximum size"):
-        W.set_filters_forward("big", np.ones(41), np.ones(41))
+def test_custom_filters_beyond_reference_cap(rng):
+    """set_filters accepts >40 taps (the reference's TODO.txt wish) and
+    the resulting 44-tap PR bank round-trips through the facade."""
+    from pdwt_tpu.filters import get_wavelet
+
+    w = get_wavelet("db20")
+    pad = lambda f: np.concatenate([np.zeros(2), f, np.zeros(2)])
+    img = _image(rng, (128, 128))  # max_level(128, hlen=44) == 1
+    W = Wavelets(img, wname="db2", levels=1, dtype=jnp.float64)
+    W.set_filters_forward("big44", pad(w.dec_lo), pad(w.dec_hi))
+    W.set_filters_inverse(pad(w.rec_lo), pad(w.rec_hi))
+    assert W.spec.hlen == 44
+    W.forward()
+    out = np.asarray(W.inverse())
+    assert np.abs(out - img).max() < 1e-7
 
 
 def test_nonseparable_custom_quads(rng):

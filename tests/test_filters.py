@@ -79,10 +79,25 @@ def test_custom_wavelet_roundtrip():
     assert get_wavelet("MyDB4") == c
 
 
-def test_custom_wavelet_too_long():
-    with pytest.raises(ValueError, match="maximum size"):
-        make_custom_wavelet("big", np.ones(41), np.ones(41), np.ones(41),
-                            np.ones(41))
+def test_custom_wavelet_longer_than_reference_cap():
+    """Filters beyond the reference's 40-tap constant-memory cap are
+    accepted (reference TODO.txt: "Should allow > 40 coeffs") and keep
+    perfect reconstruction: a symmetrically zero-padded db20 bank is a
+    valid 44-tap PR bank."""
+    import jax.numpy as jnp
+
+    from pdwt_tpu.core import separable as sep
+
+    w = get_wavelet("db20")
+    pad = lambda f: np.concatenate([np.zeros(2), f, np.zeros(2)])
+    big = make_custom_wavelet("big44", pad(w.dec_lo), pad(w.dec_hi),
+                              pad(w.rec_lo), pad(w.rec_hi))
+    assert big.hlen == 44 > MAX_FILTER_WIDTH
+    x = jnp.asarray(np.random.default_rng(3).standard_normal((64, 64)))
+    for bk in ("fma", "gather"):
+        y = sep.idwt2d(sep.dwt2d(x, big, 2, backend=bk), big, (64, 64),
+                       backend=bk)
+        assert float(abs(y - x).max()) < 1e-9
 
 
 def test_quad_filters_outer_products():

@@ -141,3 +141,43 @@ def test_iswt2d_denoise_fused_grad(rng, monkeypatch):
         assert float(jnp.abs(gx_f - gx_r).max()) / scale < 1e-5, mode
         assert abs(float(gb_f) - float(gb_r)) / max(abs(float(gb_r)), 1) \
             < 1e-5, mode
+
+
+def test_swt_keep_approx_multires(rng):
+    """keep_approx returns the per-level approximation stack (the
+    reference TODO.txt's "return all app coeffs" multi-resolution
+    feature): A_l equals the lowpass chain recomputed level by level,
+    and the last entry is coeffs.approx."""
+    w = get_wavelet("db3")
+    x = jnp.asarray(rng.standard_normal((32, 40)))
+    c, approxs = S.swt2d(x, w, 3, keep_approx=True)
+    assert len(approxs) == 3
+    assert all(a.shape == x.shape for a in approxs)
+    np.testing.assert_array_equal(np.asarray(approxs[-1]),
+                                  np.asarray(c.approx))
+    # A_l == swt2d(x, l).approx (the chain is level-prefix-stable)
+    for lvl in (1, 2, 3):
+        ref = S.swt2d(x, w, lvl).approx
+        np.testing.assert_allclose(np.asarray(approxs[lvl - 1]),
+                                   np.asarray(ref), rtol=0, atol=1e-12)
+    # 1D variant
+    s = jnp.asarray(rng.standard_normal((4, 64)))
+    c1, ap1 = S.swt1d(s, w, 2, keep_approx=True)
+    assert len(ap1) == 2 and ap1[-1].shape == s.shape
+    np.testing.assert_array_equal(np.asarray(ap1[-1]), np.asarray(c1.approx))
+    np.testing.assert_allclose(np.asarray(ap1[0]),
+                               np.asarray(S.swt1d(s, w, 1).approx),
+                               rtol=0, atol=1e-12)
+
+
+def test_swt_keep_approx_interpret_pallas(rng, monkeypatch):
+    """The pallas path returns the same multi-resolution stack."""
+    monkeypatch.setenv("PDWT_PALLAS_INTERPRET", "1")
+    w = get_wavelet("db2")
+    x = jnp.asarray(rng.standard_normal((16, 128)), jnp.float32)
+    c_ref, ap_ref = S.swt2d(x, w, 2, keep_approx=True, backend="fma")
+    c_p, ap_p = S.swt2d(x, w, 2, keep_approx=True, backend="pallas")
+    assert len(ap_p) == 2
+    for a, b in zip(ap_ref, ap_p):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=1e-5)
