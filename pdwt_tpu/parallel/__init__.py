@@ -9,21 +9,26 @@ from .sharded import (
     dwt1d,
     dwt2d,
     dwt2d_ns,
+    dwt3d,
     idwt1d,
     idwt2d,
     idwt2d_ns,
+    idwt3d,
     iswt1d,
     iswt2d,
+    iswt3d,
     shard_image,
     iswt2d_ns,
     swt1d,
     swt2d,
     swt2d_ns,
+    swt3d,
 )
 
 __all__ = [
     "make_mesh", "init_distributed", "make_pad_fn", "ring_wrap_pad", "shard_image",
     "dwt1d", "dwt2d", "idwt1d", "idwt2d",
+    "dwt3d", "idwt3d", "swt3d", "iswt3d",
     "swt1d", "swt2d", "iswt1d", "iswt2d",
     "dwt2d_ns", "idwt2d_ns", "swt2d_ns", "iswt2d_ns",
 ]

@@ -65,16 +65,21 @@ def ring_wrap_pad(
     return jnp.concatenate(left_parts + [x] + right_parts, axis=axis)
 
 
-def make_pad_fn(mesh_shape: dict, row_axis=None, col_axis=None):
+def make_pad_fn(mesh_shape: dict, row_axis=None, col_axis=None,
+                dep_axis=None):
     """Build a ``pad_fn`` dispatching per spatial axis: ring exchange on
     sharded axes, local periodic wrap otherwise.
 
-    Spatial axes are the trailing two dims of the NCHW arrays the conv
-    passes operate on (H = -2, W = -1).
+    Spatial axes are the trailing dims of the (N, C, *spatial) arrays the
+    conv passes operate on (W = -1, H = -2, and for volumes D = -3 via
+    ``dep_axis``).
     """
 
     def pad_fn(arr, axis, lo, hi):
         ax = axis % arr.ndim
+        if ax == arr.ndim - 3 and dep_axis is not None:
+            return ring_wrap_pad(arr, axis, lo, hi, axis_name=dep_axis,
+                                 n_shards=mesh_shape[dep_axis])
         if ax == arr.ndim - 2 and row_axis is not None:
             return ring_wrap_pad(arr, axis, lo, hi, axis_name=row_axis,
                                  n_shards=mesh_shape[row_axis])

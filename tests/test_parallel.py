@@ -259,3 +259,53 @@ def test_sharded_nonseparable_matches_single_device(mesh, rng, swt):
         y_sh = par.idwt2d_ns(c_sh, q, (128, 128), mesh, **AXES)
         y_ref = ns.idwt2d_ns(c_ref, q, (128, 128))
     assert _max_err(y_sh, y_ref) == 0.0
+
+
+@pytest.mark.parametrize("swt", [False, True])
+def test_sharded_3d_matches_single_device(mesh, rng, swt):
+    """Volumes sharded over (depth, row, col) — halos ride all three
+    rings; results must be bit-identical to the single-device engine."""
+    from pdwt_tpu.core import separable3d as sep3
+
+    w = get_wavelet("db4")
+    levels = 2
+    axes3 = dict(dep_axis="data", row_axis="row", col_axis="col")
+    x = rng.standard_normal((16, 32, 32)).astype(np.float32)
+    xs = par.shard_image(x, mesh, **axes3)
+
+    c_sh = par.dwt3d(xs, w, levels, mesh, swt=swt, **axes3)
+    c_ref = (sep3.swt3d if swt else sep3.dwt3d)(
+        jnp.asarray(x), w, levels)
+    assert _max_err(c_sh, c_ref) == 0.0
+
+    y_sh = par.idwt3d(c_sh, w, (16, 32, 32), mesh, swt=swt, **axes3)
+    y_ref = (sep3.iswt3d(c_ref, w) if swt
+             else sep3.idwt3d(c_ref, w, (16, 32, 32)))
+    assert _max_err(y_sh, y_ref) == 0.0
+    assert float(jnp.abs(y_sh - x).max()) < 5e-5
+
+
+def test_sharded_3d_batched_data_axis(mesh, rng):
+    """Batch over data, volume over (row, col) only — depth unsharded."""
+    from pdwt_tpu.core import separable3d as sep3
+
+    w = get_wavelet("db2")
+    x = rng.standard_normal((2, 8, 32, 32)).astype(np.float32)
+    xs = par.shard_image(x, mesh, data_axis="data", dep_axis=None,
+                         row_axis="row", col_axis="col")
+    axes = dict(data_axis="data", row_axis="row", col_axis="col")
+    c_sh = par.dwt3d(xs, w, 2, mesh, **axes)
+    c_ref = sep3.dwt3d(jnp.asarray(x), w, 2)
+    assert _max_err(c_sh, c_ref) == 0.0
+    y_sh = par.idwt3d(c_sh, w, (8, 32, 32), mesh, **axes)
+    assert float(jnp.abs(y_sh - x).max()) < 5e-5
+
+
+def test_sharded_3d_divisibility_error(mesh, rng):
+    w = get_wavelet("db2")
+    x = rng.standard_normal((12, 32, 32)).astype(np.float32)  # 12 % (2*4) != 0
+    xs = par.shard_image(x, mesh, dep_axis="data", row_axis="row",
+                         col_axis="col")
+    with pytest.raises(ValueError, match="divisible"):
+        par.dwt3d(xs, w, 2, mesh, dep_axis="data", row_axis="row",
+                  col_axis="col")
