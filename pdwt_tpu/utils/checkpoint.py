@@ -13,8 +13,9 @@ import ml_dtypes
 import numpy as np
 
 from ..core.separable import Coeffs1D, Coeffs2D
+from ..core.separable3d import Coeffs3D
 
-Coeffs = Union[Coeffs1D, Coeffs2D]
+Coeffs = Union[Coeffs1D, Coeffs2D, Coeffs3D]
 
 _BF16 = np.dtype(ml_dtypes.bfloat16)
 
@@ -42,7 +43,12 @@ def save_coeffs(path: str, coeffs: Coeffs) -> None:
     """Write a coefficient pytree to ``path`` (.npz)."""
     data: dict = {}
     _pack(data, "approx", coeffs.approx)
-    if isinstance(coeffs, Coeffs2D):
+    if isinstance(coeffs, Coeffs3D):
+        data["ndim"] = np.int64(3)
+        for i, bands in enumerate(coeffs.details):
+            for j, b in enumerate(bands):  # 7 bands, key order b{i}_{j}
+                _pack(data, f"b{i}_{j}", b)
+    elif isinstance(coeffs, Coeffs2D):
         data["ndim"] = np.int64(2)
         for i, (h, v, d) in enumerate(coeffs.details):
             _pack(data, f"h{i}", h)
@@ -62,6 +68,12 @@ def load_coeffs(path: str) -> Coeffs:
         levels = int(z["levels"])
         ndim = int(z["ndim"])
         approx = _unpack(z, "approx")
+        if ndim == 3:
+            details = tuple(
+                tuple(_unpack(z, f"b{i}_{j}") for j in range(7))
+                for i in range(levels)
+            )
+            return Coeffs3D(approx, details)
         if ndim == 2:
             details = tuple(
                 (_unpack(z, f"h{i}"), _unpack(z, f"v{i}"),

@@ -196,3 +196,17 @@ def test_3d_pallas_composition_interpret(rng, monkeypatch):
                                    rtol=0, atol=1e-5)
     ys = S3.iswt3d(cs, w, backend="pallas")
     assert float(jnp.abs(ys - x).max()) < 1e-5
+
+
+def test_3d_checkpoint_roundtrip(rng, tmp_path):
+    from pdwt_tpu.utils import checkpoint as ckpt
+
+    w = get_wavelet("db2")
+    x = _vol(rng, (8, 12, 16)).astype(jnp.float32)
+    c = S3.dwt3d(x, w, 2, backend="fma")
+    p = str(tmp_path / "c3.npz")
+    ckpt.save_coeffs(p, c)
+    c2 = ckpt.load_coeffs(p)
+    assert isinstance(c2, S3.Coeffs3D) and c2.levels == 2
+    for a, b in zip(jax.tree.leaves(c), jax.tree.leaves(c2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
