@@ -76,10 +76,12 @@ class WaveletSpec:
     do_cycle_spinning: bool = False
     dtype: str = "float32"
     hlen: int = 2
+    nd: int = 1  # depth (ndim == 3 only; the reference has no 3D)
 
     @property
-    def shape(self) -> Tuple[int, int]:
-        return (self.nr, self.nc)
+    def shape(self):
+        return (self.nd, self.nr, self.nc) if self.ndim == 3 \
+            else (self.nr, self.nc)
 
 
 class Wavelets:
@@ -91,10 +93,13 @@ class Wavelets:
     >>> W.forward(); W.soft_threshold(10.0); img_dn = W.inverse()
 
     Like the reference, the facade holds exactly ONE 1D signal or 2D
-    image.  For batched throughput (image stacks, batched-1D with
-    arbitrary leading dims) use the functional core directly
-    (``pdwt_tpu.core.dwt2d`` et al. broadcast over leading axes) or the
-    sharded entry points in ``pdwt_tpu.parallel``.
+    image — or (beyond the reference, whose README lists 3D as its first
+    limitation) one 3D volume, with the separable transforms, cycle
+    spinning, thresholds, norms and the 7-band flat coefficient
+    numbering extended accordingly.  For batched throughput (image
+    stacks, batched-1D with arbitrary leading dims) use the functional
+    core directly (``pdwt_tpu.core.dwt2d`` et al. broadcast over leading
+    axes) or the sharded entry points in ``pdwt_tpu.parallel``.
     """
 
     def __init__(
@@ -112,17 +117,23 @@ class Wavelets:
         seed: int = 0,
         backend: Optional[str] = None,
     ):
+        nd = 1
         if img is not None:
             img = jnp.asarray(img, dtype=dtype)
             if img.ndim == 1:
                 img = img[None, :]
                 ndim = 1
-            if img.ndim != 2:
+            if img.ndim == 3:
+                ndim = 3  # volume — beyond the reference (no 3D there)
+                nd, nr, nc = img.shape
+            elif img.ndim != 2:
                 raise ValueError(
-                    f"expected a 1D or 2D array, got shape {img.shape}; use the "
-                    "functional core (pdwt_tpu.core) for extra batch dims"
+                    f"expected a 1D, 2D or 3D array, got shape {img.shape}; "
+                    "use the functional core (pdwt_tpu.core) for extra "
+                    "batch dims"
                 )
-            nr, nc = img.shape
+            else:
+                nr, nc = img.shape
         elif nr is None or nc is None:
             raise ValueError("provide either an image or (nr, nc)")
 
@@ -134,13 +145,13 @@ class Wavelets:
             levels = 1
         if nr == 1:  # 1D data (reference: src/wt.cu:133-136)
             ndim = 1
-        if ndim == 1 and not do_separable:
+        if ndim in (1, 3) and not do_separable:
             warnings.warn(
-                "1D DWT is incompatible with non-separable transform; "
-                "ignoring do_separable"  # reference: src/wt.cu:138-142
+                f"{ndim}D DWT is incompatible with non-separable transform; "
+                "ignoring do_separable"  # reference: src/wt.cu:138-142 (1D)
             )
             do_separable = True
-        if ndim not in (1, 2):
+        if ndim not in (1, 2, 3):
             raise ValueError(f"ndim={ndim} is not implemented")
         if do_cycle_spinning and do_swt:
             warnings.warn(
@@ -162,7 +173,7 @@ class Wavelets:
             self._quads_inv = quad_filters(self._wavelet.rec_lo, self._wavelet.rec_hi)
 
         # Max achievable level (reference: src/wt.cu:155-165).
-        n_min = min(nr, nc) if ndim == 2 else nc
+        n_min = {1: nc, 2: min(nr, nc), 3: min(nd, nr, nc)}[ndim]
         wmax = max_level(n_min, hlen)
         if levels > wmax:
             warnings.warn(
@@ -176,18 +187,20 @@ class Wavelets:
             wname=wname, nr=nr, nc=nc, nlevels=levels, ndim=ndim,
             do_swt=do_swt, do_separable=do_separable,
             do_cycle_spinning=do_cycle_spinning,
-            dtype=jnp.dtype(dtype).name, hlen=hlen,
+            dtype=jnp.dtype(dtype).name, hlen=hlen, nd=nd,
         )
         self._dtype = jnp.dtype(dtype)
         self._backend = backend
         self.state = WState.INIT
         self.current_shift_r = 0
         self.current_shift_c = 0
+        self.current_shift_d = 0  # depth shift (3D cycle spinning)
         self._rng = np.random.default_rng(seed)
 
         if img is None:
-            img = jnp.zeros((nr, nc), dtype=self._dtype)
-        self.d_image = img if ndim == 2 else img.reshape(nr, nc)
+            img = jnp.zeros((nd, nr, nc) if ndim == 3 else (nr, nc),
+                            dtype=self._dtype)
+        self.d_image = img if ndim in (2, 3) else img.reshape(nr, nc)
         self._coeffs = self._zero_coeffs()
         # jit cache for the transform pipelines: the reference launches
         # hand-written kernels per level (src/wt.cu:247-266); here each
@@ -239,6 +252,16 @@ class Wavelets:
     def _zero_coeffs(self):
         s = self.spec
         z = partial(jnp.zeros, dtype=self._dtype)
+        if s.ndim == 3:
+            from .core.separable3d import Coeffs3D
+            from .core.shapes import coeff_shapes_3d
+
+            a_shape, det_shapes = coeff_shapes_3d(
+                s.nd, s.nr, s.nc, s.nlevels, s.do_swt)
+            return Coeffs3D(
+                z(a_shape),
+                tuple(tuple(z(d) for _ in range(7)) for d in det_shapes),
+            )
         if s.ndim == 2:
             a_shape, det_shapes = coeff_shapes_2d(s.nr, s.nc, s.nlevels, s.do_swt)
             return Coeffs2D(
@@ -284,15 +307,22 @@ class Wavelets:
         haar_fast = s.hlen == 2 and not s.do_swt \
             and _jax.default_backend() != "tpu"
 
-        def fn(img, sr, sc):
+        def fn(img, sd, sr, sc):
             if s.do_cycle_spinning:
-                img = ops.circshift2d(img, sr, sc)
+                img = (ops.circshift3d(img, sd, sr, sc) if s.ndim == 3
+                       else ops.circshift2d(img, sr, sc))
             if s.ndim == 1:
                 if haar_fast:
                     return haar_core.haar_dwt1d(img, s.nlevels)
                 if not s.do_swt:
                     return sep_core.dwt1d(img, w, s.nlevels, backend=be)
                 return sep_core.swt1d(img, w, s.nlevels, backend=be)
+            if s.ndim == 3:
+                from .core import separable3d as sep3
+
+                if not s.do_swt:
+                    return sep3.dwt3d(img, w, s.nlevels, backend=be)
+                return sep3.swt3d(img, w, s.nlevels, backend=be)
             if haar_fast and s.do_separable:
                 return haar_core.haar_dwt2d(img, s.nlevels)
             if s.do_separable:
@@ -319,11 +349,13 @@ class Wavelets:
             # (traced args -> no recompile per draw).
             self.current_shift_r = int(self._rng.integers(0, s.nr))
             self.current_shift_c = int(self._rng.integers(0, s.nc))
+            if s.ndim == 3:
+                self.current_shift_d = int(self._rng.integers(0, s.nd))
         key = ("fwd", s, self._wavelet, None if self._quads_fwd is None
                else self._quads_fwd.tobytes())
         fn = self._jitted(key, self._make_forward_fn)
-        self._coeffs = fn(self.d_image, self.current_shift_r,
-                          self.current_shift_c)
+        self._coeffs = fn(self.d_image, self.current_shift_d,
+                          self.current_shift_r, self.current_shift_c)
         self.state = WState.FORWARD
         return self._coeffs
 
@@ -351,7 +383,7 @@ class Wavelets:
             and _jax.default_backend() != "tpu"
 
         def make():
-            def fn(c, sr, sc):
+            def fn(c, sd, sr, sc):
                 if s.ndim == 1:
                     if haar_fast:
                         img = haar_core.haar_idwt1d(c, s.nc)
@@ -359,6 +391,13 @@ class Wavelets:
                         img = sep_core.idwt1d(c, w, s.nc, backend=be)
                     else:
                         img = sep_core.iswt1d(c, w, backend=be)
+                elif s.ndim == 3:
+                    from .core import separable3d as sep3
+
+                    if not s.do_swt:
+                        img = sep3.idwt3d(c, w, s.shape, backend=be)
+                    else:
+                        img = sep3.iswt3d(c, w, backend=be)
                 else:
                     if haar_fast and s.do_separable:
                         img = haar_core.haar_idwt2d(c, s.shape)
@@ -375,14 +414,17 @@ class Wavelets:
                         else:
                             img = ns_core.iswt2d_ns(c, quads)
                 if s.do_cycle_spinning:
-                    img = ops.circshift2d(img, -sr, -sc)
+                    img = (ops.circshift3d(img, -sd, -sr, -sc)
+                           if s.ndim == 3
+                           else ops.circshift2d(img, -sr, -sc))
                 return img
 
             return fn
 
         key = ("inv", s, w, None if quads is None else quads.tobytes())
         img = self._jitted(key, make)(
-            self._coeffs, self.current_shift_r, self.current_shift_c)
+            self._coeffs, self.current_shift_d, self.current_shift_r,
+            self.current_shift_c)
         self.d_image = img
         self.state = WState.INVERSE
         return img
@@ -459,14 +501,20 @@ class Wavelets:
         return float(self._jitted(("norm2sq", self.spec),
                                   lambda: ops.norm2sq)(self._coeffs))
 
-    def circshift(self, sr: int, sc: int, inplace: bool = True):
+    def circshift(self, sr: int, sc: int, inplace: bool = True,
+                  sd: int = 0):
         """Circular shift of the image (reference: src/wt.cu:366-368;
         the non-inplace variant mirrors src/wt.h:63 ``inplace=0``: the
-        shifted image is returned and the internal state is untouched)."""
+        shifted image is returned and the internal state is untouched).
+        ``sd`` shifts the depth axis of a 3D volume."""
         if self.spec.ndim == 1:
             shifted = self._jitted(
                 ("shift1", self.spec), lambda: ops.circshift1d)(
                 self.d_image, sc)
+        elif self.spec.ndim == 3:
+            shifted = self._jitted(
+                ("shift3", self.spec), lambda: ops.circshift3d)(
+                self.d_image, sd, sr, sc)
         else:
             shifted = self._jitted(
                 ("shift2", self.spec), lambda: ops.circshift2d)(
@@ -489,8 +537,9 @@ class Wavelets:
                 "add_wavelet(): this operation makes no sense when wavelet "
                 "has just been inverted")
             return 1
-        if (self.spec.nr, self.spec.nc, self.spec.ndim) != (
-                other.spec.nr, other.spec.nc, other.spec.ndim):
+        if (self.spec.nd, self.spec.nr, self.spec.nc, self.spec.ndim) != (
+                other.spec.nd, other.spec.nr, other.spec.nc,
+                other.spec.ndim):
             raise ValueError("add_wavelet(): operands do not have the same geometry")
         if self.spec.do_swt != other.spec.do_swt:
             raise ValueError("add_wavelet(): operands should both use SWT or DWT")
@@ -522,7 +571,10 @@ class Wavelets:
         return self.d_image
 
     def set_image(self, img):
-        img = jnp.asarray(img, dtype=self._dtype).reshape(self.spec.nr, self.spec.nc)
+        img = jnp.asarray(img, dtype=self._dtype).reshape(self.spec.shape
+                                                          if self.spec.ndim == 3
+                                                          else (self.spec.nr,
+                                                                self.spec.nc))
         self.d_image = img
         self.state = WState.INIT
 
@@ -531,10 +583,18 @@ class Wavelets:
 
         2D: 0=A, then H1,V1,D1=1,2,3, H2,V2,D2=4,5,6, ...
         1D: 0=A, then D1..Dn  (reference: src/wt.cu:442-465).
+        3D (no reference counterpart): 0=A, then the 7 bands of level 1
+        in DETAIL_KEYS_3D order (daa..ddd) = 1..7, level 2 = 8..14, ...
         """
         s = self.spec
         if num == 0:
             return ("a",)
+        if s.ndim == 3:
+            level = (num - 1) // 7
+            band = (num - 1) % 7
+            if level >= s.nlevels:
+                raise IndexError(f"coefficient {num} out of range")
+            return ("d2", level, band)
         if s.ndim == 2:
             level = (num - 1) // 3      # 0-based
             band = (num - 1) % 3
@@ -637,15 +697,21 @@ class Wavelets:
 
     def info(self) -> dict:
         s = self.spec
+        npix = s.nd * s.nr * s.nc  # nd == 1 unless ndim == 3
         if not s.do_swt:
-            mem = 5 * s.nr * s.nc * self._dtype.itemsize
+            mem = 5 * npix * self._dtype.itemsize
+        elif s.ndim == 3:
+            # 3D SWT: (7n+1) full-size bands + image + tmp (analogue of
+            # the reference's 2D (3n+4) formula, src/wt.cu:533-539)
+            mem = (7 * s.nlevels + 4) * npix * self._dtype.itemsize
         elif s.ndim == 2:
-            mem = (3 * s.nlevels + 4) * s.nr * s.nc * self._dtype.itemsize
+            mem = (3 * s.nlevels + 4) * npix * self._dtype.itemsize
         else:
-            mem = (s.nlevels + 4) * s.nr * s.nc * self._dtype.itemsize
+            mem = (s.nlevels + 4) * npix * self._dtype.itemsize
         dev = jax.devices()[0]
         return {
-            "dims": (s.nr, s.nc) if s.ndim == 2 else s.nc,
+            "dims": (s.shape if s.ndim == 3
+                     else (s.nr, s.nc) if s.ndim == 2 else s.nc),
             "batched_1d": s.ndim == 1 and s.nr > 1,
             "wavelet": s.wname,
             "levels": s.nlevels,
@@ -661,7 +727,7 @@ class Wavelets:
     def print_informations(self):
         i = self.info()
         print("------------- Wavelet transform infos ------------")
-        if self.spec.ndim == 2:
+        if self.spec.ndim in (2, 3):
             print(f"Data dimensions : {i['dims']}")
         elif i["batched_1d"]:
             print(f"Data dimensions : ({self.spec.nr}, {self.spec.nc}) "

@@ -21,7 +21,8 @@ from .separable3d import (
 )
 from .nonseparable import dwt2d_ns, idwt2d_ns, iswt2d_ns, swt2d_ns
 from .haar import haar_dwt1d, haar_dwt2d, haar_idwt1d, haar_idwt2d
-from .shapes import coeff_shapes_1d, coeff_shapes_2d, div2, level_sizes, max_level
+from .shapes import (coeff_shapes_1d, coeff_shapes_2d, coeff_shapes_3d,
+                     div2, level_sizes, max_level)
 from . import conv
 
 __all__ = [
@@ -31,6 +32,7 @@ __all__ = [
     "swt1d", "swt2d", "iswt1d", "iswt2d", "iswt2d_denoise",
     "dwt2d_ns", "idwt2d_ns", "swt2d_ns", "iswt2d_ns",
     "haar_dwt1d", "haar_dwt2d", "haar_idwt1d", "haar_idwt2d",
-    "coeff_shapes_1d", "coeff_shapes_2d", "div2", "level_sizes", "max_level",
+    "coeff_shapes_1d", "coeff_shapes_2d", "coeff_shapes_3d",
+    "div2", "level_sizes", "max_level",
     "conv",
 ]

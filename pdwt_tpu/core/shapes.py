@@ -53,6 +53,20 @@ def coeff_shapes_2d(
     return details[-1], details
 
 
+def coeff_shapes_3d(
+    nd: int, nr: int, nc: int, levels: int, do_swt: bool
+) -> Tuple[Tuple[int, int, int], List[Tuple[int, int, int]]]:
+    """3D analogue of :func:`coeff_shapes_2d` (the reference has no 3D;
+    the per-axis size rule is the same w_div2)."""
+    if do_swt:
+        return (nd, nr, nc), [(nd, nr, nc)] * levels
+    deps = level_sizes(nd, levels)
+    rows = level_sizes(nr, levels)
+    cols = level_sizes(nc, levels)
+    details = [(deps[i + 1], rows[i + 1], cols[i + 1]) for i in range(levels)]
+    return details[-1], details
+
+
 def coeff_shapes_1d(n: int, levels: int, do_swt: bool) -> Tuple[int, List[int]]:
     if do_swt:
         return n, [n] * levels

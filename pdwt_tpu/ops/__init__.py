@@ -6,11 +6,11 @@ from .threshold import (
     soft_threshold,
 )
 from .norms import add_coeffs, norm1, norm2sq, thresholded_norm1
-from .shift import circshift1d, circshift2d, random_shift
+from .shift import circshift1d, circshift2d, circshift3d, random_shift
 
 __all__ = [
     "soft_threshold", "hard_threshold", "group_soft_threshold",
     "proj_linf", "shrink",
     "norm1", "norm2sq", "add_coeffs", "thresholded_norm1",
-    "circshift1d", "circshift2d", "random_shift",
+    "circshift1d", "circshift2d", "circshift3d", "random_shift",
 ]

@@ -22,6 +22,12 @@ def circshift2d(x: jnp.ndarray, sr, sc) -> jnp.ndarray:
     return jnp.roll(x, (sr, sc), axis=(-2, -1))
 
 
+def circshift3d(x: jnp.ndarray, sd, sr, sc) -> jnp.ndarray:
+    """3D circular shift over the trailing three axes (no reference
+    counterpart — it has no 3D; same mod-N semantics per axis)."""
+    return jnp.roll(x, (sd, sr, sc), axis=(-3, -2, -1))
+
+
 def circshift1d(x: jnp.ndarray, sc) -> jnp.ndarray:
     """1D circular shift along the last axis; the row shift is forced to 0
     for 1D data (reference: src/common.cu:386)."""

@@ -53,14 +53,35 @@ def checked(fn):
 
 
 def validate_coeffs(coeffs: Coeffs, nr: int, nc: int = None, *,
-                    levels: int = None, swt: bool = False) -> None:
+                    levels: int = None, swt: bool = False,
+                    nd: int = None) -> None:
     """Host-side audit: every subband of ``coeffs`` must match the
-    reference buffer geometry for an (nr[, nc]) input.  Raises
+    reference buffer geometry for an (nr[, nc]) input — or an
+    (nd, nr, nc) volume when ``nd`` is given (Coeffs3D).  Raises
     ValueError with the offending level/subband."""
     levels = coeffs.levels if levels is None else levels
     if coeffs.levels != levels:
         raise ValueError(
             f"expected {levels} levels, got {coeffs.levels}")
+    from ..core.separable3d import Coeffs3D
+    from ..core.shapes import coeff_shapes_3d
+
+    if isinstance(coeffs, Coeffs3D):
+        if nd is None:
+            raise ValueError("validate_coeffs: Coeffs3D needs nd=")
+        app, dets = coeff_shapes_3d(nd, nr, nc, levels, swt)
+        if coeffs.approx.shape[-3:] != app:
+            raise ValueError(
+                f"approx shape {coeffs.approx.shape[-3:]} != {app}")
+        for i, (bands, want) in enumerate(zip(coeffs.details, dets)):
+            if len(bands) != 7:
+                raise ValueError(f"level {i + 1} has {len(bands)} bands")
+            for j, arr in enumerate(bands):
+                if arr.shape[-3:] != want:
+                    raise ValueError(
+                        f"level {i + 1} band {j} shape {arr.shape[-3:]} "
+                        f"!= {want}")
+        return
     if isinstance(coeffs, Coeffs2D):
         app, dets = coeff_shapes_2d(nr, nc, levels, swt)
         if coeffs.approx.shape[-2:] != app:

@@ -210,3 +210,76 @@ def test_3d_checkpoint_roundtrip(rng, tmp_path):
     assert isinstance(c2, S3.Coeffs3D) and c2.levels == 2
     for a, b in zip(jax.tree.leaves(c), jax.tree.leaves(c2)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_3d_facade_roundtrip_and_state(rng):
+    """The Wavelets facade accepts a 3D volume (beyond the reference) —
+    forward/threshold/norm/inverse, the zeroed-image reconstruction
+    proof, and the 7-band flat coefficient numbering."""
+    from pdwt_tpu import Wavelets
+
+    vol = rng.uniform(0, 255, (16, 24, 32)).astype(np.float32)
+    W = Wavelets(vol, wname="db2", levels=2)  # max_level(16, hlen=4) == 2
+    assert W.spec.ndim == 3 and W.spec.shape == (16, 24, 32)
+    W.forward()
+    n1 = W.norm1()
+    assert np.isfinite(n1) and n1 > 0
+    # flat numbering: 0=A, 1..7 level-1 bands, 8..14 level-2
+    a = W.get_coeff(0)
+    assert a.shape == (4, 6, 8)
+    b14 = W.get_coeff(14)
+    assert b14.shape == (4, 6, 8)
+    assert W.get_coeff(1).shape == (8, 12, 16)
+    with pytest.raises(IndexError):
+        W.get_coeff(15)
+    # set_coeff round-trip
+    W.set_coeff(np.zeros_like(a), 0)
+    np.testing.assert_array_equal(W.get_coeff(0), 0)
+    W.set_coeff(a, 0)
+    # zeroed-image proof + reconstruction
+    W.set_image(np.zeros_like(vol))
+    out = np.asarray(W.inverse())
+    assert out.shape == vol.shape
+    assert np.abs(out - vol).max() < 1e-3
+    info = W.info()
+    assert info["dims"] == (16, 24, 32)
+    W.print_informations()
+
+
+def test_3d_facade_swt_threshold(rng):
+    from pdwt_tpu import Wavelets
+
+    vol = rng.uniform(0, 255, (8, 16, 16)).astype(np.float32)
+    W = Wavelets(vol, wname="haar", levels=2, do_swt=True)
+    W.forward()
+    W.soft_threshold(10.0, normalize=True)
+    out = np.asarray(W.inverse())
+    assert out.shape == vol.shape
+    # denoising moved the image but kept it in range
+    assert np.abs(out - vol).max() < 50
+
+
+def test_3d_facade_cycle_spinning(rng):
+    """3D cycle spinning: shift -> transform -> inverse -> unshift is
+    the identity (jnp.roll on all three axes)."""
+    from pdwt_tpu import Wavelets
+
+    vol = rng.uniform(0, 255, (8, 16, 16)).astype(np.float32)
+    W = Wavelets(vol, wname="db2", levels=1, do_cycle_spinning=True,
+                 seed=7)
+    W.forward()
+    assert (W.current_shift_d, W.current_shift_r, W.current_shift_c) \
+        != (0, 0, 0)
+    out = np.asarray(W.inverse())
+    assert np.abs(out - vol).max() < 1e-3
+
+
+def test_3d_validate_coeffs(rng):
+    from pdwt_tpu.utils.debug import validate_coeffs
+
+    w = get_wavelet("db2")
+    x = _vol(rng, (8, 12, 16))
+    c = S3.dwt3d(x, w, 2, backend="fma")
+    validate_coeffs(c, 12, 16, nd=8, levels=2)
+    with pytest.raises(ValueError, match="approx"):
+        validate_coeffs(c, 12, 16, nd=16, levels=2)
