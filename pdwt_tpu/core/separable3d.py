@@ -126,6 +126,8 @@ def dwt3d(x: jnp.ndarray, wav: Wavelet, levels: int, *,
     """
     backend = _auto_backend(backend, pad_fn)
     use_pallas = backend == "pallas"
+    if use_pallas and pad_fn is not None:
+        raise ValueError("pallas backend does not support pad_fn")
     if use_pallas:
         backend = "fma"  # fallback / depth-pass backend
     arr, batch = _to_ncs(x)
@@ -160,6 +162,8 @@ def idwt3d(coeffs: Coeffs3D, wav: Wavelet,
     """Inverse of :func:`dwt3d`; ``shape`` = (Nd, Nr, Nc)."""
     backend = _auto_backend(backend, pad_fn)
     use_pallas = backend == "pallas"
+    if use_pallas and pad_fn is not None:
+        raise ValueError("pallas backend does not support pad_fn")
     if use_pallas:
         backend = "fma"
     levels = coeffs.levels
@@ -244,6 +248,8 @@ def swt3d(x: jnp.ndarray, wav: Wavelet, levels: int, *,
     returns the per-level approximation stack (multi-resolution)."""
     backend = _auto_backend(backend, pad_fn)
     use_pallas = backend == "pallas"
+    if use_pallas and pad_fn is not None:
+        raise ValueError("pallas backend does not support pad_fn")
     if use_pallas:
         backend = "fma"
     arr, batch = _to_ncs(x)
@@ -285,6 +291,8 @@ def iswt3d(coeffs: Coeffs3D, wav: Wavelet, *,
     the 3D redundancy)."""
     backend = _auto_backend(backend, pad_fn)
     use_pallas = backend == "pallas"
+    if use_pallas and pad_fn is not None:
+        raise ValueError("pallas backend does not support pad_fn")
     if use_pallas:
         backend = "fma"
     rec = (wav.rec_lo * 0.5, wav.rec_hi * 0.5)

@@ -283,3 +283,16 @@ def test_3d_validate_coeffs(rng):
     validate_coeffs(c, 12, 16, nd=8, levels=2)
     with pytest.raises(ValueError, match="approx"):
         validate_coeffs(c, 12, 16, nd=16, levels=2)
+
+
+def test_3d_pallas_rejects_pad_fn(rng):
+    """Explicit pallas + pad_fn must error (the composition cannot honor
+    a custom boundary), matching the 2D engines."""
+    from pdwt_tpu.core import conv
+
+    w = get_wavelet("db2")
+    x = _vol(rng, (8, 8, 16)).astype(jnp.float32)
+    with pytest.raises(ValueError, match="pad_fn"):
+        S3.dwt3d(x, w, 1, backend="pallas", pad_fn=conv.wrap_pad)
+    with pytest.raises(ValueError, match="pad_fn"):
+        S3.swt3d(x, w, 1, backend="pallas", pad_fn=conv.wrap_pad)
