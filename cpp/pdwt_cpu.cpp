@@ -551,3 +551,168 @@ void pdwt_axpy(pdwt_real *y, const pdwt_real *x, long n, pdwt_real alpha) {
 }
 
 } /* extern "C" */
+
+/* --------------------------------------------------------------------------
+ * 3D separable transforms (no reference counterpart: its README lists
+ * "3D is not handled at the moment" as the first limitation).  Same
+ * single-axis index semantics as the 1D/2D drivers, applied along
+ * columns, rows, then depth; coefficient layout matches the Python
+ * engine: coeffs[0] = A, then per level the 7 bands in channel order
+ * ch = 4*k_col + 2*k_row + k_dep (daa, ada, dda, aad, dad, add, ddd).
+ * -------------------------------------------------------------------------- */
+
+extern "C" {
+
+int pdwt_forward3d(const pdwt_real *vol, int nd, int nr, int nc,
+                   const double *dec_lo, const double *dec_hi, int hlen,
+                   int levels, int swt, pdwt_real **coeffs) {
+  if (!vol || !coeffs || levels < 1) return 1;
+  std::vector<pdwt_real> a(vol, vol + (long)nd * nr * nc);
+  int d = nd, r = nr, c = nc;
+  for (int l = 1; l <= levels; ++l) {
+    const int f = 1 << (l - 1);
+    const int c2 = swt ? c : pdwt_div2(c);
+    const int r2 = swt ? r : pdwt_div2(r);
+    const int d2 = swt ? d : pdwt_div2(d);
+    /* pass 1 along columns (x): (d, r, c) -> 2 x (d, r, c2) */
+    std::vector<pdwt_real> tlo((long)d * r * c2), thi((long)d * r * c2);
+    if (!swt)
+      analysis_axis(a.data(), c, d * r, 1, c, dec_lo, dec_hi, hlen,
+                    tlo.data(), thi.data(), 1, c2);
+    else
+      swt_analysis_axis(a.data(), c, d * r, 1, c, dec_lo, dec_hi, hlen, f,
+                        tlo.data(), thi.data(), 1, c2);
+    /* pass 2 along rows (y), one depth slice at a time:
+     * 2 x (d, r, c2) -> 4 x (d, r2, c2) */
+    std::vector<pdwt_real> ll((long)d * r2 * c2), lh((long)d * r2 * c2),
+        hl((long)d * r2 * c2), hh((long)d * r2 * c2);
+    for (int k = 0; k < d; ++k) {
+      const long in_off = (long)k * r * c2;
+      const long out_off = (long)k * r2 * c2;
+      if (!swt) {
+        analysis_axis(tlo.data() + in_off, r, c2, c2, 1, dec_lo, dec_hi,
+                      hlen, ll.data() + out_off, lh.data() + out_off, c2, 1);
+        analysis_axis(thi.data() + in_off, r, c2, c2, 1, dec_lo, dec_hi,
+                      hlen, hl.data() + out_off, hh.data() + out_off, c2, 1);
+      } else {
+        swt_analysis_axis(tlo.data() + in_off, r, c2, c2, 1, dec_lo, dec_hi,
+                          hlen, f, ll.data() + out_off, lh.data() + out_off,
+                          c2, 1);
+        swt_analysis_axis(thi.data() + in_off, r, c2, c2, 1, dec_lo, dec_hi,
+                          hlen, f, hl.data() + out_off, hh.data() + out_off,
+                          c2, 1);
+      }
+    }
+    /* pass 3 along depth (z): 4 x (d, r2, c2) -> A + 7 bands, each
+     * (d2, r2, c2); lines = the r2*c2 pixels (stride 1 between lines,
+     * r2*c2 along the axis). */
+    std::vector<pdwt_real> anew((long)d2 * r2 * c2);
+    pdwt_real **b = coeffs + 7 * (l - 1);
+    const long plane = (long)r2 * c2;
+    if (!swt) {
+      analysis_axis(ll.data(), d, (int)plane, plane, 1, dec_lo, dec_hi,
+                    hlen, anew.data(), b[1], plane, 1);
+      analysis_axis(lh.data(), d, (int)plane, plane, 1, dec_lo, dec_hi,
+                    hlen, b[2], b[3], plane, 1);
+      analysis_axis(hl.data(), d, (int)plane, plane, 1, dec_lo, dec_hi,
+                    hlen, b[4], b[5], plane, 1);
+      analysis_axis(hh.data(), d, (int)plane, plane, 1, dec_lo, dec_hi,
+                    hlen, b[6], b[7], plane, 1);
+    } else {
+      swt_analysis_axis(ll.data(), d, (int)plane, plane, 1, dec_lo, dec_hi,
+                        hlen, f, anew.data(), b[1], plane, 1);
+      swt_analysis_axis(lh.data(), d, (int)plane, plane, 1, dec_lo, dec_hi,
+                        hlen, f, b[2], b[3], plane, 1);
+      swt_analysis_axis(hl.data(), d, (int)plane, plane, 1, dec_lo, dec_hi,
+                        hlen, f, b[4], b[5], plane, 1);
+      swt_analysis_axis(hh.data(), d, (int)plane, plane, 1, dec_lo, dec_hi,
+                        hlen, f, b[6], b[7], plane, 1);
+    }
+    a.swap(anew);
+    d = d2;
+    r = r2;
+    c = c2;
+  }
+  std::memcpy(coeffs[0], a.data(), a.size() * sizeof(pdwt_real));
+  return 0;
+}
+
+int pdwt_inverse3d(pdwt_real *const *coeffs, int nd, int nr, int nc,
+                   const double *rec_lo, const double *rec_hi, int hlen,
+                   int levels, int swt, pdwt_real *out) {
+  if (!coeffs || !out || levels < 1) return 1;
+  std::vector<int> ds(levels + 1), rs(levels + 1), cs(levels + 1);
+  ds[0] = nd;
+  rs[0] = nr;
+  cs[0] = nc;
+  for (int i = 1; i <= levels; ++i) {
+    ds[i] = swt ? nd : pdwt_div2(ds[i - 1]);
+    rs[i] = swt ? nr : pdwt_div2(rs[i - 1]);
+    cs[i] = swt ? nc : pdwt_div2(cs[i - 1]);
+  }
+  std::vector<pdwt_real> a(coeffs[0],
+                           coeffs[0] + (long)ds[levels] * rs[levels] *
+                               cs[levels]);
+  for (int l = levels; l >= 1; --l) {
+    const int f = 1 << (l - 1);
+    const int md = ds[l], mr = rs[l], mc = cs[l];
+    const int od = ds[l - 1], orr = rs[l - 1], oc = cs[l - 1];
+    pdwt_real *const *b = coeffs + 7 * (l - 1);
+    const long plane = (long)mr * mc;
+    /* pass 1: depth synthesis — (A,b1)->ll, (b2,b3)->lh, (b4,b5)->hl,
+     * (b6,b7)->hh, each (od, mr, mc). */
+    std::vector<pdwt_real> ll((long)od * plane), lh((long)od * plane),
+        hl((long)od * plane), hh((long)od * plane);
+    if (!swt) {
+      synthesis_axis(a.data(), b[1], md, (int)plane, plane, 1, rec_lo,
+                     rec_hi, hlen, od, ll.data(), plane, 1);
+      synthesis_axis(b[2], b[3], md, (int)plane, plane, 1, rec_lo, rec_hi,
+                     hlen, od, lh.data(), plane, 1);
+      synthesis_axis(b[4], b[5], md, (int)plane, plane, 1, rec_lo, rec_hi,
+                     hlen, od, hl.data(), plane, 1);
+      synthesis_axis(b[6], b[7], md, (int)plane, plane, 1, rec_lo, rec_hi,
+                     hlen, od, hh.data(), plane, 1);
+    } else {
+      swt_synthesis_axis(a.data(), b[1], md, (int)plane, plane, 1, rec_lo,
+                         rec_hi, hlen, f, ll.data(), plane, 1);
+      swt_synthesis_axis(b[2], b[3], md, (int)plane, plane, 1, rec_lo,
+                         rec_hi, hlen, f, lh.data(), plane, 1);
+      swt_synthesis_axis(b[4], b[5], md, (int)plane, plane, 1, rec_lo,
+                         rec_hi, hlen, f, hl.data(), plane, 1);
+      swt_synthesis_axis(b[6], b[7], md, (int)plane, plane, 1, rec_lo,
+                         rec_hi, hlen, f, hh.data(), plane, 1);
+    }
+    /* pass 2: row synthesis per depth slice — (ll,lh)->tl, (hl,hh)->th */
+    std::vector<pdwt_real> tl((long)od * orr * mc), th((long)od * orr * mc);
+    for (int k = 0; k < od; ++k) {
+      const long in_off = (long)k * plane;
+      const long out_off = (long)k * orr * mc;
+      if (!swt) {
+        synthesis_axis(ll.data() + in_off, lh.data() + in_off, mr, mc, mc, 1,
+                       rec_lo, rec_hi, hlen, orr, tl.data() + out_off, mc, 1);
+        synthesis_axis(hl.data() + in_off, hh.data() + in_off, mr, mc, mc, 1,
+                       rec_lo, rec_hi, hlen, orr, th.data() + out_off, mc, 1);
+      } else {
+        swt_synthesis_axis(ll.data() + in_off, lh.data() + in_off, mr, mc,
+                           mc, 1, rec_lo, rec_hi, hlen, f,
+                           tl.data() + out_off, mc, 1);
+        swt_synthesis_axis(hl.data() + in_off, hh.data() + in_off, mr, mc,
+                           mc, 1, rec_lo, rec_hi, hlen, f,
+                           th.data() + out_off, mc, 1);
+      }
+    }
+    /* pass 3: column synthesis — (tl,th) -> (od, orr, oc) */
+    std::vector<pdwt_real> anew((long)od * orr * oc);
+    if (!swt)
+      synthesis_axis(tl.data(), th.data(), mc, od * orr, 1, mc, rec_lo,
+                     rec_hi, hlen, oc, anew.data(), 1, oc);
+    else
+      swt_synthesis_axis(tl.data(), th.data(), mc, od * orr, 1, mc, rec_lo,
+                         rec_hi, hlen, f, anew.data(), 1, oc);
+    a.swap(anew);
+  }
+  std::memcpy(out, a.data(), (long)nd * nr * nc * sizeof(pdwt_real));
+  return 0;
+}
+
+} /* extern "C" */

@@ -79,6 +79,19 @@ int pdwt_inverse1d(pdwt_real *const *coeffs, int batch, int n,
                    const double *rec_lo, const double *rec_hi, int hlen,
                    int levels, int swt, pdwt_real *out);
 
+/* 3D forward: vol (nd, nr, nc) row-major (depth-major).  coeffs is an
+ * array of 7*levels + 1 caller-allocated pointers [A_n, then per level
+ * the 7 bands in channel order ch = 4*k_col + 2*k_row + k_dep
+ * (daa, ada, dda, aad, dad, add, ddd)].  The reference has no 3D
+ * ("3D is not handled at the moment", /root/reference/README.md). */
+int pdwt_forward3d(const pdwt_real *vol, int nd, int nr, int nc,
+                   const double *dec_lo, const double *dec_hi, int hlen,
+                   int levels, int swt, pdwt_real **coeffs);
+
+int pdwt_inverse3d(pdwt_real *const *coeffs, int nd, int nr, int nc,
+                   const double *rec_lo, const double *rec_hi, int hlen,
+                   int levels, int swt, pdwt_real *out);
+
 /* ---- elementwise ops (in place) ---- */
 
 void pdwt_soft_threshold(pdwt_real *x, long n, pdwt_real beta);

@@ -15,7 +15,8 @@ from typing import Optional, Tuple
 import numpy as np
 
 from ..core.separable import Coeffs1D, Coeffs2D
-from ..core.shapes import coeff_shapes_1d, coeff_shapes_2d
+from ..core.separable3d import Coeffs3D
+from ..core.shapes import coeff_shapes_1d, coeff_shapes_2d, coeff_shapes_3d
 from ..filters import Wavelet
 
 _CPP_DIR = os.path.join(
@@ -74,6 +75,8 @@ def _load() -> ctypes.CDLL:
         lib.pdwt_inverse2d.restype = ctypes.c_int
         lib.pdwt_forward1d.restype = ctypes.c_int
         lib.pdwt_inverse1d.restype = ctypes.c_int
+        lib.pdwt_forward3d.restype = ctypes.c_int
+        lib.pdwt_inverse3d.restype = ctypes.c_int
         lib.pdwt_norm1.restype = ctypes.c_double
         lib.pdwt_norm2sq.restype = ctypes.c_double
         _libs[_DTYPE] = lib
@@ -175,6 +178,44 @@ def idwt1d(coeffs: Coeffs1D, wav: Wavelet, length: int, *,
         _dptr(wav.rec_hi), wav.hlen, coeffs.levels, int(swt), _fptr(out))
     if rc:
         raise RuntimeError(f"pdwt_inverse1d failed ({rc})")
+    return out
+
+
+def dwt3d(vol: np.ndarray, wav: Wavelet, levels: int, *,
+          swt: bool = False) -> Coeffs3D:
+    """3D separable transform (no reference counterpart — its README
+    lists 3D as the first limitation)."""
+    lib = _load()
+    vol = np.ascontiguousarray(vol, dtype=_DTYPE)
+    nd, nr, nc = vol.shape
+    a_shape, det_shapes = coeff_shapes_3d(nd, nr, nc, levels, swt)
+    bufs = [np.empty(a_shape, _DTYPE)]
+    for s in det_shapes:
+        bufs.extend(np.empty(s, _DTYPE) for _ in range(7))
+    rc = lib.pdwt_forward3d(
+        _fptr(vol), nd, nr, nc, _dptr(wav.dec_lo), _dptr(wav.dec_hi),
+        wav.hlen, levels, int(swt), _ptr_array(bufs))
+    if rc:
+        raise RuntimeError(f"pdwt_forward3d failed ({rc})")
+    details = tuple(
+        tuple(bufs[7 * i + 1 + j] for j in range(7)) for i in range(levels)
+    )
+    return Coeffs3D(bufs[0], details)
+
+
+def idwt3d(coeffs: Coeffs3D, wav: Wavelet, shape, *,
+           swt: bool = False) -> np.ndarray:
+    lib = _load()
+    nd, nr, nc = shape
+    bufs = [np.ascontiguousarray(coeffs.approx, _DTYPE)]
+    for bands in coeffs.details:
+        bufs.extend(np.ascontiguousarray(b, _DTYPE) for b in bands)
+    out = np.empty((nd, nr, nc), _DTYPE)
+    rc = lib.pdwt_inverse3d(
+        _ptr_array(bufs), nd, nr, nc, _dptr(wav.rec_lo), _dptr(wav.rec_hi),
+        wav.hlen, coeffs.levels, int(swt), _fptr(out))
+    if rc:
+        raise RuntimeError(f"pdwt_inverse3d failed ({rc})")
     return out
 
 

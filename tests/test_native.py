@@ -118,3 +118,30 @@ def test_native_double_precision_build(rng):
         assert np.abs(np.asarray(cj.approx) - c.approx).max() < 1e-10
     finally:
         native.set_dtype(np.float32)
+
+
+def test_native_3d_matches_jax(rng):
+    """The native 3D drivers (no reference counterpart — its README
+    lists 3D as the first limitation) cross-check the JAX 3D engine at
+    f64 roundoff, DWT and SWT, odd sizes included."""
+    import jax
+    import jax.numpy as jnp
+
+    from pdwt_tpu.core import separable3d as S3
+    from pdwt_tpu.filters import get_wavelet
+    from pdwt_tpu.native import lib as native
+
+    w = get_wavelet("db4")
+    x = rng.standard_normal((15, 21, 33))
+    native.set_dtype(np.float64)
+    try:
+        for swt in (False, True):
+            cn = native.dwt3d(x, w, 2, swt=swt)
+            y = native.idwt3d(cn, w, (15, 21, 33), swt=swt)
+            assert np.abs(y - x).max() < 1e-10
+            cj = (S3.swt3d if swt else S3.dwt3d)(
+                jnp.asarray(x), w, 2, backend="gather")
+            for a, b in zip(jax.tree.leaves(cn), jax.tree.leaves(cj)):
+                assert np.abs(np.asarray(a) - np.asarray(b)).max() < 1e-12
+    finally:
+        native.set_dtype(np.float32)
