@@ -100,6 +100,17 @@ def main() -> None:
            lambda x: ns.idwt2d_ns(ns.dwt2d_ns(x, rq, 2), rq,
                                   (1024, 1024)), img1kf)
 
+    # 6. 3D volume roundtrip (beyond the reference: no 3D there) — the
+    # pallas composition runs the fused 2D level kernel with depth as
+    # batch + an fma depth pass.
+    from pdwt_tpu.core import separable3d as sep3
+
+    w4 = get_wavelet("db4")
+    vol = jnp.asarray(rng.standard_normal((128, 512, 512)), jnp.float32)
+    record("3D db4 2-level fwd+inv 128x512x512", 128 * 512 * 512,
+           lambda x: sep3.idwt3d(sep3.dwt3d(x, w4, 2), w4,
+                                 (128, 512, 512)), vol)
+
     # precision-mode variants of the headline configs (round 3): bf16 =
     # MXU serving mode (bf16 details, f32 A-chain), mixed = f32 arrays
     # with bf16x3 compute (~1e-5 rel; SWT routes mixed to exact kernels,

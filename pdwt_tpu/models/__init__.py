@@ -1,6 +1,7 @@
 """Application-level models built on the wavelet engine."""
-from .denoiser import cycle_spin_denoise, denoise_step, sharded_denoise_step
+from .denoiser import (cycle_spin_denoise, denoise_step,
+                       denoise_step_3d, sharded_denoise_step)
 from .solver import ista
 
-__all__ = ["denoise_step", "cycle_spin_denoise", "sharded_denoise_step",
+__all__ = ["denoise_step", "denoise_step_3d", "cycle_spin_denoise", "sharded_denoise_step",
            "ista"]

@@ -149,3 +149,41 @@ def sharded_denoise_step(
     out = par.idwt2d(coeffs, wav, (nr, nc), mesh, swt=swt, backend=backend,
                      **axes)
     return out, n1
+
+
+def denoise_step_3d(
+    vol: jnp.ndarray,
+    key: Optional[jax.Array],
+    wav,
+    levels: int,
+    beta,
+    *,
+    swt: bool = False,
+    mode: str = "soft",
+    normalize: bool = False,
+    backend: Optional[str] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """3D denoise step (beyond the reference — it has no 3D): (random
+    3-axis shift) → DWT/SWT → threshold → norm → inverse → (unshift).
+    Returns ``(denoised, norm1_of_thresholded_coeffs)``."""
+    from ..core import separable3d as sep3
+
+    wav = _resolve(wav)
+    nd, nr, nc = vol.shape[-3:]
+    if key is not None:
+        kd, kr, kc = jax.random.split(key, 3)
+        sd = jax.random.randint(kd, (), 0, nd)
+        sr = jax.random.randint(kr, (), 0, nr)
+        sc = jax.random.randint(kc, (), 0, nc)
+        vol = jnp.roll(vol, shift=(sd, sr, sc), axis=(-3, -2, -1))
+    fwd = sep3.swt3d if swt else sep3.dwt3d
+    coeffs = fwd(vol, wav, levels, backend=backend)
+    coeffs = _THRESH[mode](coeffs, beta, normalize=normalize)
+    n1 = ops.norm1(coeffs)
+    if swt:
+        out = sep3.iswt3d(coeffs, wav, backend=backend)
+    else:
+        out = sep3.idwt3d(coeffs, wav, (nd, nr, nc), backend=backend)
+    if key is not None:
+        out = jnp.roll(out, shift=(-sd, -sr, -sc), axis=(-3, -2, -1))
+    return out, n1

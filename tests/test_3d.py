@@ -296,3 +296,20 @@ def test_3d_pallas_rejects_pad_fn(rng):
         S3.dwt3d(x, w, 1, backend="pallas", pad_fn=conv.wrap_pad)
     with pytest.raises(ValueError, match="pad_fn"):
         S3.swt3d(x, w, 1, backend="pallas", pad_fn=conv.wrap_pad)
+
+
+def test_3d_denoise_step(rng):
+    """The flagship denoise pipeline in 3D: one jitted program, shift-
+    invariant under the random spin, reduces the coefficient norm."""
+    from pdwt_tpu.models.denoiser import denoise_step_3d
+
+    vol = jnp.asarray(rng.standard_normal((8, 16, 16)), jnp.float32)
+    key = jax.random.key(0)
+    for swt in (False, True):
+        out, n1 = jax.jit(
+            lambda v: denoise_step_3d(v, key, "db2", 2, 0.5, swt=swt))(vol)
+        assert out.shape == vol.shape
+        assert np.isfinite(float(n1))
+        # beta=0 and no spin is the identity
+        out0, _ = denoise_step_3d(vol, None, "db2", 2, 0.0, swt=swt)
+        assert float(jnp.abs(out0 - vol).max()) < 1e-5
