@@ -34,7 +34,7 @@ import numpy as np
 
 from ..filters import Wavelet
 from . import conv
-from .separable import _auto_backend, _ftup
+from .separable import _auto_backend, _f32, _ftup, _mxu_mode
 from .shapes import level_sizes
 
 #: pywt-style subband keys (axis order depth,row,col) for details[i][j].
@@ -71,24 +71,53 @@ def _from_ncs(x: jnp.ndarray, batch):
 # the major axis, so no relayouts).
 # ---------------------------------------------------------------------------
 
-def _fwd_level_3d_pallas(a: jnp.ndarray, wav: Wavelet, lo_t, hi_t):
-    """One decimated 3D level on (B, D, R, C) f32 input via the fused 2D
-    kernel + fma depth pass.  Returns (B, 8, D/2, R/2, C/2) in analysis
-    channel order, or None when the 2D kernel rejects the geometry."""
+def _depth_split(res, wav, b, d, *, dilation=1, decimate=True, mode=None):
+    """Depth analysis of the four (B*D, r, c) 2D-level subbands.
+    Returns the 8 analysis channels (each (B, D', r, c)) in order
+    ch = 4*k_col + 2*k_row + k_dep — pairing each 2D subband (order
+    (a, h, v, d) = 2*k_col + k_row) with its depth lo/hi.
+
+    The A-chain (from subband a) and the details run as separate passes
+    because in bf16 mode they carry different dtypes (f32 chain, bf16
+    details); channel 1 (daa) is a detail and is downcast."""
+    r, c = res[0].shape[-2:]
+    kw = dict(axis=-3, dilation=dilation, decimate=decimate, backend="fma")
+    dec = (wav.dec_lo, wav.dec_hi)
+    za = conv.analysis_pass(
+        res[0].reshape(b, 1, d, r, c), dec, **kw)           # (B, 2, ...)
+    zd = conv.analysis_pass(
+        jnp.stack([t.reshape(b, d, r, c) for t in res[1:]], axis=1),
+        dec, **kw)                                          # (B, 6, ...)
+    daa = za[:, 1]
+    if mode == "bf16":
+        daa = daa.astype(jnp.bfloat16)
+    return (za[:, 0], daa, zd[:, 0], zd[:, 1], zd[:, 2], zd[:, 3],
+            zd[:, 4], zd[:, 5])
+
+
+def _fwd_level_3d_pallas(a: jnp.ndarray, wav: Wavelet, lo_t, hi_t, mode):
+    """One decimated 3D level on (B, D, R, C) input via the fused 2D
+    kernel (MXU banded-matmul under the precision modes, exact VPU
+    otherwise) + fma depth pass.  Returns the 8 channels as a tuple
+    (each (B, D/2, R/2, C/2)), or None when the 2D kernel rejects."""
     from .. import kernels
 
-    if a.dtype != jnp.float32:
-        return None
     b, d, r, c = a.shape
-    res = kernels.fwd_level_2d_ad(a.reshape(b * d, r, c), lo_t, hi_t)
+    flat = a.reshape(b * d, r, c)
+    res = None
+    if mode is not None:
+        res = kernels.fwd_level_2d_mxu_ad(flat, lo_t, hi_t, mode)
+    if res is None:
+        if mode is not None and flat.dtype != jnp.float32:
+            flat = flat.astype(jnp.float32)
+        if flat.dtype != jnp.float32:
+            return None
+        res = kernels.fwd_level_2d_ad(flat, lo_t, hi_t)
+        if res is not None and mode == "bf16":
+            res = (res[0],) + tuple(t.astype(jnp.bfloat16) for t in res[1:])
     if res is None:
         return None
-    r2, c2 = res[0].shape[-2:]
-    # channel order (a, h, v, d) = 2*k_col + k_row — pairing each with
-    # its depth lo/hi below yields ch = 4*k_col + 2*k_row + k_dep.
-    z = jnp.stack([t.reshape(b, d, r2, c2) for t in res], axis=1)
-    return conv.analysis_pass(z, (wav.dec_lo, wav.dec_hi), axis=-3,
-                              backend="fma")
+    return _depth_split(res, wav, b, d, mode=mode)
 
 
 def _inv_level_3d_pallas(z: jnp.ndarray, wav: Wavelet, lo_t, hi_t,
@@ -133,27 +162,76 @@ def dwt3d(x: jnp.ndarray, wav: Wavelet, levels: int, *,
     arr, batch = _to_ncs(x)
     dec = (wav.dec_lo, wav.dec_hi)
     lo_t, hi_t = _ftup(wav.dec_lo), _ftup(wav.dec_hi)
+    mode = _mxu_mode(x.dtype) if use_pallas else None
     details: List[Tuple[jnp.ndarray, ...]] = []
     a = arr
     for _ in range(levels):
-        z = None
+        bands = None
         if use_pallas:
             ae = a[:, 0]
             for ax in (-1, -2, -3):
                 ae = conv.odd_extend(ae, ax)
-            z = _fwd_level_3d_pallas(ae, wav, lo_t, hi_t)
-        if z is None:
-            t = conv.analysis_pass(a, dec, axis=-1, backend=backend,
+            bands = _fwd_level_3d_pallas(ae, wav, lo_t, hi_t, mode)
+        if bands is None:
+            af = _f32(a) if mode is not None else a
+            t = conv.analysis_pass(af, dec, axis=-1, backend=backend,
                                    pad_fn=pad_fn)
             t = conv.analysis_pass(t, dec, axis=-2, backend=backend,
                                    pad_fn=pad_fn)
             z = conv.analysis_pass(t, dec, axis=-3, backend=backend,
                                    pad_fn=pad_fn)
-        a = z[:, 0:1]
-        details.append(tuple(
-            _from_ncs(z[:, k:k + 1], batch) for k in range(1, 8)
-        ))
+            bands = tuple(z[:, k] for k in range(8))
+            if mode == "bf16":
+                bands = (bands[0],) + tuple(t.astype(jnp.bfloat16)
+                                            for t in bands[1:])
+        a = bands[0][:, None]
+        details.append(tuple(_from_ncs(t[:, None], batch)
+                             for t in bands[1:]))
     return Coeffs3D(_from_ncs(a, batch), tuple(details))
+
+
+def _inv_level_3d_pallas_mxu(a, bands7, wav, lo_t, hi_t, out_drc, mode,
+                             out_dtype, *, swt_level=None):
+    """MXU inverse of one 3D level, regrouped by the depth bit: the
+    synthesis passes act on independent axes and therefore commute, so
+    the level inverts as TWO fused 2D inverses (one per k_dep — the
+    k_dep=0 group is exactly the 2D bf16 contract: f32 A + bf16
+    details) followed by the depth synthesis.  Returns (B, D, R, C) in
+    ``out_dtype`` or None when a 2D kernel rejects."""
+    from .. import kernels
+
+    b = a.shape[0]
+    dd = a.shape[1]
+    flat = lambda t: t.reshape((b * dd,) + t.shape[-2:])
+    # ch = 4*k_col + 2*k_row + k_dep; 2D kernel order (a, h, v, d) =
+    # 2*k_col + k_row.  bands7[j] is channel j+1.
+    lo_grp = (a, bands7[1], bands7[3], bands7[5])       # k_dep = 0
+    hi_grp = (bands7[0], bands7[2], bands7[4], bands7[6])  # k_dep = 1
+    outs = []
+    for grp in (lo_grp, hi_grp):
+        args = [flat(t) for t in grp]
+        if swt_level is None:
+            y = kernels.inv_level_2d_mxu_ad(args[0], args[1], args[2],
+                                            args[3], lo_t, hi_t, mode,
+                                            jnp.float32)
+        else:
+            y = kernels.swt_inv_level_2d_mxu_ad(args[0], args[1], args[2],
+                                                args[3], lo_t, hi_t,
+                                                swt_level, mode,
+                                                jnp.float32)
+        if y is None:
+            return None
+        y = y[:, :out_drc[1], :out_drc[2]]
+        outs.append(y.reshape(b, dd, y.shape[-2], y.shape[-1]))
+    z = jnp.stack(outs, axis=1)  # (B, 2, dd, R, C) — k_dep pairs
+    if swt_level is None:
+        out = conv.synthesis_pass(z, (wav.rec_lo, wav.rec_hi), axis=-3,
+                                  out_len=out_drc[0], backend="fma")
+    else:
+        out = conv.synthesis_pass(z, (wav.rec_lo * 0.5, wav.rec_hi * 0.5),
+                                  axis=-3, dilation=1 << (swt_level - 1),
+                                  decimated=False, backend="fma")
+    return out[:, 0].astype(out_dtype)
 
 
 def idwt3d(coeffs: Coeffs3D, wav: Wavelet,
@@ -172,26 +250,48 @@ def idwt3d(coeffs: Coeffs3D, wav: Wavelet,
     cols = level_sizes(shape[2], levels)
     rec = (wav.rec_lo, wav.rec_hi)
     lo_t, hi_t = _ftup(wav.rec_lo), _ftup(wav.rec_hi)
+    ddt = (coeffs.details[-1][0].dtype if coeffs.details
+           else coeffs.approx.dtype)
+    mode = _mxu_mode(ddt) if use_pallas else None
     a, batch = _to_ncs(coeffs.approx)
+    if mode == "bf16":
+        a = _f32(a)
     for i in range(levels - 1, -1, -1):
+        out_dt = (jnp.bfloat16 if (mode == "bf16" and i == 0)
+                  else jnp.float32)
+        drc = (deps[i], rows[i], cols[i])
         bands = [_to_ncs(c)[0] for c in coeffs.details[i]]
-        z = jnp.concatenate([a] + bands, axis=1)  # (B, 8, d, r, c)
         y = None
-        if use_pallas:
-            y = _inv_level_3d_pallas(z, wav, lo_t, hi_t,
-                                     (deps[i], rows[i], cols[i]))
-            if y is not None:
-                a = y[:, None]
-        if y is None:
-            # synthesis in reverse analysis order: depth, rows, cols —
-            # each pass combines groups of 2 consecutive channels (the k
-            # bit of that axis is the least-significant one remaining).
-            t = conv.synthesis_pass(z, rec, axis=-3, out_len=deps[i],
-                                    backend=backend, pad_fn=pad_fn)
-            t = conv.synthesis_pass(t, rec, axis=-2, out_len=rows[i],
-                                    backend=backend, pad_fn=pad_fn)
-            a = conv.synthesis_pass(t, rec, axis=-1, out_len=cols[i],
-                                    backend=backend, pad_fn=pad_fn)
+        if mode is not None:
+            y = _inv_level_3d_pallas_mxu(a[:, 0], [t[:, 0] for t in bands],
+                                         wav, lo_t, hi_t, drc, mode,
+                                         out_dt)
+        if y is None and use_pallas:
+            if mode is not None:
+                a = _f32(a)
+                bands = [_f32(t) for t in bands]
+            z = jnp.concatenate([a] + bands, axis=1)  # (B, 8, d, r, c)
+            y = _inv_level_3d_pallas(z, wav, lo_t, hi_t, drc)
+            if y is not None and mode is not None:
+                y = y.astype(out_dt)
+        if y is not None:
+            a = y[:, None]
+            continue
+        # synthesis in reverse analysis order: depth, rows, cols — each
+        # pass combines groups of 2 consecutive channels (the k bit of
+        # that axis is the least-significant one remaining).
+        if mode is not None:
+            a = _f32(a)
+            bands = [_f32(t) for t in bands]
+        z = jnp.concatenate([a] + bands, axis=1)
+        t = conv.synthesis_pass(z, rec, axis=-3, out_len=deps[i],
+                                backend=backend, pad_fn=pad_fn)
+        t = conv.synthesis_pass(t, rec, axis=-2, out_len=rows[i],
+                                backend=backend, pad_fn=pad_fn)
+        a = conv.synthesis_pass(t, rec, axis=-1, out_len=cols[i],
+                                backend=backend, pad_fn=pad_fn)
+        if mode is not None:
+            a = a.astype(out_dt)
     return _from_ncs(a, batch)
 
 
@@ -200,23 +300,31 @@ def idwt3d(coeffs: Coeffs3D, wav: Wavelet,
 # ---------------------------------------------------------------------------
 
 def _swt_fwd_level_3d_pallas(a: jnp.ndarray, wav: Wavelet, lo_t, hi_t,
-                             lvl: int):
-    """One à-trous 3D level on (B, D, R, C) f32 input: fused 2D SWT
-    kernel over (R, C), depth as batch, then the dilated fma depth pass.
-    Returns (B, 8, D, R, C) in analysis channel order, or None."""
+                             lvl: int, mode):
+    """One à-trous 3D level on (B, D, R, C) input: fused 2D SWT kernel
+    (MXU in bf16 mode — "mixed" routes to the exact kernels like the 2D
+    engine: b3 on undecimated levels measured slower) over (R, C) with
+    depth as batch, then the dilated fma depth pass.  Returns the 8
+    channels as a tuple, or None."""
     from .. import kernels
 
-    if a.dtype != jnp.float32:
-        return None
     b, d, r, c = a.shape
-    res = kernels.swt_fwd_level_2d_ad(a.reshape(b * d, r, c), lo_t, hi_t,
-                                      lvl)
+    flat = a.reshape(b * d, r, c)
+    res = None
+    if mode == "bf16":
+        res = kernels.swt_fwd_level_2d_mxu_ad(flat, lo_t, hi_t, lvl, mode)
+    if res is None:
+        if mode is not None and flat.dtype != jnp.float32:
+            flat = flat.astype(jnp.float32)
+        if flat.dtype != jnp.float32:
+            return None
+        res = kernels.swt_fwd_level_2d_ad(flat, lo_t, hi_t, lvl)
+        if res is not None and mode == "bf16":
+            res = (res[0],) + tuple(t.astype(jnp.bfloat16) for t in res[1:])
     if res is None:
         return None
-    z = jnp.stack([t.reshape(b, d, r, c) for t in res], axis=1)
-    return conv.analysis_pass(z, (wav.dec_lo, wav.dec_hi), axis=-3,
-                              dilation=1 << (lvl - 1), decimate=False,
-                              backend="fma")
+    return _depth_split(res, wav, b, d, dilation=1 << (lvl - 1),
+                        decimate=False, mode=mode)
 
 
 def _swt_inv_level_3d_pallas(z: jnp.ndarray, wav: Wavelet, lo_t, hi_t,
@@ -255,16 +363,19 @@ def swt3d(x: jnp.ndarray, wav: Wavelet, levels: int, *,
     arr, batch = _to_ncs(x)
     dec = (wav.dec_lo, wav.dec_hi)
     lo_t, hi_t = _ftup(wav.dec_lo), _ftup(wav.dec_hi)
+    mode = _mxu_mode(x.dtype) if use_pallas else None
     details: List[Tuple[jnp.ndarray, ...]] = []
     approxs: List[jnp.ndarray] = []
     a = arr
     for lvl in range(1, levels + 1):
         f = 1 << (lvl - 1)
-        z = None
+        bands = None
         if use_pallas:
-            z = _swt_fwd_level_3d_pallas(a[:, 0], wav, lo_t, hi_t, lvl)
-        if z is None:
-            t = conv.analysis_pass(a, dec, axis=-1, dilation=f,
+            bands = _swt_fwd_level_3d_pallas(a[:, 0], wav, lo_t, hi_t,
+                                             lvl, mode)
+        if bands is None:
+            af = _f32(a) if mode is not None else a
+            t = conv.analysis_pass(af, dec, axis=-1, dilation=f,
                                    decimate=False, backend=backend,
                                    pad_fn=pad_fn)
             t = conv.analysis_pass(t, dec, axis=-2, dilation=f,
@@ -273,10 +384,13 @@ def swt3d(x: jnp.ndarray, wav: Wavelet, levels: int, *,
             z = conv.analysis_pass(t, dec, axis=-3, dilation=f,
                                    decimate=False, backend=backend,
                                    pad_fn=pad_fn)
-        a = z[:, 0:1]
-        details.append(tuple(
-            _from_ncs(z[:, k:k + 1], batch) for k in range(1, 8)
-        ))
+            bands = tuple(z[:, k] for k in range(8))
+            if mode == "bf16":
+                bands = (bands[0],) + tuple(t.astype(jnp.bfloat16)
+                                            for t in bands[1:])
+        a = bands[0][:, None]
+        details.append(tuple(_from_ncs(t[:, None], batch)
+                             for t in bands[1:]))
         if keep_approx:
             approxs.append(_from_ncs(a, batch))
     coeffs = Coeffs3D(_from_ncs(a, batch), tuple(details))
@@ -297,24 +411,49 @@ def iswt3d(coeffs: Coeffs3D, wav: Wavelet, *,
         backend = "fma"
     rec = (wav.rec_lo * 0.5, wav.rec_hi * 0.5)
     lo_t, hi_t = _ftup(wav.rec_lo), _ftup(wav.rec_hi)
+    ddt = (coeffs.details[-1][0].dtype if coeffs.details
+           else coeffs.approx.dtype)
+    mode = _mxu_mode(ddt) if use_pallas else None
+    if mode == "mixed":
+        mode = None  # exact SWT kernels beat b3 (see _swt2d_pallas)
     a, batch = _to_ncs(coeffs.approx)
+    if mode == "bf16":
+        a = _f32(a)
+    nd, nr, nc = a.shape[-3:]
     for i in range(coeffs.levels - 1, -1, -1):
         f = 1 << i
+        out_dt = (jnp.bfloat16 if (mode == "bf16" and i == 0)
+                  else jnp.float32)
         bands = [_to_ncs(c)[0] for c in coeffs.details[i]]
-        z = jnp.concatenate([a] + bands, axis=1)
         y = None
-        if use_pallas:
+        if mode is not None:
+            y = _inv_level_3d_pallas_mxu(a[:, 0], [t[:, 0] for t in bands],
+                                         wav, lo_t, hi_t, (nd, nr, nc),
+                                         mode, out_dt, swt_level=i + 1)
+        if y is None and use_pallas:
+            if mode is not None:
+                a = _f32(a)
+                bands = [_f32(t) for t in bands]
+            z = jnp.concatenate([a] + bands, axis=1)
             y = _swt_inv_level_3d_pallas(z, wav, lo_t, hi_t, i + 1)
-            if y is not None:
-                a = y[:, None]
-        if y is None:
-            t = conv.synthesis_pass(z, rec, axis=-3, dilation=f,
-                                    decimated=False, backend=backend,
-                                    pad_fn=pad_fn)
-            t = conv.synthesis_pass(t, rec, axis=-2, dilation=f,
-                                    decimated=False, backend=backend,
-                                    pad_fn=pad_fn)
-            a = conv.synthesis_pass(t, rec, axis=-1, dilation=f,
-                                    decimated=False, backend=backend,
-                                    pad_fn=pad_fn)
+            if y is not None and mode is not None:
+                y = y.astype(out_dt)
+        if y is not None:
+            a = y[:, None]
+            continue
+        if mode is not None:
+            a = _f32(a)
+            bands = [_f32(t) for t in bands]
+        z = jnp.concatenate([a] + bands, axis=1)
+        t = conv.synthesis_pass(z, rec, axis=-3, dilation=f,
+                                decimated=False, backend=backend,
+                                pad_fn=pad_fn)
+        t = conv.synthesis_pass(t, rec, axis=-2, dilation=f,
+                                decimated=False, backend=backend,
+                                pad_fn=pad_fn)
+        a = conv.synthesis_pass(t, rec, axis=-1, dilation=f,
+                                decimated=False, backend=backend,
+                                pad_fn=pad_fn)
+        if mode is not None:
+            a = a.astype(out_dt)
     return _from_ncs(a, batch)

@@ -313,3 +313,56 @@ def test_3d_denoise_step(rng):
         # beta=0 and no spin is the identity
         out0, _ = denoise_step_3d(vol, None, "db2", 2, 0.0, swt=swt)
         assert float(jnp.abs(out0 - vol).max()) < 1e-5
+
+
+def test_3d_mxu_modes_interpret(rng, monkeypatch):
+    """3D precision modes (interpret mode): mixed = bf16x3 MXU compute
+    on f32 arrays; bf16 arrays = f32 A-chain + bf16 details with the
+    inverse regrouped by the depth bit (two 2D MXU inverses + depth
+    synthesis — synthesis passes on independent axes commute)."""
+    monkeypatch.setenv("PDWT_PALLAS_INTERPRET", "1")
+    w = get_wavelet("db4")
+    shape = (8, 64, 256)
+    x = jnp.asarray(rng.uniform(0, 255, shape), jnp.float32)
+
+    monkeypatch.setenv("PDWT_TPU_PRECISION", "mixed")
+    c = S3.dwt3d(x, w, 2, backend="pallas")
+    assert all(t.dtype == jnp.float32 for t in jax.tree.leaves(c))
+    y = S3.idwt3d(c, w, shape, backend="pallas")
+    err = float(jnp.abs(y - x).max())
+    assert err < 0.05, err  # bf16x3 ~ 1e-5 rel on [0,255]
+    monkeypatch.delenv("PDWT_TPU_PRECISION")
+
+    xb = x.astype(jnp.bfloat16)
+    cb = S3.dwt3d(xb, w, 2, backend="pallas")
+    assert cb.approx.dtype == jnp.float32          # f32 A-chain
+    assert cb.details[0][0].dtype == jnp.bfloat16  # bf16 details
+    yb = S3.idwt3d(cb, w, shape, backend="pallas")
+    assert yb.dtype == jnp.bfloat16
+    errb = float(jnp.abs(yb.astype(jnp.float32) - x).max())
+    assert errb < 8.0, errb  # bf16 storage floor class (2D 5-level: 4.5)
+
+    # SWT bf16 (mixed routes to exact like 2D)
+    csb = S3.swt3d(xb, w, 2, backend="pallas")
+    assert csb.approx.dtype == jnp.float32
+    assert csb.details[0][0].dtype == jnp.bfloat16
+    ysb = S3.iswt3d(csb, w, backend="pallas")
+    assert ysb.dtype == jnp.bfloat16
+    errs = float(jnp.abs(ysb.astype(jnp.float32) - x).max())
+    assert errs < 8.0, errs
+
+
+def test_3d_mxu_fallback_small_shapes(rng, monkeypatch):
+    """Geometries the MXU tiles reject fall back (exact kernels / fma)
+    while keeping the mode's dtype contract."""
+    monkeypatch.setenv("PDWT_PALLAS_INTERPRET", "1")
+    w = get_wavelet("db2")
+    shape = (4, 16, 16)  # far below any MXU tile
+    x = jnp.asarray(rng.uniform(0, 255, shape), jnp.float32)
+    xb = x.astype(jnp.bfloat16)
+    cb = S3.dwt3d(xb, w, 1, backend="pallas")
+    assert cb.approx.dtype == jnp.float32
+    assert cb.details[0][0].dtype == jnp.bfloat16
+    yb = S3.idwt3d(cb, w, shape, backend="pallas")
+    assert yb.dtype == jnp.bfloat16
+    assert float(jnp.abs(yb.astype(jnp.float32) - x).max()) < 8.0
