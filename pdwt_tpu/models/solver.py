@@ -47,6 +47,7 @@ def ista(
     fista: bool = True,
     x0: Optional[jnp.ndarray] = None,
     backend: Optional[str] = None,
+    reg: str = "l1",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(F)ISTA in the analysis formulation with an orthogonal-ish W:
     the proximal step is computed in the wavelet domain
@@ -55,7 +56,13 @@ def ista(
     ``op``/``op_t`` default to the identity (pure denoising).  Returns
     ``(x, objective_trace)`` with one objective value per iteration
     (computed on-device; no host sync inside the loop).
-    """
+
+    ``reg="l1"`` is λ‖Wx‖₁ with the soft-threshold prox; ``reg="group"``
+    is the group lasso λ·L2,1 over cross-subband detail groups with the
+    joint-shrinkage prox (ops.group_soft_threshold / ops.norm_l21 — the
+    reference TODO.txt's "group-lasso" wish)."""
+    if reg not in ("l1", "group"):
+        raise ValueError(f"reg must be 'l1' or 'group', got {reg!r}")
     wav = _resolve(wav)
     nr, nc = y.shape[-2:]
     if op is None:
@@ -84,7 +91,8 @@ def ista(
         r = op(v) - y
         grad = op_t(r)
         c = w_fwd(v - step * grad)
-        c = ops.soft_threshold(c, step * lam)
+        c = (ops.soft_threshold(c, step * lam) if reg == "l1"
+             else ops.group_soft_threshold(c, step * lam))
         x_new = w_inv(c)
         if fista:
             t_new = 0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * t * t))
@@ -92,7 +100,8 @@ def ista(
         else:
             t_new = t
             v_new = x_new
-        obj = 0.5 * jnp.sum(jnp.square(op(x_new) - y)) + lam * ops.norm1(c)
+        rterm = ops.norm1(c) if reg == "l1" else ops.norm_l21(c)
+        obj = 0.5 * jnp.sum(jnp.square(op(x_new) - y)) + lam * rterm
         return (x_new, v_new, t_new), obj
 
     (x, _, _), trace = lax.scan(

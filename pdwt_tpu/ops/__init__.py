@@ -5,12 +5,20 @@ from .threshold import (
     shrink,
     soft_threshold,
 )
-from .norms import add_coeffs, norm1, norm2sq, thresholded_norm1
+from .norms import (
+    add_coeffs,
+    norm1,
+    norm2sq,
+    norm_l21,
+    thresholded_norm1,
+    thresholded_norm_l21,
+)
 from .shift import circshift1d, circshift2d, circshift3d, random_shift
 
 __all__ = [
     "soft_threshold", "hard_threshold", "group_soft_threshold",
     "proj_linf", "shrink",
-    "norm1", "norm2sq", "add_coeffs", "thresholded_norm1",
+    "norm1", "norm2sq", "norm_l21", "add_coeffs",
+    "thresholded_norm1", "thresholded_norm_l21",
     "circshift1d", "circshift2d", "circshift3d", "random_shift",
 ]

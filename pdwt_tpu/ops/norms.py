@@ -50,6 +50,57 @@ def add_coeffs(dst: Coeffs, src: Coeffs, alpha=1.0) -> Coeffs:
     )
 
 
+def _group_norms(coeffs: Coeffs, i: int, do_thresh_appcoeffs: bool):
+    """Per-pixel L2 norm of the level-``i`` detail group (the grouping of
+    group_soft_threshold: the detail subbands jointly, + A at the
+    coarsest level when ``do_thresh_appcoeffs``)."""
+    det = coeffs.details[i]
+    bands = det if isinstance(det, tuple) else (det,)
+    acc = _accum(bands[0].dtype)
+    norm2 = sum(jnp.square(x.astype(acc)) for x in bands)
+    if do_thresh_appcoeffs and i == coeffs.levels - 1:
+        norm2 = norm2 + jnp.square(coeffs.approx.astype(acc))
+    return jnp.sqrt(norm2)
+
+
+def norm_l21(coeffs: Coeffs, *, do_thresh_appcoeffs: bool = False) -> jnp.ndarray:
+    """Group-lasso (L2,1) norm: sum over pixels of the L2 norm of each
+    cross-subband detail group, matching group_soft_threshold's grouping
+    (that threshold is the prox of ``beta * norm_l21``).  The approx
+    joins the coarsest group when ``do_thresh_appcoeffs``, else
+    contributes its plain L1 norm (the norm1 convention).  Covers the
+    reference's TODO wish "compute norm related to threshold (…
+    group-lasso)" (reference: TODO.txt)."""
+    total = 0.0
+    for i in range(coeffs.levels):
+        total = total + jnp.sum(_group_norms(coeffs, i, do_thresh_appcoeffs))
+    if not do_thresh_appcoeffs:
+        a = coeffs.approx
+        total = total + jnp.sum(jnp.abs(a).astype(_accum(a.dtype)))
+    return total
+
+
+def thresholded_norm_l21(coeffs: Coeffs, beta, *, normalize: bool = False,
+                         do_thresh_appcoeffs: bool = False) -> jnp.ndarray:
+    """norm_l21(group_soft_threshold(coeffs, beta)) WITHOUT materializing
+    the thresholded pytree: group-soft scales each pixel's group vector
+    so its L2 norm becomes max(||g|| - b, 0), hence the thresholded L2,1
+    norm is just sum max(||g|| - b, 0)."""
+    import math as _math
+
+    lvl_beta = lambda i: (beta / (_math.sqrt(2.0) ** (i + 1))
+                          if normalize else beta)
+    total = 0.0
+    for i in range(coeffs.levels):
+        norm = _group_norms(coeffs, i, do_thresh_appcoeffs)
+        b = jnp.asarray(lvl_beta(i), norm.dtype)
+        total = total + jnp.sum(jnp.maximum(norm - b, 0))
+    if not do_thresh_appcoeffs:
+        a = coeffs.approx
+        total = total + jnp.sum(jnp.abs(a).astype(_accum(a.dtype)))
+    return total
+
+
 def thresholded_norm1(coeffs: Coeffs, beta, *, mode: str = "soft",
                       normalize: bool = False,
                       do_thresh_appcoeffs: bool = False) -> jnp.ndarray:

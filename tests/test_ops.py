@@ -118,6 +118,35 @@ def test_norms(coeffs2d):
     assert abs(float(ops.norm2sq(coeffs2d)) - n2) < 1e-8
 
 
+def test_norm_l21(coeffs2d):
+    """L2,1 norm matches numpy over group_soft_threshold's grouping, and
+    the fused thresholded variant equals norm_l21 of the thresholded
+    pytree (for both appcoeffs conventions and normalize)."""
+    for app in (False, True):
+        expect = 0.0
+        for i, det in enumerate(coeffs2d.details):
+            bands = [np.asarray(t) for t in det]
+            n2 = sum(t * t for t in bands)
+            if app and i == coeffs2d.levels - 1:
+                n2 = n2 + np.asarray(coeffs2d.approx) ** 2
+            expect += np.sqrt(n2).sum()
+        if not app:
+            expect += np.abs(np.asarray(coeffs2d.approx)).sum()
+        got = float(ops.norm_l21(coeffs2d, do_thresh_appcoeffs=app))
+        assert abs(got - expect) < 1e-8
+
+        for normalize in (False, True):
+            beta = 0.4
+            thr = ops.group_soft_threshold(coeffs2d, beta,
+                                           do_thresh_appcoeffs=app,
+                                           normalize=normalize)
+            slow = float(ops.norm_l21(thr, do_thresh_appcoeffs=app))
+            fast = float(ops.thresholded_norm_l21(coeffs2d, beta,
+                                                  normalize=normalize,
+                                                  do_thresh_appcoeffs=app))
+            assert abs(fast - slow) < 1e-8, (app, normalize)
+
+
 def test_add_coeffs(coeffs2d):
     out = ops.add_coeffs(coeffs2d, coeffs2d, alpha=-1.0)
     for leaf in jax.tree_util.tree_leaves(out):

@@ -40,3 +40,21 @@ def test_fista_deconvolution_decreases_objective(rng):
     e_blur = float(jnp.abs(y - clean).mean())
     e_rec = float(jnp.abs(x - clean).mean())
     assert e_rec < e_blur
+
+
+def test_ista_group_lasso(rng):
+    """reg="group": joint-shrinkage prox + L2,1 objective; denoises.
+    (With the identity op and step=1 the iterate is a fixed point after
+    one step, so the trace is constant — assert finiteness only, like
+    the L1 identity test.)"""
+    clean = np.zeros((128, 128), np.float32)
+    clean[30:90, 40:100] = 100.0
+    noisy = jnp.asarray(clean + 20 * rng.standard_normal((128, 128)),
+                        dtype=jnp.float32)
+    x, trace = jax.jit(
+        lambda y: ista(y, wav="db4", levels=3, lam=40.0, iters=8,
+                       reg="group"))(noisy)
+    e_noisy = float(jnp.abs(noisy - clean).mean())
+    e_rec = float(jnp.abs(x - clean).mean())
+    assert e_rec < 0.7 * e_noisy
+    assert np.isfinite(np.asarray(trace)).all()
