@@ -176,9 +176,11 @@ class Wavelets:
         n_min = {1: nc, 2: min(nr, nc), 3: min(nd, nr, nc)}[ndim]
         wmax = max_level(n_min, hlen)
         if levels > wmax:
+            dims = {1: f"length-{nc} signal", 2: f"{nc}x{nr} image",
+                    3: f"{nd}x{nr}x{nc} volume"}[ndim]
             warnings.warn(
                 f"required level ({levels}) is greater than the maximum possible "
-                f"level for {wname} ({wmax}) on a {nc}x{nr} image; forcing "
+                f"level for {wname} ({wmax}) on a {dims}; forcing "
                 f"nlevels = {wmax}"
             )
             levels = wmax

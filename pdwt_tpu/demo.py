@@ -27,6 +27,10 @@ def main(argv=None) -> int:
     p.add_argument("image", help="raw float32 .dat file")
     p.add_argument("--nr", type=int, required=True)
     p.add_argument("--nc", type=int, required=True)
+    p.add_argument("--nd", type=int, default=0,
+                   help="depth for a 3D volume (.dat holds nd*nr*nc "
+                        "float32); 0 = 2D image (beyond the reference: "
+                        "it has no 3D)")
     p.add_argument("--scenario", type=int, default=2, choices=(1, 2, 3))
     p.add_argument("--wavelet", default="haar")
     p.add_argument("--levels", type=int, default=1)
@@ -70,14 +74,18 @@ def main(argv=None) -> int:
 
     from pdwt_tpu.utils import read_dat, write_dat
 
-    img = read_dat(args.image, (args.nr, args.nc))
+    shape = ((args.nd, args.nr, args.nc) if args.nd
+             else (args.nr, args.nc))
+    img = read_dat(args.image, shape)
 
     if args.native:
         from pdwt_tpu import native
         from pdwt_tpu.filters import get_wavelet
 
         w = get_wavelet(args.wavelet)
-        coeffs = native.dwt2d(img, w, args.levels, swt=args.swt)
+        fwd = native.dwt3d if args.nd else native.dwt2d
+        inv = native.idwt3d if args.nd else native.idwt2d
+        coeffs = fwd(img, w, args.levels, swt=args.swt)
         print(f"forward done (native): {args.wavelet}, {args.levels} levels")
         if args.scenario == 1:
             write_dat(args.out, coeffs.approx)
@@ -88,7 +96,7 @@ def main(argv=None) -> int:
                 tuple(native.soft_threshold(b, args.beta) for b in lvl)
                 for lvl in coeffs.details)
             coeffs = type(coeffs)(coeffs.approx, det)
-        rec = native.idwt2d(coeffs, w, (args.nr, args.nc), swt=args.swt)
+        rec = inv(coeffs, w, shape, swt=args.swt)
     else:
         import os
 

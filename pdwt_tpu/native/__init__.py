@@ -10,10 +10,12 @@ from .lib import (
     dwt1d,
     dwt2d,
     dwt2d_ns,
+    dwt3d,
     group_soft_threshold,
     idwt1d,
     idwt2d,
     idwt2d_ns,
+    idwt3d,
     is_available,
     norm1,
     norm2sq,
@@ -23,7 +25,7 @@ from .lib import (
 
 __all__ = [
     "build", "is_available",
-    "dwt2d", "idwt2d", "dwt1d", "idwt1d",
+    "dwt2d", "idwt2d", "dwt1d", "idwt1d", "dwt3d", "idwt3d",
     "dwt2d_ns", "idwt2d_ns",
     "soft_threshold", "group_soft_threshold", "shrink", "axpy",
     "norm1", "norm2sq",

@@ -69,3 +69,23 @@ def test_demo_precision_flag(tmp_path, image_dat):
     assert r.returncode == 0, r.stderr
     rec = np.fromfile(out, dtype=np.float32).reshape(64, 64)
     assert np.abs(rec - img).max() < 5.0
+
+
+def test_demo_3d_volume(tmp_path, rng):
+    """--nd routes a raw volume through the 3D facade path (and the
+    native 3D engine with --native); reconstruction is exact."""
+    vol = (rng.standard_normal((8, 32, 32)) * 50 + 128).astype(np.float32)
+    path = str(tmp_path / "vol.dat")
+    vol.tofile(path)
+    for extra in ([], ["--native"]):
+        if extra:
+            from pdwt_tpu import native
+            if not native.is_available():
+                pytest.skip("native toolchain unavailable")
+        out = str(tmp_path / "res3.dat")
+        r = _run([path, "--nd", "8", "--nr", "32", "--nc", "32",
+                  "--scenario", "2", "--wavelet", "db2", "--levels", "2",
+                  "--out", out, *extra])
+        assert r.returncode == 0, r.stderr
+        rec = np.fromfile(out, dtype=np.float32).reshape(8, 32, 32)
+        assert np.abs(rec - vol).max() < 1e-2
