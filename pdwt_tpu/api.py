@@ -503,6 +503,16 @@ class Wavelets:
         return float(self._jitted(("norm2sq", self.spec),
                                   lambda: ops.norm2sq)(self._coeffs))
 
+    def norm_l21(self, do_thresh_appcoeffs: bool = False) -> float:
+        """Group-lasso (L2,1) norm over group_soft_threshold's
+        cross-subband groups (reference TODO.txt: "compute norm related
+        to threshold (… group-lasso)")."""
+        return float(self._jitted(
+            ("norm_l21", do_thresh_appcoeffs, self.spec),
+            lambda: partial(ops.norm_l21,
+                            do_thresh_appcoeffs=do_thresh_appcoeffs)
+        )(self._coeffs))
+
     def circshift(self, sr: int, sc: int, inplace: bool = True,
                   sd: int = 0):
         """Circular shift of the image (reference: src/wt.cu:366-368;

@@ -35,8 +35,11 @@ def test_denoise_scenario(rng):
     W = Wavelets(img, wname="db7", levels=3)
     W.forward()
     n1_before = W.norm1()
+    l21_before = W.norm_l21()
+    assert 0 < l21_before <= n1_before + 1e-3  # group L2 <= sum of L1s
     W.soft_threshold(90.0)
     assert W.norm1() < n1_before
+    assert W.norm_l21() < l21_before
     out = W.inverse()
     assert np.isfinite(np.asarray(out)).all()
 
