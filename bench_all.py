@@ -147,6 +147,11 @@ def main() -> None:
     record("SWT db7 2D 3-level TI denoise step 1024x1024 [bf16]",
            1024 * 1024, cfg4b, img1kb)
 
+    volb = vol.astype(jnp.bfloat16)
+    record("3D db4 2-level fwd+inv 128x512x512 [bf16]", 128 * 512 * 512,
+           lambda x: sep3.idwt3d(sep3.dwt3d(x, w4, 2), w4,
+                                 (128, 512, 512)), volb)
+
     for r in results:
         print(json.dumps(r))
 
