@@ -71,7 +71,8 @@ def _from_ncs(x: jnp.ndarray, batch):
 # the major axis, so no relayouts).
 # ---------------------------------------------------------------------------
 
-def _depth_split(res, wav, b, d, *, dilation=1, decimate=True, mode=None):
+def _depth_split(res, wav, b, d, *, dilation=1, decimate=True, mode=None,
+                 pad_fn=None):
     """Depth analysis of the four (B*D, r, c) 2D-level subbands.
     Returns the 8 analysis channels (each (B, D', r, c)) in order
     ch = 4*k_col + 2*k_row + k_dep — pairing each 2D subband (order
@@ -79,9 +80,11 @@ def _depth_split(res, wav, b, d, *, dilation=1, decimate=True, mode=None):
 
     The A-chain (from subband a) and the details run as separate passes
     because in bf16 mode they carry different dtypes (f32 chain, bf16
-    details); channel 1 (daa) is a detail and is downcast."""
+    details); channel 1 (daa) is a detail and is downcast.  ``pad_fn``
+    lets the sharded engine ride its depth halo ring here."""
     r, c = res[0].shape[-2:]
-    kw = dict(axis=-3, dilation=dilation, decimate=decimate, backend="fma")
+    kw = dict(axis=-3, dilation=dilation, decimate=decimate, backend="fma",
+              pad_fn=pad_fn)
     dec = (wav.dec_lo, wav.dec_hi)
     za = conv.analysis_pass(
         res[0].reshape(b, 1, d, r, c), dec, **kw)           # (B, 2, ...)

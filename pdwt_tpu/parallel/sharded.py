@@ -98,6 +98,81 @@ from ..core.separable import _bf16_outs as _norm_mxu_out
 from ..core.separable import _f32
 
 
+def _fwd_level_2d_local(a, wav, mode, pad_fn):
+    """One decimated 2D level on (B, r, c) with the ring pad_fn; returns
+    the raw 4 subbands (MXU banded-matmul / padded exact kernel / conv
+    fallback — the same per-level dispatch every local composition
+    shares)."""
+    from .. import kernels
+
+    r, c = a.shape[-2:]
+    res = None
+    if mode is not None:
+        res = kernels.fwd_level_2d_mxu(a, wav.dec_lo, wav.dec_hi,
+                                       mode, pad_fn=pad_fn)
+    if res is None:
+        af = _f32(a) if mode is not None else a
+        geo = (kernels.fwd_geometry(r, c, wav.hlen)
+               if af.dtype == jnp.float32 else None)
+        if geo is not None:
+            lo_r, lo_c, hi_r, hi_c = geo
+            tl = tuple(float(v) for v in wav.dec_lo)
+            th = tuple(float(v) for v in wav.dec_hi)
+            xp = pad_fn(af, -1, lo_c, hi_c)
+            xp = pad_fn(xp, -2, lo_r, hi_r)
+            res = kernels.fwd_level_2d_padded(xp, tl, th,
+                                              (r // 2, c // 2))
+        else:
+            dec = (wav.dec_lo, wav.dec_hi)
+            z = conv.analysis_pass(af[:, None], dec, axis=-1,
+                                   backend="fma", pad_fn=pad_fn)
+            z = conv.analysis_pass(z, dec, axis=-2, backend="fma",
+                                   pad_fn=pad_fn)
+            res = (z[:, 0], z[:, 1], z[:, 2], z[:, 3])
+    return res
+
+
+def _inv_level_2d_local(a, h, v, d, wav, mode, out_dt, pad_fn, out_rc):
+    """One decimated 2D inverse level on (B, mr, mc) subbands with the
+    ring pad_fn; returns (B, out_rc[0], out_rc[1]) in ``out_dt`` under
+    the MXU modes (f32 untouched otherwise)."""
+    from .. import kernels
+
+    mr, mc = a.shape[-2:]
+    y = None
+    if mode is not None:
+        y = kernels.inv_level_2d_mxu(a, h, v, d, wav.rec_lo,
+                                     wav.rec_hi, mode, out_dt,
+                                     pad_fn=pad_fn)
+    if y is None:
+        if mode is not None:
+            a, h, v, d = _f32(a), _f32(h), _f32(v), _f32(d)
+        geo = (kernels.inv_geometry(mr, mc, wav.hlen)
+               if a.dtype == jnp.float32 else None)
+        if geo is not None:
+            lo_r, lo_c, hi_r, hi_c = geo
+            rl = tuple(float(x) for x in wav.rec_lo)
+            rh = tuple(float(x) for x in wav.rec_hi)
+
+            def pad2(arr):
+                arr = pad_fn(arr, -1, lo_c, hi_c)
+                return pad_fn(arr, -2, lo_r, hi_r)
+
+            y = kernels.inv_level_2d_padded(pad2(a), pad2(h), pad2(v),
+                                            pad2(d), rl, rh, (mr, mc))
+        else:
+            rec = (wav.rec_lo, wav.rec_hi)
+            z = jnp.concatenate([t[:, None] for t in (a, h, v, d)],
+                                axis=1)
+            t2 = conv.synthesis_pass(z, rec, axis=-2, out_len=out_rc[0],
+                                     backend="fma", pad_fn=pad_fn)
+            y = conv.synthesis_pass(t2, rec, axis=-1, out_len=out_rc[1],
+                                    backend="fma", pad_fn=pad_fn)[:, 0]
+        if mode is not None:
+            y = y.astype(out_dt)
+    return y
+
+
 def _local_pallas_dwt2d(xl, wav, levels, pad_fn):
     """Per-level: ring-halo exchange the kernel's exact padding needs
     (periodic support + DMA alignment margin), then run the fused Pallas
@@ -105,40 +180,16 @@ def _local_pallas_dwt2d(xl, wav, levels, pad_fn):
     dispatch the banded-matmul kernels per shard — bf16 halos move half
     the ICI traffic.  Falls back per level to the conv passes with the
     same pad_fn when a local geometry is unsupported."""
-    from .. import kernels
     from ..core.separable import _mxu_mode
 
     batch = xl.shape[:-2]
     b = int(np.prod(batch, dtype=np.int64)) if batch else 1
     a = xl.reshape((b,) + xl.shape[-2:])
-    dec = (wav.dec_lo, wav.dec_hi)
-    tl = tuple(float(v) for v in wav.dec_lo)
-    th = tuple(float(v) for v in wav.dec_hi)
     mode = _mxu_mode(a.dtype)
     norm = _norm_mxu_out(mode)
     details = []
     for _ in range(levels):
-        r, c = a.shape[-2:]
-        res = None
-        if mode is not None:
-            res = kernels.fwd_level_2d_mxu(a, wav.dec_lo, wav.dec_hi,
-                                           mode, pad_fn=pad_fn)
-        if res is None:
-            af = _f32(a) if mode is not None else a
-            geo = (kernels.fwd_geometry(r, c, wav.hlen)
-                   if af.dtype == jnp.float32 else None)
-            if geo is not None:
-                lo_r, lo_c, hi_r, hi_c = geo
-                xp = pad_fn(af, -1, lo_c, hi_c)
-                xp = pad_fn(xp, -2, lo_r, hi_r)
-                res = kernels.fwd_level_2d_padded(xp, tl, th,
-                                                  (r // 2, c // 2))
-            else:
-                z = conv.analysis_pass(af[:, None], dec, axis=-1,
-                                       backend="fma", pad_fn=pad_fn)
-                z = conv.analysis_pass(z, dec, axis=-2, backend="fma",
-                                       pad_fn=pad_fn)
-                res = (z[:, 0], z[:, 1], z[:, 2], z[:, 3])
+        res = _fwd_level_2d_local(a, wav, mode, pad_fn)
         a, h, v, d = norm(*res)
         details.append(tuple(t.reshape(batch + t.shape[1:])
                              for t in (h, v, d)))
@@ -146,15 +197,11 @@ def _local_pallas_dwt2d(xl, wav, levels, pad_fn):
 
 
 def _local_pallas_idwt2d(cl, wav, local_shape, pad_fn):
-    from .. import kernels
     from ..core.separable import _mxu_mode
 
     levels = cl.levels
     rows = [local_shape[0] >> k for k in range(levels + 1)]
     cols = [local_shape[1] >> k for k in range(levels + 1)]
-    rec = (wav.rec_lo, wav.rec_hi)
-    rl = tuple(float(v) for v in wav.rec_lo)
-    rh = tuple(float(v) for v in wav.rec_hi)
     batch = cl.approx.shape[:-2]
     b = int(np.prod(batch, dtype=np.int64)) if batch else 1
     flat = lambda t: t.reshape((b,) + t.shape[len(batch):])
@@ -165,82 +212,107 @@ def _local_pallas_idwt2d(cl, wav, local_shape, pad_fn):
         a = _f32(a)
     for i in range(levels - 1, -1, -1):
         h, v, d = (flat(t) for t in cl.details[i])
-        mr, mc = a.shape[-2:]
-        y = None
-        if mode is not None:
-            out_dt = (jnp.bfloat16 if (mode == "bf16" and i == 0)
-                      else jnp.float32)
-            y = kernels.inv_level_2d_mxu(a, h, v, d, wav.rec_lo,
-                                         wav.rec_hi, mode, out_dt,
-                                         pad_fn=pad_fn)
-        if y is None:
-            if mode is not None:
-                a, h, v, d = _f32(a), _f32(h), _f32(v), _f32(d)
-            geo = (kernels.inv_geometry(mr, mc, wav.hlen)
-                   if a.dtype == jnp.float32 else None)
-            if geo is not None:
-                lo_r, lo_c, hi_r, hi_c = geo
-
-                def pad2(arr):
-                    arr = pad_fn(arr, -1, lo_c, hi_c)
-                    return pad_fn(arr, -2, lo_r, hi_r)
-
-                y = kernels.inv_level_2d_padded(pad2(a), pad2(h), pad2(v),
-                                                pad2(d), rl, rh, (mr, mc))
-            else:
-                z = jnp.concatenate([t[:, None] for t in (a, h, v, d)],
-                                    axis=1)
-                t2 = conv.synthesis_pass(z, rec, axis=-2, out_len=rows[i],
-                                         backend="fma", pad_fn=pad_fn)
-                y = conv.synthesis_pass(t2, rec, axis=-1, out_len=cols[i],
-                                        backend="fma", pad_fn=pad_fn)[:, 0]
-            if mode == "bf16" and i == 0:
-                y = y.astype(jnp.bfloat16)
-        a = y
+        out_dt = (jnp.bfloat16 if (mode == "bf16" and i == 0)
+                  else jnp.float32)
+        a = _inv_level_2d_local(a, h, v, d, wav, mode, out_dt, pad_fn,
+                                (rows[i], cols[i]))
     return a.reshape(batch + a.shape[1:])
 
 
-def _local_pallas_swt2d(xl, wav, levels, pad_fn):
+def _swt_fwd_level_2d_local(a, wav, lvl, mode, pad_fn):
+    """One à-trous 2D level on (B, r, c) with the ring pad_fn; returns
+    the raw 4 subbands (MXU / padded exact kernel / conv fallback)."""
     from .. import kernels
+
+    r, c = a.shape[-2:]
+    res = None
+    if mode is not None:
+        res = kernels.swt_fwd_level_2d_mxu(a, wav.dec_lo, wav.dec_hi,
+                                           lvl, mode, pad_fn=pad_fn)
+    if res is None:
+        af = _f32(a) if mode is not None else a
+        geo = (kernels.swt_fwd_geometry(r, c, wav.hlen, lvl)
+               if af.dtype == jnp.float32 and wav.hlen % 2 == 0
+               else None)
+        if geo is not None:
+            lo_r, lo_c, hi_r, hi_c = geo
+            tl = tuple(float(v) for v in wav.dec_lo)
+            th = tuple(float(v) for v in wav.dec_hi)
+            xp = pad_fn(af, -1, lo_c, hi_c)
+            xp = pad_fn(xp, -2, lo_r, hi_r)
+            res = kernels.swt_fwd_level_2d_padded(xp, tl, th, lvl,
+                                                  (r, c))
+        else:
+            f = 1 << (lvl - 1)
+            dec = (wav.dec_lo, wav.dec_hi)
+            z = conv.analysis_pass(af[:, None], dec, axis=-1,
+                                   dilation=f, decimate=False,
+                                   backend="fma", pad_fn=pad_fn)
+            z = conv.analysis_pass(z, dec, axis=-2, dilation=f,
+                                   decimate=False, backend="fma",
+                                   pad_fn=pad_fn)
+            res = (z[:, 0], z[:, 1], z[:, 2], z[:, 3])
+    return res
+
+
+def _swt_inv_level_2d_local(a, h, v, d, wav, lvl, mode, out_dt, pad_fn):
+    """One à-trous 2D inverse level on (B, r, c) subbands with the ring
+    pad_fn (the kernels carry the ÷2-per-axis normalization)."""
+    from .. import kernels
+
+    r, c = a.shape[-2:]
+    y = None
+    if mode is not None:
+        y = kernels.swt_inv_level_2d_mxu(a, h, v, d, wav.rec_lo,
+                                         wav.rec_hi, lvl, mode,
+                                         out_dt, pad_fn=pad_fn)
+    if y is None:
+        if mode is not None:
+            a, h, v, d = _f32(a), _f32(h), _f32(v), _f32(d)
+        geo = (kernels.swt_inv_geometry(r, c, wav.hlen, lvl)
+               if a.dtype == jnp.float32 and wav.hlen % 2 == 0
+               else None)
+        if geo is not None:
+            lo_r, lo_c, hi_r, hi_c = geo
+            rl = tuple(float(x) for x in wav.rec_lo)
+            rh = tuple(float(x) for x in wav.rec_hi)
+
+            def pad2(arr):
+                arr = pad_fn(arr, -1, lo_c, hi_c)
+                return pad_fn(arr, -2, lo_r, hi_r)
+
+            y = kernels.swt_inv_level_2d_padded(pad2(a), pad2(h),
+                                                pad2(v), pad2(d), rl,
+                                                rh, lvl, (r, c))
+        else:
+            f = 1 << (lvl - 1)
+            rec = (wav.rec_lo * 0.5, wav.rec_hi * 0.5)
+            z = jnp.concatenate([t[:, None] for t in (a, h, v, d)],
+                                axis=1)
+            t2 = conv.synthesis_pass(z, rec, axis=-2, dilation=f,
+                                     decimated=False, backend="fma",
+                                     pad_fn=pad_fn)
+            y = conv.synthesis_pass(t2, rec, axis=-1, dilation=f,
+                                    decimated=False, backend="fma",
+                                    pad_fn=pad_fn)[:, 0]
+        if mode is not None:
+            y = y.astype(out_dt)
+    return y
+
+
+def _local_pallas_swt2d(xl, wav, levels, pad_fn):
     from ..core.separable import _mxu_mode
 
     batch = xl.shape[:-2]
     b = int(np.prod(batch, dtype=np.int64)) if batch else 1
     a = xl.reshape((b,) + xl.shape[-2:])
-    dec = (wav.dec_lo, wav.dec_hi)
-    tl = tuple(float(v) for v in wav.dec_lo)
-    th = tuple(float(v) for v in wav.dec_hi)
     mode = _mxu_mode(a.dtype)
     if mode == "mixed":
         mode = None  # exact SWT kernels beat b3 (core.separable)
     norm = _norm_mxu_out(mode)
     details = []
     for lvl in range(1, levels + 1):
-        r, c = a.shape[-2:]
-        res = None
-        if mode is not None:
-            res = kernels.swt_fwd_level_2d_mxu(a, wav.dec_lo, wav.dec_hi,
-                                               lvl, mode, pad_fn=pad_fn)
-        if res is None:
-            af = _f32(a) if mode is not None else a
-            geo = (kernels.swt_fwd_geometry(r, c, wav.hlen, lvl)
-                   if af.dtype == jnp.float32 and wav.hlen % 2 == 0
-                   else None)
-            if geo is not None:
-                lo_r, lo_c, hi_r, hi_c = geo
-                xp = pad_fn(af, -1, lo_c, hi_c)
-                xp = pad_fn(xp, -2, lo_r, hi_r)
-                res = kernels.swt_fwd_level_2d_padded(xp, tl, th, lvl,
-                                                      (r, c))
-            else:
-                f = 1 << (lvl - 1)
-                z = conv.analysis_pass(af[:, None], dec, axis=-1,
-                                       dilation=f, decimate=False,
-                                       backend="fma", pad_fn=pad_fn)
-                z = conv.analysis_pass(z, dec, axis=-2, dilation=f,
-                                       decimate=False, backend="fma",
-                                       pad_fn=pad_fn)
-                res = (z[:, 0], z[:, 1], z[:, 2], z[:, 3])
+        res = _swt_fwd_level_2d_local(a, wav, lvl, mode, pad_fn)
         a, h, v, d = norm(*res)
         details.append(tuple(t.reshape(batch + t.shape[1:])
                              for t in (h, v, d)))
@@ -248,12 +320,8 @@ def _local_pallas_swt2d(xl, wav, levels, pad_fn):
 
 
 def _local_pallas_iswt2d(cl, wav, pad_fn):
-    from .. import kernels
     from ..core.separable import _mxu_mode
 
-    rec = (wav.rec_lo * 0.5, wav.rec_hi * 0.5)
-    rl = tuple(float(v) for v in wav.rec_lo)
-    rh = tuple(float(v) for v in wav.rec_hi)
     batch = cl.approx.shape[:-2]
     b = int(np.prod(batch, dtype=np.int64)) if batch else 1
     flat = lambda t: t.reshape((b,) + t.shape[len(batch):])
@@ -266,43 +334,10 @@ def _local_pallas_iswt2d(cl, wav, pad_fn):
         a = _f32(a)
     for i in range(cl.levels - 1, -1, -1):
         h, v, d = (flat(t) for t in cl.details[i])
-        r, c = a.shape[-2:]
-        y = None
-        if mode is not None:
-            out_dt = (jnp.bfloat16 if (mode == "bf16" and i == 0)
-                      else jnp.float32)
-            y = kernels.swt_inv_level_2d_mxu(a, h, v, d, wav.rec_lo,
-                                             wav.rec_hi, i + 1, mode,
-                                             out_dt, pad_fn=pad_fn)
-        if y is None:
-            if mode is not None:
-                a, h, v, d = _f32(a), _f32(h), _f32(v), _f32(d)
-            geo = (kernels.swt_inv_geometry(r, c, wav.hlen, i + 1)
-                   if a.dtype == jnp.float32 and wav.hlen % 2 == 0
-                   else None)
-            if geo is not None:
-                lo_r, lo_c, hi_r, hi_c = geo
-
-                def pad2(arr):
-                    arr = pad_fn(arr, -1, lo_c, hi_c)
-                    return pad_fn(arr, -2, lo_r, hi_r)
-
-                y = kernels.swt_inv_level_2d_padded(pad2(a), pad2(h),
-                                                    pad2(v), pad2(d), rl,
-                                                    rh, i + 1, (r, c))
-            else:
-                f = 1 << i
-                z = jnp.concatenate([t[:, None] for t in (a, h, v, d)],
-                                    axis=1)
-                t2 = conv.synthesis_pass(z, rec, axis=-2, dilation=f,
-                                         decimated=False, backend="fma",
-                                         pad_fn=pad_fn)
-                y = conv.synthesis_pass(t2, rec, axis=-1, dilation=f,
-                                        decimated=False, backend="fma",
-                                        pad_fn=pad_fn)[:, 0]
-            if mode == "bf16" and i == 0:
-                y = y.astype(jnp.bfloat16)
-        a = y
+        out_dt = (jnp.bfloat16 if (mode == "bf16" and i == 0)
+                  else jnp.float32)
+        a = _swt_inv_level_2d_local(a, h, v, d, wav, i + 1, mode, out_dt,
+                                    pad_fn)
     return a.reshape(batch + a.shape[1:])
 
 
@@ -671,6 +706,135 @@ def _validate3d(x, mesh, data_axis, dep_axis, row_axis, col_axis, levels,
             _check_div(name, x.shape[dim], mesh.shape[ax], levels, swt)
 
 
+def _local_pallas_dwt3d(xl, wav, levels, pad_fn):
+    """Sharded-3D fast path: ring halo exchange feeding the fused 2D
+    level kernels (MXU banded-matmul under the precision modes) with
+    depth as batch, then the fma depth pass over the depth ring
+    (core._depth_split with the ring pad_fn)."""
+    from ..core.separable import _mxu_mode
+    from ..core.separable3d import Coeffs3D, _depth_split
+
+    batch = xl.shape[:-3]
+    b = int(np.prod(batch, dtype=np.int64)) if batch else 1
+    a = xl.reshape((b,) + xl.shape[-3:])
+    mode = _mxu_mode(a.dtype)
+    norm = _norm_mxu_out(mode)
+    details = []
+    for _ in range(levels):
+        dd, r, c = a.shape[-3:]
+        res = _fwd_level_2d_local(a.reshape(b * dd, r, c), wav, mode,
+                                  pad_fn)
+        res = norm(*res)  # f32 A / bf16 details before the depth pass
+        bands = _depth_split(res, wav, b, dd, mode=mode, pad_fn=pad_fn)
+        a = bands[0]
+        details.append(tuple(t.reshape(batch + t.shape[1:])
+                             for t in bands[1:]))
+    return Coeffs3D(a.reshape(batch + a.shape[1:]), tuple(details))
+
+
+def _local_pallas_idwt3d(cl, wav, local_shape, pad_fn):
+    """Inverse via the depth-bit regrouping (two fused 2D inverses per
+    level + the depth synthesis over the ring) — synthesis passes on
+    independent axes commute (see core._inv_level_3d_pallas_mxu)."""
+    from ..core.separable import _mxu_mode
+
+    levels = cl.levels
+    deps = [local_shape[0] >> k for k in range(levels + 1)]
+    rows = [local_shape[1] >> k for k in range(levels + 1)]
+    cols = [local_shape[2] >> k for k in range(levels + 1)]
+    batch = cl.approx.shape[:-3]
+    b = int(np.prod(batch, dtype=np.int64)) if batch else 1
+    flat = lambda t: t.reshape((b,) + t.shape[len(batch):])
+    a = flat(cl.approx)
+    ddt = cl.details[-1][0].dtype if cl.details else a.dtype
+    mode = _mxu_mode(ddt)
+    if mode == "bf16":
+        a = _f32(a)
+    rec = (wav.rec_lo, wav.rec_hi)
+    for i in range(levels - 1, -1, -1):
+        bands = [flat(t) for t in cl.details[i]]
+        out_dt = (jnp.bfloat16 if (mode == "bf16" and i == 0)
+                  else jnp.float32)
+        dd = a.shape[-3]
+        f2 = lambda t: t.reshape((b * dd,) + t.shape[-2:])
+        # ch = 4*k_col + 2*k_row + k_dep; bands[j] is channel j+1
+        lo_grp = (a, bands[1], bands[3], bands[5])       # k_dep = 0
+        hi_grp = (bands[0], bands[2], bands[4], bands[6])  # k_dep = 1
+        outs = []
+        for grp in (lo_grp, hi_grp):
+            y2 = _inv_level_2d_local(f2(grp[0]), f2(grp[1]), f2(grp[2]),
+                                     f2(grp[3]), wav, mode, jnp.float32,
+                                     pad_fn, (rows[i], cols[i]))
+            outs.append(y2.reshape(b, dd, rows[i], cols[i]))
+        z = jnp.stack(outs, axis=1)  # (B, 2, dd, R, C) — k_dep pairs
+        y = conv.synthesis_pass(z, rec, axis=-3, out_len=deps[i],
+                                backend="fma", pad_fn=pad_fn)[:, 0]
+        a = y.astype(out_dt)
+    return a.reshape(batch + a.shape[1:])
+
+
+def _local_pallas_swt3d(xl, wav, levels, pad_fn):
+    from ..core.separable import _mxu_mode
+    from ..core.separable3d import Coeffs3D, _depth_split
+
+    batch = xl.shape[:-3]
+    b = int(np.prod(batch, dtype=np.int64)) if batch else 1
+    a = xl.reshape((b,) + xl.shape[-3:])
+    mode = _mxu_mode(a.dtype)
+    if mode == "mixed":
+        mode = None  # exact SWT kernels beat b3 (core.separable)
+    norm = _norm_mxu_out(mode)
+    details = []
+    for lvl in range(1, levels + 1):
+        dd, r, c = a.shape[-3:]
+        res = _swt_fwd_level_2d_local(a.reshape(b * dd, r, c), wav, lvl,
+                                      mode, pad_fn)
+        res = norm(*res)
+        bands = _depth_split(res, wav, b, dd, dilation=1 << (lvl - 1),
+                             decimate=False, mode=mode, pad_fn=pad_fn)
+        a = bands[0]
+        details.append(tuple(t.reshape(batch + t.shape[1:])
+                             for t in bands[1:]))
+    return Coeffs3D(a.reshape(batch + a.shape[1:]), tuple(details))
+
+
+def _local_pallas_iswt3d(cl, wav, pad_fn):
+    from ..core.separable import _mxu_mode
+
+    levels = cl.levels
+    batch = cl.approx.shape[:-3]
+    b = int(np.prod(batch, dtype=np.int64)) if batch else 1
+    flat = lambda t: t.reshape((b,) + t.shape[len(batch):])
+    a = flat(cl.approx)
+    ddt = cl.details[-1][0].dtype if cl.details else a.dtype
+    mode = _mxu_mode(ddt)
+    if mode == "mixed":
+        mode = None  # exact SWT kernels beat b3 (core.separable)
+    if mode == "bf16":
+        a = _f32(a)
+    for i in range(levels - 1, -1, -1):
+        bands = [flat(t) for t in cl.details[i]]
+        out_dt = (jnp.bfloat16 if (mode == "bf16" and i == 0)
+                  else jnp.float32)
+        dd, nr, nc = a.shape[-3:]
+        f2 = lambda t: t.reshape((b * dd,) + t.shape[-2:])
+        lo_grp = (a, bands[1], bands[3], bands[5])
+        hi_grp = (bands[0], bands[2], bands[4], bands[6])
+        outs = []
+        for grp in (lo_grp, hi_grp):
+            y2 = _swt_inv_level_2d_local(f2(grp[0]), f2(grp[1]),
+                                         f2(grp[2]), f2(grp[3]), wav,
+                                         i + 1, mode, jnp.float32,
+                                         pad_fn)
+            outs.append(y2.reshape(b, dd, nr, nc))
+        z = jnp.stack(outs, axis=1)
+        y = conv.synthesis_pass(z, (wav.rec_lo * 0.5, wav.rec_hi * 0.5),
+                                axis=-3, dilation=1 << i, decimated=False,
+                                backend="fma", pad_fn=pad_fn)[:, 0]
+        a = y.astype(out_dt)
+    return a.reshape(batch + a.shape[1:])
+
+
 def dwt3d(x, wav: Wavelet, levels: int, mesh: Mesh, *,
           data_axis: Optional[str] = None, dep_axis: Optional[str] = None,
           row_axis: Optional[str] = None, col_axis: Optional[str] = None,
@@ -682,11 +846,20 @@ def dwt3d(x, wav: Wavelet, levels: int, mesh: Mesh, *,
                 swt)
     spec = _spec3d(x.ndim, data_axis, dep_axis, row_axis, col_axis)
     pad_fn = make_pad_fn(dict(mesh.shape), row_axis, col_axis, dep_axis)
-    core = sep3.swt3d if swt else sep3.dwt3d
-    be = None if backend == "pallas" else backend
 
-    def local(xl):
-        return core(xl, wav, levels, backend=be, pad_fn=pad_fn)
+    if _use_local_pallas(backend):
+        if swt:
+            def local(xl):
+                return _local_pallas_swt3d(xl, wav, levels, pad_fn)
+        else:
+            def local(xl):
+                return _local_pallas_dwt3d(xl, wav, levels, pad_fn)
+    else:
+        core = sep3.swt3d if swt else sep3.dwt3d
+        be = None if backend == "pallas" else backend
+
+        def local(xl):
+            return core(xl, wav, levels, backend=be, pad_fn=pad_fn)
 
     f = jax.shard_map(local, mesh=mesh, in_specs=spec, out_specs=spec,
                       check_vma=False)
@@ -713,12 +886,22 @@ def idwt3d(coeffs, wav: Wavelet, shape: Tuple[int, int, int], mesh: Mesh, *,
     local_shape = (shape[0] // _axis_size(mesh, dep_axis),
                    shape[1] // _axis_size(mesh, row_axis),
                    shape[2] // _axis_size(mesh, col_axis))
-    be = None if backend == "pallas" else backend
 
-    def local(cl):
+    if _use_local_pallas(backend):
         if swt:
-            return sep3.iswt3d(cl, wav, backend=be, pad_fn=pad_fn)
-        return sep3.idwt3d(cl, wav, local_shape, backend=be, pad_fn=pad_fn)
+            def local(cl):
+                return _local_pallas_iswt3d(cl, wav, pad_fn)
+        else:
+            def local(cl):
+                return _local_pallas_idwt3d(cl, wav, local_shape, pad_fn)
+    else:
+        be = None if backend == "pallas" else backend
+
+        def local(cl):
+            if swt:
+                return sep3.iswt3d(cl, wav, backend=be, pad_fn=pad_fn)
+            return sep3.idwt3d(cl, wav, local_shape, backend=be,
+                               pad_fn=pad_fn)
 
     f = jax.shard_map(local, mesh=mesh, in_specs=spec, out_specs=spec,
                       check_vma=False)
