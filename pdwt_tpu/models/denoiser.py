@@ -151,6 +151,39 @@ def sharded_denoise_step(
     return out, n1
 
 
+def sharded_denoise_step_3d(
+    vol: jnp.ndarray,
+    wav,
+    levels: int,
+    beta,
+    mesh,
+    *,
+    data_axis: Optional[str] = None,
+    dep_axis: Optional[str] = None,
+    row_axis: Optional[str] = None,
+    col_axis: Optional[str] = None,
+    mode: str = "soft",
+    swt: bool = False,
+    backend: Optional[str] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Distributed 3D denoise step over a (data, depth, row, col) mesh —
+    the volume analogue of :func:`sharded_denoise_step` (halos ride all
+    three spatial rings).  Returns ``(denoised, norm1)``."""
+    from .. import parallel as par
+
+    wav = _resolve(wav)
+    nd, nr, nc = vol.shape[-3:]
+    axes = dict(data_axis=data_axis, dep_axis=dep_axis, row_axis=row_axis,
+                col_axis=col_axis)
+    coeffs = par.dwt3d(vol, wav, levels, mesh, swt=swt, backend=backend,
+                       **axes)
+    coeffs = _THRESH[mode](coeffs, beta)
+    n1 = ops.norm1(coeffs)
+    out = par.idwt3d(coeffs, wav, (nd, nr, nc), mesh, swt=swt,
+                     backend=backend, **axes)
+    return out, n1
+
+
 def denoise_step_3d(
     vol: jnp.ndarray,
     key: Optional[jax.Array],

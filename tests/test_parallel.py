@@ -372,3 +372,22 @@ def test_sharded_3d_mxu_modes(mesh, rng, monkeypatch):
     y = par.idwt3d(c_sh, w, (8, 128, 256), mesh, backend="pallas",
                    **axes3)
     assert float(jnp.abs(y - jnp.asarray(x)).max()) < 0.1
+
+
+def test_sharded_denoise_step_3d_jits(mesh, rng):
+    from pdwt_tpu.models.denoiser import sharded_denoise_step_3d
+
+    axes3 = dict(dep_axis="data", row_axis="row", col_axis="col")
+    x = rng.standard_normal((16, 32, 32)).astype(np.float32)
+    xs = par.shard_image(x, mesh, **axes3)
+
+    @jax.jit
+    def step(v):
+        return sharded_denoise_step_3d(v, "db4", 2, 1.0, mesh, **axes3)
+
+    out, n1 = step(xs)
+    assert out.shape == x.shape
+    assert np.isfinite(float(n1))
+    out0, _ = jax.jit(lambda v: sharded_denoise_step_3d(
+        v, "db4", 2, 0.0, mesh, **axes3))(xs)
+    assert float(jnp.abs(out0 - x).max()) < 5e-5
