@@ -176,7 +176,7 @@ class Wavelets:
         n_min = {1: nc, 2: min(nr, nc), 3: min(nd, nr, nc)}[ndim]
         wmax = max_level(n_min, hlen)
         if levels > wmax:
-            dims = {1: f"length-{nc} signal", 2: f"{nc}x{nr} image",
+            dims = {1: f"length-{nc} signal", 2: f"{nr}x{nc} image",
                     3: f"{nd}x{nr}x{nc} volume"}[ndim]
             warnings.warn(
                 f"required level ({levels}) is greater than the maximum possible "

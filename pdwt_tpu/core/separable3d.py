@@ -193,48 +193,61 @@ def dwt3d(x: jnp.ndarray, wav: Wavelet, levels: int, *,
     return Coeffs3D(_from_ncs(a, batch), tuple(details))
 
 
-def _inv_level_3d_pallas_mxu(a, bands7, wav, lo_t, hi_t, out_drc, mode,
-                             out_dtype, *, swt_level=None):
-    """MXU inverse of one 3D level, regrouped by the depth bit: the
-    synthesis passes act on independent axes and therefore commute, so
-    the level inverts as TWO fused 2D inverses (one per k_dep — the
-    k_dep=0 group is exactly the 2D bf16 contract: f32 A + bf16
-    details) followed by the depth synthesis.  Returns (B, D, R, C) in
-    ``out_dtype`` or None when a 2D kernel rejects."""
-    from .. import kernels
+def _inv_level_3d_regrouped(a, bands7, b, dd, inv2d, wav, *,
+                            out_dep=None, swt_level=None, pad_fn=None):
+    """Invert one 3D level regrouped by the depth bit — the synthesis
+    passes act on independent axes and therefore commute, so the level
+    inverts as TWO fused 2D inverses (one per k_dep; the k_dep=0 group
+    is exactly the 2D bf16 contract: f32 A + bf16 details) followed by
+    the depth synthesis.  Shared by the single-chip MXU inverse and the
+    sharded local compositions (``pad_fn`` = the depth halo ring).
 
-    b = a.shape[0]
-    dd = a.shape[1]
+    ``inv2d(a2, h2, v2, d2)`` inverts one k_dep group of (B·dd, mr, mc)
+    subbands to (B·dd, R, C), or returns None to reject.  ch = 4·k_col +
+    2·k_row + k_dep; 2D kernel order (a, h, v, d) = 2·k_col + k_row;
+    ``bands7[j]`` is channel j+1.  Returns (B, D', R, C) or None."""
     flat = lambda t: t.reshape((b * dd,) + t.shape[-2:])
-    # ch = 4*k_col + 2*k_row + k_dep; 2D kernel order (a, h, v, d) =
-    # 2*k_col + k_row.  bands7[j] is channel j+1.
-    lo_grp = (a, bands7[1], bands7[3], bands7[5])       # k_dep = 0
-    hi_grp = (bands7[0], bands7[2], bands7[4], bands7[6])  # k_dep = 1
     outs = []
-    for grp in (lo_grp, hi_grp):
-        args = [flat(t) for t in grp]
-        if swt_level is None:
-            y = kernels.inv_level_2d_mxu_ad(args[0], args[1], args[2],
-                                            args[3], lo_t, hi_t, mode,
-                                            jnp.float32)
-        else:
-            y = kernels.swt_inv_level_2d_mxu_ad(args[0], args[1], args[2],
-                                                args[3], lo_t, hi_t,
-                                                swt_level, mode,
-                                                jnp.float32)
+    for grp in ((a, bands7[1], bands7[3], bands7[5]),          # k_dep = 0
+                (bands7[0], bands7[2], bands7[4], bands7[6])):  # k_dep = 1
+        y = inv2d(*(flat(t) for t in grp))
         if y is None:
             return None
-        y = y[:, :out_drc[1], :out_drc[2]]
         outs.append(y.reshape(b, dd, y.shape[-2], y.shape[-1]))
     z = jnp.stack(outs, axis=1)  # (B, 2, dd, R, C) — k_dep pairs
     if swt_level is None:
         out = conv.synthesis_pass(z, (wav.rec_lo, wav.rec_hi), axis=-3,
-                                  out_len=out_drc[0], backend="fma")
+                                  out_len=out_dep, backend="fma",
+                                  pad_fn=pad_fn)
     else:
         out = conv.synthesis_pass(z, (wav.rec_lo * 0.5, wav.rec_hi * 0.5),
                                   axis=-3, dilation=1 << (swt_level - 1),
-                                  decimated=False, backend="fma")
-    return out[:, 0].astype(out_dtype)
+                                  decimated=False, backend="fma",
+                                  pad_fn=pad_fn)
+    return out[:, 0]
+
+
+def _inv_level_3d_pallas_mxu(a, bands7, wav, lo_t, hi_t, out_drc, mode,
+                             out_dtype, *, swt_level=None):
+    """MXU inverse of one 3D level via the depth-bit regrouping.
+    Returns (B, D, R, C) in ``out_dtype`` or None when a 2D kernel
+    rejects."""
+    from .. import kernels
+
+    def inv2d(a2, h2, v2, d2):
+        if swt_level is None:
+            y = kernels.inv_level_2d_mxu_ad(a2, h2, v2, d2, lo_t, hi_t,
+                                            mode, jnp.float32)
+        else:
+            y = kernels.swt_inv_level_2d_mxu_ad(a2, h2, v2, d2, lo_t,
+                                                hi_t, swt_level, mode,
+                                                jnp.float32)
+        return None if y is None else y[:, :out_drc[1], :out_drc[2]]
+
+    out = _inv_level_3d_regrouped(a, bands7, a.shape[0], a.shape[1],
+                                  inv2d, wav, out_dep=out_drc[0],
+                                  swt_level=swt_level)
+    return None if out is None else out.astype(out_dtype)
 
 
 def idwt3d(coeffs: Coeffs3D, wav: Wavelet,

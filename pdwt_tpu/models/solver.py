@@ -60,7 +60,10 @@ def ista(
     ``reg="l1"`` is λ‖Wx‖₁ with the soft-threshold prox; ``reg="group"``
     is the group lasso λ·L2,1 over cross-subband detail groups with the
     joint-shrinkage prox (ops.group_soft_threshold / ops.norm_l21 — the
-    reference TODO.txt's "group-lasso" wish)."""
+    reference TODO.txt's "group-lasso" wish).  Both regularizers act on
+    the DETAIL subbands only (the approximation passes through the prox
+    unthresholded), and the objective trace measures exactly that
+    function — the approximation is excluded from its λ·R term."""
     if reg not in ("l1", "group"):
         raise ValueError(f"reg must be 'l1' or 'group', got {reg!r}")
     wav = _resolve(wav)
@@ -100,7 +103,16 @@ def ista(
         else:
             t_new = t
             v_new = x_new
-        rterm = ops.norm1(c) if reg == "l1" else ops.norm_l21(c)
+        if reg == "l1":
+            rterm = sum(jnp.sum(jnp.abs(t))
+                        for lvl in c.details
+                        for t in (lvl if isinstance(lvl, tuple)
+                                  else (lvl,)))
+        else:
+            from ..ops.norms import _group_norms
+
+            rterm = sum(jnp.sum(_group_norms(c, i, False))
+                        for i in range(c.levels))
         obj = 0.5 * jnp.sum(jnp.square(op(x_new) - y)) + lam * rterm
         return (x_new, v_new, t_new), obj
 

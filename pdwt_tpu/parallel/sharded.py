@@ -135,7 +135,9 @@ def _fwd_level_2d_local(a, wav, mode, pad_fn):
 def _inv_level_2d_local(a, h, v, d, wav, mode, out_dt, pad_fn, out_rc):
     """One decimated 2D inverse level on (B, mr, mc) subbands with the
     ring pad_fn; returns (B, out_rc[0], out_rc[1]) in ``out_dt`` under
-    the MXU modes (f32 untouched otherwise)."""
+    the MXU modes (f32 untouched otherwise).  Kernel outputs are
+    (B, 2mr, 2mc) and get cropped to ``out_rc`` — odd parent sizes round
+    up per the conv spec (shapes.div2), so out = 2m or 2m-1."""
     from .. import kernels
 
     mr, mc = a.shape[-2:]
@@ -144,6 +146,8 @@ def _inv_level_2d_local(a, h, v, d, wav, mode, out_dt, pad_fn, out_rc):
         y = kernels.inv_level_2d_mxu(a, h, v, d, wav.rec_lo,
                                      wav.rec_hi, mode, out_dt,
                                      pad_fn=pad_fn)
+        if y is not None:
+            y = y[..., :out_rc[0], :out_rc[1]]
     if y is None:
         if mode is not None:
             a, h, v, d = _f32(a), _f32(h), _f32(v), _f32(d)
@@ -160,6 +164,7 @@ def _inv_level_2d_local(a, h, v, d, wav, mode, out_dt, pad_fn, out_rc):
 
             y = kernels.inv_level_2d_padded(pad2(a), pad2(h), pad2(v),
                                             pad2(d), rl, rh, (mr, mc))
+            y = y[..., :out_rc[0], :out_rc[1]]
         else:
             rec = (wav.rec_lo, wav.rec_hi)
             z = jnp.concatenate([t[:, None] for t in (a, h, v, d)],
@@ -199,9 +204,11 @@ def _local_pallas_dwt2d(xl, wav, levels, pad_fn):
 def _local_pallas_idwt2d(cl, wav, local_shape, pad_fn):
     from ..core.separable import _mxu_mode
 
+    from ..core.shapes import level_sizes
+
     levels = cl.levels
-    rows = [local_shape[0] >> k for k in range(levels + 1)]
-    cols = [local_shape[1] >> k for k in range(levels + 1)]
+    rows = level_sizes(local_shape[0], levels)
+    cols = level_sizes(local_shape[1], levels)
     batch = cl.approx.shape[:-2]
     b = int(np.prod(batch, dtype=np.int64)) if batch else 1
     flat = lambda t: t.reshape((b,) + t.shape[len(batch):])
@@ -734,14 +741,17 @@ def _local_pallas_dwt3d(xl, wav, levels, pad_fn):
 
 def _local_pallas_idwt3d(cl, wav, local_shape, pad_fn):
     """Inverse via the depth-bit regrouping (two fused 2D inverses per
-    level + the depth synthesis over the ring) — synthesis passes on
-    independent axes commute (see core._inv_level_3d_pallas_mxu)."""
+    level + the depth synthesis over the ring) — the shared
+    core._inv_level_3d_regrouped with this module's per-shard 2D level
+    dispatch and the depth halo ring."""
     from ..core.separable import _mxu_mode
+    from ..core.separable3d import _inv_level_3d_regrouped
+    from ..core.shapes import level_sizes
 
     levels = cl.levels
-    deps = [local_shape[0] >> k for k in range(levels + 1)]
-    rows = [local_shape[1] >> k for k in range(levels + 1)]
-    cols = [local_shape[2] >> k for k in range(levels + 1)]
+    deps = level_sizes(local_shape[0], levels)
+    rows = level_sizes(local_shape[1], levels)
+    cols = level_sizes(local_shape[2], levels)
     batch = cl.approx.shape[:-3]
     b = int(np.prod(batch, dtype=np.int64)) if batch else 1
     flat = lambda t: t.reshape((b,) + t.shape[len(batch):])
@@ -750,25 +760,18 @@ def _local_pallas_idwt3d(cl, wav, local_shape, pad_fn):
     mode = _mxu_mode(ddt)
     if mode == "bf16":
         a = _f32(a)
-    rec = (wav.rec_lo, wav.rec_hi)
     for i in range(levels - 1, -1, -1):
         bands = [flat(t) for t in cl.details[i]]
         out_dt = (jnp.bfloat16 if (mode == "bf16" and i == 0)
                   else jnp.float32)
-        dd = a.shape[-3]
-        f2 = lambda t: t.reshape((b * dd,) + t.shape[-2:])
-        # ch = 4*k_col + 2*k_row + k_dep; bands[j] is channel j+1
-        lo_grp = (a, bands[1], bands[3], bands[5])       # k_dep = 0
-        hi_grp = (bands[0], bands[2], bands[4], bands[6])  # k_dep = 1
-        outs = []
-        for grp in (lo_grp, hi_grp):
-            y2 = _inv_level_2d_local(f2(grp[0]), f2(grp[1]), f2(grp[2]),
-                                     f2(grp[3]), wav, mode, jnp.float32,
-                                     pad_fn, (rows[i], cols[i]))
-            outs.append(y2.reshape(b, dd, rows[i], cols[i]))
-        z = jnp.stack(outs, axis=1)  # (B, 2, dd, R, C) — k_dep pairs
-        y = conv.synthesis_pass(z, rec, axis=-3, out_len=deps[i],
-                                backend="fma", pad_fn=pad_fn)[:, 0]
+
+        def inv2d(a2, h2, v2, d2, _i=i):
+            return _inv_level_2d_local(a2, h2, v2, d2, wav, mode,
+                                       jnp.float32, pad_fn,
+                                       (rows[_i], cols[_i]))
+
+        y = _inv_level_3d_regrouped(a, bands, b, a.shape[-3], inv2d, wav,
+                                    out_dep=deps[i], pad_fn=pad_fn)
         a = y.astype(out_dt)
     return a.reshape(batch + a.shape[1:])
 
@@ -812,25 +815,18 @@ def _local_pallas_iswt3d(cl, wav, pad_fn):
         mode = None  # exact SWT kernels beat b3 (core.separable)
     if mode == "bf16":
         a = _f32(a)
+    from ..core.separable3d import _inv_level_3d_regrouped
     for i in range(levels - 1, -1, -1):
         bands = [flat(t) for t in cl.details[i]]
         out_dt = (jnp.bfloat16 if (mode == "bf16" and i == 0)
                   else jnp.float32)
-        dd, nr, nc = a.shape[-3:]
-        f2 = lambda t: t.reshape((b * dd,) + t.shape[-2:])
-        lo_grp = (a, bands[1], bands[3], bands[5])
-        hi_grp = (bands[0], bands[2], bands[4], bands[6])
-        outs = []
-        for grp in (lo_grp, hi_grp):
-            y2 = _swt_inv_level_2d_local(f2(grp[0]), f2(grp[1]),
-                                         f2(grp[2]), f2(grp[3]), wav,
-                                         i + 1, mode, jnp.float32,
-                                         pad_fn)
-            outs.append(y2.reshape(b, dd, nr, nc))
-        z = jnp.stack(outs, axis=1)
-        y = conv.synthesis_pass(z, (wav.rec_lo * 0.5, wav.rec_hi * 0.5),
-                                axis=-3, dilation=1 << i, decimated=False,
-                                backend="fma", pad_fn=pad_fn)[:, 0]
+
+        def inv2d(a2, h2, v2, d2, _i=i):
+            return _swt_inv_level_2d_local(a2, h2, v2, d2, wav, _i + 1,
+                                           mode, jnp.float32, pad_fn)
+
+        y = _inv_level_3d_regrouped(a, bands, b, a.shape[-3], inv2d, wav,
+                                    swt_level=i + 1, pad_fn=pad_fn)
         a = y.astype(out_dt)
     return a.reshape(batch + a.shape[1:])
 

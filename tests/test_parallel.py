@@ -391,3 +391,36 @@ def test_sharded_denoise_step_3d_jits(mesh, rng):
     out0, _ = jax.jit(lambda v: sharded_denoise_step_3d(
         v, "db4", 2, 0.0, mesh, **axes3))(xs)
     assert float(jnp.abs(out0 - x).max()) < 5e-5
+
+
+def test_sharded_pallas_odd_unsharded_axes(mesh, rng, monkeypatch):
+    """Odd sizes on UNSHARDED axes flow through the local-pallas
+    compositions: per-level sizes must follow the conv spec's round-up
+    (shapes.div2), not a floor shift (regression: the depth/row size
+    tables fed floor sizes to the inverse synthesis out_len)."""
+    monkeypatch.setenv("PDWT_PALLAS_INTERPRET", "1")
+    w = get_wavelet("db4")
+
+    # 2D: odd rows, row axis unsharded, cols sharded
+    x2 = rng.standard_normal((4, 63, 128)).astype(np.float32)
+    ax2 = dict(data_axis="data", col_axis="col")
+    xs2 = par.shard_image(jnp.asarray(x2), mesh, **ax2)
+    c2 = par.dwt2d(xs2, w, 2, mesh, backend="pallas", **ax2)
+    c2_ref = sep.dwt2d(jnp.asarray(x2), w, 2, backend="gather")
+    assert _max_err(c2, c2_ref) < 1e-4
+    y2 = par.idwt2d(c2, w, (63, 128), mesh, backend="pallas", **ax2)
+    assert y2.shape == x2.shape
+    assert float(jnp.abs(y2 - jnp.asarray(x2)).max()) < 1e-4
+
+    # 3D: odd depth, depth axis unsharded, rows/cols sharded
+    from pdwt_tpu.core import separable3d as sep3
+
+    x3 = rng.standard_normal((7, 64, 128)).astype(np.float32)
+    ax3 = dict(row_axis="row", col_axis="col")
+    xs3 = par.shard_image(jnp.asarray(x3), mesh, **ax3)
+    c3 = par.dwt3d(xs3, w, 2, mesh, backend="pallas", **ax3)
+    c3_ref = sep3.dwt3d(jnp.asarray(x3), w, 2, backend="gather")
+    assert _max_err(c3, c3_ref) < 1e-4
+    y3 = par.idwt3d(c3, w, (7, 64, 128), mesh, backend="pallas", **ax3)
+    assert y3.shape == x3.shape
+    assert float(jnp.abs(y3 - jnp.asarray(x3)).max()) < 1e-4
