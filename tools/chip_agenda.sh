@@ -1,0 +1,34 @@
+#!/bin/bash
+# One-shot chip measurement agenda — run when the axon tunnel is healthy.
+# Captures everything the round still needs from the real TPU, each step
+# under its own timeout so one hung remote compile doesn't block the rest.
+# Usage: bash tools/chip_agenda.sh [outdir]   (default tools/agenda_out)
+set -u
+OUT="${1:-tools/agenda_out}"
+mkdir -p "$OUT"
+cd "$(dirname "$0")/.."
+
+step() {  # step <name> <timeout_s> <cmd...>
+  local name="$1" t="$2"; shift 2
+  echo "=== $name (timeout ${t}s) ===" | tee -a "$OUT/agenda.log"
+  timeout "$t" "$@" >"$OUT/$name.out" 2>"$OUT/$name.err"
+  echo "$name exit=$?" | tee -a "$OUT/agenda.log"
+}
+
+# 0. health probe — bail early if the tunnel is dead
+step probe 180 python -c "
+import jax, jax.numpy as jnp
+print(jax.devices())
+print(float(jax.jit(lambda a: (a@a).sum())(jnp.ones((256,256)))))"
+grep -q "256" "$OUT/probe.out" || { echo "tunnel dead — aborting" | tee -a "$OUT/agenda.log"; exit 1; }
+
+# 1. VPU tile sweep (round-4 roadmap item 1; bake only on a >5% same-run win)
+step vpu_tile_sweep 2400 python tools/vpu_tile_sweep.py "$OUT/vpu_tile_sweep.json"
+
+# 2. full bench sweep incl. the 3D configs (f32 + bf16) — first 3D chip numbers
+step bench_all 3600 python bench_all.py
+
+# 3. headline
+step bench 1200 python bench.py
+
+echo "agenda complete" | tee -a "$OUT/agenda.log"
