@@ -110,3 +110,39 @@ def test_all_72_wavelets_smoke(rng):
         lambda c, w, img: sep.idwt2d(c, w, img.shape), x)
     bad = [(n, float(e)) for n, e in zip(names, errs) if not e < 5e-2]
     assert not bad, bad
+
+
+def test_3d_roundtrips_on_chip(rng):
+    """3D composition on real Mosaic (fused 2D level kernel with depth
+    as batch + fma depth pass): DWT + SWT roundtrips for three wavelets
+    in ONE jitted program each, plus the bf16 serving mode (kept small —
+    large remote compiles hang in degraded tunnel phases)."""
+    from pdwt_tpu.core import separable3d as sep3
+
+    waves = ["haar", "db4", "sym8"]
+    x = jnp.asarray(rng.uniform(0, 255, (8, 128, 256)), jnp.float32)
+    errs = _roundtrip_errs(
+        waves,
+        lambda img, w: sep3.dwt3d(img, w, 2),
+        lambda c, w, img: sep3.idwt3d(c, w, img.shape), x)
+    for wname, e in zip(waves, errs):
+        assert e < 1e-2, (wname, float(e))
+    errs = _roundtrip_errs(
+        waves,
+        lambda img, w: sep3.swt3d(img, w, 2),
+        lambda c, w, img: sep3.iswt3d(c, w), x)
+    for wname, e in zip(waves, errs):
+        assert e < 1e-2, (wname, float(e))
+
+    # bf16 serving mode: f32 A-chain + bf16 details on the MXU kernels
+    w4 = get_wavelet("db4")
+    xb = x.astype(jnp.bfloat16)
+
+    @jax.jit
+    def bf16_rt(img):
+        c = sep3.dwt3d(img, w4, 2)
+        y = sep3.idwt3d(c, w4, img.shape)
+        return jnp.max(jnp.abs(y.astype(jnp.float32)
+                               - img.astype(jnp.float32)))
+
+    assert float(bf16_rt(xb)) < 8.0
