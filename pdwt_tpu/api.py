@@ -178,12 +178,16 @@ class Wavelets:
         if levels > wmax:
             dims = {1: f"length-{nc} signal", 2: f"{nr}x{nc} image",
                     3: f"{nd}x{nr}x{nc} volume"}[ndim]
+            # wmax can be 0 when the smallest axis is below the filter
+            # support; a transform still needs >= 1 level (periodic
+            # extension tiles the short axis), so clamp like the
+            # nlevels<1 constructor guard instead of crashing.
             warnings.warn(
                 f"required level ({levels}) is greater than the maximum possible "
                 f"level for {wname} ({wmax}) on a {dims}; forcing "
-                f"nlevels = {wmax}"
+                f"nlevels = {max(wmax, 1)}"
             )
-            levels = wmax
+            levels = max(wmax, 1)
 
         self.spec = WaveletSpec(
             wname=wname, nr=nr, nc=nc, nlevels=levels, ndim=ndim,

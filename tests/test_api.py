@@ -306,3 +306,32 @@ def test_facade_bf16_mode(rng, monkeypatch):
     # soft threshold at beta=2 perturbs by <= 2 per subband pass; loose
     # functional bound on [0,255] data incl. bf16 mode error
     assert np.abs(np.asarray(out, np.float32) - img).max() < 40
+
+
+def test_facade_bf16_mode_3d(rng, monkeypatch):
+    """bf16 serving mode through the facade for a VOLUME: f32 A-chain +
+    bf16 details on the 3D MXU composition, bf16 reconstruction."""
+    monkeypatch.setenv("PDWT_PALLAS_INTERPRET", "1")
+    vol = rng.uniform(0, 255, (32, 64, 256)).astype(np.float32)
+    W = Wavelets(vol, wname="db4", levels=2, dtype=jnp.bfloat16,
+                 backend="pallas")
+    W.forward()
+    assert W._coeffs.approx.dtype == jnp.float32
+    assert W._coeffs.details[0][0].dtype == jnp.bfloat16
+    W.set_image(np.zeros_like(vol))
+    out = W.inverse()
+    assert out.dtype == jnp.bfloat16
+    assert np.abs(np.asarray(out, np.float32) - vol).max() < 8.0
+
+
+def test_levels_clamped_to_one_when_wmax_zero(rng):
+    """A limiting axis below the filter support gives wmax=0; the clamp
+    must force 1 level (periodic extension tiles the short axis), not
+    crash building zero-level coefficient shapes (regression)."""
+    vol = rng.uniform(0, 255, (8, 64, 64)).astype(np.float32)
+    with pytest.warns(UserWarning, match="forcing"):
+        W = Wavelets(vol, wname="db4", levels=2)  # max_level(8, 8) == 0
+    assert W.spec.nlevels == 1
+    W.forward()
+    out = np.asarray(W.inverse())
+    assert np.abs(out - vol).max() < 1e-2
