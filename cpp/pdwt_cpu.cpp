@@ -550,6 +550,18 @@ void pdwt_axpy(pdwt_real *y, const pdwt_real *x, long n, pdwt_real alpha) {
   for (long i = 0; i < n; ++i) y[i] += alpha * x[i];
 }
 
+double pdwt_norm_l21(const pdwt_real *h, const pdwt_real *v,
+                     const pdwt_real *d, const pdwt_real *a, long n) {
+  double s = 0.0;
+  for (long i = 0; i < n; ++i) {
+    double n2 = (double)h[i] * h[i] + (double)v[i] * v[i] +
+                (double)d[i] * d[i];
+    if (a) n2 += (double)a[i] * a[i];
+    s += std::sqrt(n2);
+  }
+  return s;
+}
+
 } /* extern "C" */
 
 /* --------------------------------------------------------------------------

@@ -134,6 +134,10 @@ void pdwt_shrink(pdwt_real *x, long n, pdwt_real beta);          /* x /= 1+beta 
 void pdwt_group_soft_threshold(pdwt_real *h, pdwt_real *v, pdwt_real *d, pdwt_real *a,
                                long n, pdwt_real beta);
 void pdwt_axpy(pdwt_real *y, const pdwt_real *x, long n, pdwt_real alpha);
+/* Group-lasso (L2,1) norm over the same grouping as
+ * pdwt_group_soft_threshold: sum_i sqrt(h^2 + v^2 + d^2 (+ a^2)). */
+double pdwt_norm_l21(const pdwt_real *h, const pdwt_real *v,
+                     const pdwt_real *d, const pdwt_real *a, long n);
 
 #ifdef __cplusplus
 }

@@ -19,6 +19,7 @@ from .lib import (
     is_available,
     norm1,
     norm2sq,
+    norm_l21,
     shrink,
     soft_threshold,
 )
@@ -28,5 +29,5 @@ __all__ = [
     "dwt2d", "idwt2d", "dwt1d", "idwt1d", "dwt3d", "idwt3d",
     "dwt2d_ns", "idwt2d_ns",
     "soft_threshold", "group_soft_threshold", "shrink", "axpy",
-    "norm1", "norm2sq",
+    "norm1", "norm2sq", "norm_l21",
 ]

@@ -79,6 +79,7 @@ def _load() -> ctypes.CDLL:
         lib.pdwt_inverse3d.restype = ctypes.c_int
         lib.pdwt_norm1.restype = ctypes.c_double
         lib.pdwt_norm2sq.restype = ctypes.c_double
+        lib.pdwt_norm_l21.restype = ctypes.c_double
         _libs[_DTYPE] = lib
     return lib
 
@@ -237,6 +238,21 @@ def norm2sq(x: np.ndarray) -> float:
     lib = _load()
     x = np.ascontiguousarray(x, _DTYPE)
     return float(lib.pdwt_norm2sq(_fptr(x), ctypes.c_long(x.size)))
+
+
+def norm_l21(h, v, d, a=None) -> float:
+    """Group-lasso (L2,1) norm over (h, v, d[, a]) — the grouping of
+    group_soft_threshold."""
+    lib = _load()
+    h = np.ascontiguousarray(h, _DTYPE)
+    v = np.ascontiguousarray(v, _DTYPE)
+    d = np.ascontiguousarray(d, _DTYPE)
+    ap = None
+    if a is not None:
+        a = np.ascontiguousarray(a, _DTYPE)
+        ap = _fptr(a)
+    return float(lib.pdwt_norm_l21(_fptr(h), _fptr(v), _fptr(d), ap,
+                                   ctypes.c_long(h.size)))
 
 
 def dwt2d_ns(img: np.ndarray, quads: np.ndarray, levels: int, *,

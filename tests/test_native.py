@@ -94,6 +94,10 @@ def test_native_extra_ops(rng):
     assert np.abs(gh - h * fac).max() < 1e-6
     assert np.abs(native.shrink(h, 2.0) - h / 3.0).max() < 1e-6
     assert np.abs(native.axpy(h, v, 1.5) - (h + 1.5 * v)).max() < 1e-6
+    assert abs(native.norm_l21(h, v, d) - nrm.astype(np.float64).sum()) < 1e-2
+    nrm_a = np.sqrt(h * h + v * v + d * d + gh * gh)
+    assert abs(native.norm_l21(h, v, d, a=gh)
+               - nrm_a.astype(np.float64).sum()) < 1e-2
 
 
 def test_native_double_precision_build(rng):
