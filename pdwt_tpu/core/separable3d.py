@@ -473,3 +473,92 @@ def iswt3d(coeffs: Coeffs3D, wav: Wavelet, *,
         if mode is not None:
             a = a.astype(out_dt)
     return _from_ncs(a, batch)
+
+
+def iswt3d_denoise(coeffs: Coeffs3D, wav: Wavelet, beta, *,
+                   mode: str = "soft", normalize: bool = False,
+                   do_thresh_appcoeffs: bool = False,
+                   backend: Optional[str] = None) -> jnp.ndarray:
+    """Fused detail-threshold + inverse 3D SWT (the volume analogue of
+    separable.iswt2d_denoise).
+
+    On the pallas path each level inverts via the depth-bit regrouping
+    (two fused 2D inverses + depth synthesis); the 2D denoise kernels
+    threshold their (h, v, d) channels inside the tile reads
+    (kernels.swt_inv_level_2d_denoise_ad / the MXU variant), covering 6
+    of the 7 detail channels — channel 1 (daa) rides the hi group's
+    a-slot, which the kernels leave untouched, so it is thresholded
+    explicitly first.  Semantics identical to ops.soft/hard_threshold
+    followed by iswt3d; differentiable through the kernels' custom
+    VJPs.  Pairs with ops.thresholded_norm1 so a 3D TI-denoise step
+    never writes thresholded coefficients to HBM."""
+    import math as _math
+
+    from ..ops.threshold import _app_beta, _hard, _soft
+
+    backend = _auto_backend(backend, None)
+    levels = coeffs.levels
+    lvl_beta = lambda i: (beta / (_math.sqrt(2.0) ** (i + 1))
+                          if normalize else beta)
+    if backend != "pallas":
+        from .. import ops as _ops
+
+        fn = _ops.soft_threshold if mode == "soft" else _ops.hard_threshold
+        c2 = fn(coeffs, beta, normalize=normalize,
+                do_thresh_appcoeffs=do_thresh_appcoeffs)
+        return iswt3d(c2, wav, backend=backend)
+
+    from .. import kernels
+
+    thr = _soft if mode == "soft" else _hard
+    ddt = (coeffs.details[-1][0].dtype if coeffs.details
+           else coeffs.approx.dtype)
+    mxu = _mxu_mode(ddt)
+    if mxu == "mixed":
+        mxu = None  # exact SWT kernels beat b3 (see separable._swt2d_pallas)
+    a, batch = _to_ncs(coeffs.approx)
+    if mxu == "bf16":
+        a = _f32(a)
+    if do_thresh_appcoeffs:
+        a = thr(a, _app_beta(beta, levels, normalize))
+    lo_t, hi_t = _ftup(wav.rec_lo), _ftup(wav.rec_hi)
+    for i in range(levels - 1, -1, -1):
+        bands = [_to_ncs(c)[0][:, 0] for c in coeffs.details[i]]
+        bi = lvl_beta(i)
+        out_dt = (jnp.bfloat16 if (mxu == "bf16" and i == 0)
+                  else jnp.float32)
+        av = a[:, 0]
+
+        def inv2d(a2, h2, v2, d2, _bi=bi, _lvl=i + 1):
+            if mxu is not None:
+                y2 = kernels.swt_inv_level_2d_mxu_denoise_ad(
+                    a2, h2, v2, d2, _bi, lo_t, hi_t, _lvl, mxu, mode,
+                    jnp.float32)
+                if y2 is not None:
+                    return y2
+                a2, h2, v2, d2 = _f32(a2), _f32(h2), _f32(v2), _f32(d2)
+            if a2.dtype != jnp.float32:
+                return None
+            return kernels.swt_inv_level_2d_denoise_ad(
+                a2, h2, v2, d2, _bi, lo_t, hi_t, _lvl, mode)
+
+        # channel 1 (daa) sits in the hi group's a-slot — threshold it
+        # up front (1 of 7 subbands; the kernels fuse the other 6)
+        bands_t = [thr(bands[0], bi)] + bands[1:]
+        y = _inv_level_3d_regrouped(av, bands_t, av.shape[0], av.shape[1],
+                                    inv2d, wav, swt_level=i + 1)
+        if y is None:
+            if mxu is not None:
+                av = _f32(av)
+                bands = [_f32(t) for t in bands]
+            z = jnp.stack([av] + [thr(t, bi) for t in bands], axis=1)
+            f = 1 << i
+            rec = (wav.rec_lo * 0.5, wav.rec_hi * 0.5)
+            t2 = conv.synthesis_pass(z, rec, axis=-3, dilation=f,
+                                     decimated=False, backend="fma")
+            t2 = conv.synthesis_pass(t2, rec, axis=-2, dilation=f,
+                                     decimated=False, backend="fma")
+            y = conv.synthesis_pass(t2, rec, axis=-1, dilation=f,
+                                    decimated=False, backend="fma")[:, 0]
+        a = y.astype(out_dt)[:, None]
+    return _from_ncs(a, batch)

@@ -211,11 +211,22 @@ def denoise_step_3d(
         vol = jnp.roll(vol, shift=(sd, sr, sc), axis=(-3, -2, -1))
     fwd = sep3.swt3d if swt else sep3.dwt3d
     coeffs = fwd(vol, wav, levels, backend=backend)
-    coeffs = _THRESH[mode](coeffs, beta, normalize=normalize)
-    n1 = ops.norm1(coeffs)
-    if swt:
+    if swt and mode in ("soft", "hard"):
+        # fused fast path like the 2D step: the detail threshold happens
+        # inside the synthesis kernels' tile reads and the norm comes
+        # from the UN-thresholded coefficients — the thresholded pytree
+        # never touches HBM.
+        n1 = ops.thresholded_norm1(coeffs, beta, mode=mode,
+                                   normalize=normalize)
+        out = sep3.iswt3d_denoise(coeffs, wav, beta, mode=mode,
+                                  normalize=normalize, backend=backend)
+    elif swt:
+        coeffs = _THRESH[mode](coeffs, beta, normalize=normalize)
+        n1 = ops.norm1(coeffs)
         out = sep3.iswt3d(coeffs, wav, backend=backend)
     else:
+        coeffs = _THRESH[mode](coeffs, beta, normalize=normalize)
+        n1 = ops.norm1(coeffs)
         out = sep3.idwt3d(coeffs, wav, (nd, nr, nc), backend=backend)
     if key is not None:
         out = jnp.roll(out, shift=(-sd, -sr, -sc), axis=(-3, -2, -1))

@@ -366,3 +366,54 @@ def test_3d_mxu_fallback_small_shapes(rng, monkeypatch):
     yb = S3.idwt3d(cb, w, shape, backend="pallas")
     assert yb.dtype == jnp.bfloat16
     assert float(jnp.abs(yb.astype(jnp.float32) - x).max()) < 8.0
+
+
+def test_3d_iswt_denoise_fused_matches_unfused(rng, monkeypatch):
+    """iswt3d_denoise (fused threshold-in-inverse via the depth-bit
+    regrouping; daa pre-thresholded in the hi group's a-slot) equals
+    threshold-then-iswt3d, for f32 and bf16, soft and hard; and it is
+    differentiable (the kernels carry custom VJPs)."""
+    monkeypatch.setenv("PDWT_PALLAS_INTERPRET", "1")
+    w = get_wavelet("db4")
+    shape = (8, 64, 256)
+    x = jnp.asarray(rng.uniform(0, 255, shape), jnp.float32)
+    for dt in (jnp.float32, jnp.bfloat16):
+        c = S3.swt3d(x.astype(dt), w, 2, backend="pallas")
+        # bf16: the fused kernels threshold at f32 precision while the
+        # unfused ops path thresholds the stored bf16 values — a
+        # |x|·2^-8 rounding-order difference, not an inequality.
+        tol = 1e-3 if dt == jnp.float32 else 3.0
+        for mode in ("soft", "hard"):
+            thr = (ops.soft_threshold if mode == "soft"
+                   else ops.hard_threshold)
+            slow = S3.iswt3d(thr(c, 5.0), w, backend="pallas")
+            fast = S3.iswt3d_denoise(c, w, 5.0, mode=mode,
+                                     backend="pallas")
+            assert fast.dtype == slow.dtype
+            err = float(jnp.abs(fast.astype(jnp.float32)
+                                - slow.astype(jnp.float32)).max())
+            assert err < tol, (dt, mode, err)
+
+    # differentiable end-to-end
+    def loss(v):
+        c = S3.swt3d(v, w, 1, backend="pallas")
+        y = S3.iswt3d_denoise(c, w, 2.0, backend="pallas")
+        return jnp.sum(y * y)
+
+    g = jax.grad(loss)(x[:4, :32, :128])
+    assert np.isfinite(np.asarray(g)).all()
+
+
+def test_3d_denoise_step_fused_norm(rng):
+    """denoise_step_3d(swt=True) routes the fused path: the returned
+    norm equals norm1 of the thresholded pytree."""
+    from pdwt_tpu.models import denoise_step_3d
+
+    vol = jnp.asarray(rng.uniform(0, 255, (8, 16, 16)), jnp.float32)
+    out, n1 = denoise_step_3d(vol, None, "db2", 2, 3.0, swt=True)
+    w = get_wavelet("db2")
+    c = S3.swt3d(vol, w, 2)
+    n1_ref = float(ops.norm1(ops.soft_threshold(c, 3.0)))
+    assert abs(float(n1) - n1_ref) / n1_ref < 1e-5
+    slow = S3.iswt3d(ops.soft_threshold(c, 3.0), w)
+    assert float(jnp.abs(out - slow).max()) < 1e-3
