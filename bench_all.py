@@ -111,6 +111,19 @@ def main() -> None:
            lambda x: sep3.idwt3d(sep3.dwt3d(x, w4, 2), w4,
                                  (128, 512, 512)), vol)
 
+    # 7. 3D SWT TI-denoise step (fused threshold-in-inverse +
+    # thresholded_norm1 — the volume analogue of config 4)
+    from pdwt_tpu.models.denoiser import denoise_step_3d
+
+    vol7 = jnp.asarray(rng.standard_normal((64, 512, 512)), jnp.float32)
+
+    def cfg7(x):
+        out, _ = denoise_step_3d(x, key, "db4", 2, 1.0, swt=True)
+        return out
+
+    record("3D SWT db4 2-level TI denoise step 64x512x512",
+           64 * 512 * 512, cfg7, vol7)
+
     # precision-mode variants of the headline configs (round 3): bf16 =
     # MXU serving mode (bf16 details, f32 A-chain), mixed = f32 arrays
     # with bf16x3 compute (~1e-5 rel; SWT routes mixed to exact kernels,
@@ -151,6 +164,10 @@ def main() -> None:
     record("3D db4 2-level fwd+inv 128x512x512 [bf16]", 128 * 512 * 512,
            lambda x: sep3.idwt3d(sep3.dwt3d(x, w4, 2), w4,
                                  (128, 512, 512)), volb)
+
+    vol7b = vol7.astype(jnp.bfloat16)
+    record("3D SWT db4 2-level TI denoise step 64x512x512 [bf16]",
+           64 * 512 * 512, cfg7, vol7b)
 
     for r in results:
         print(json.dumps(r))

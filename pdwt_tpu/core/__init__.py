@@ -17,6 +17,7 @@ from .separable3d import (
     dwt3d,
     idwt3d,
     iswt3d,
+    iswt3d_denoise,
     swt3d,
 )
 from .nonseparable import dwt2d_ns, idwt2d_ns, iswt2d_ns, swt2d_ns
@@ -28,7 +29,7 @@ from . import conv
 __all__ = [
     "Coeffs1D", "Coeffs2D", "Coeffs3D", "DETAIL_KEYS_3D",
     "dwt1d", "dwt2d", "idwt1d", "idwt2d",
-    "dwt3d", "idwt3d", "swt3d", "iswt3d",
+    "dwt3d", "idwt3d", "swt3d", "iswt3d", "iswt3d_denoise",
     "swt1d", "swt2d", "iswt1d", "iswt2d", "iswt2d_denoise",
     "dwt2d_ns", "idwt2d_ns", "swt2d_ns", "iswt2d_ns",
     "haar_dwt1d", "haar_dwt2d", "haar_idwt1d", "haar_idwt2d",
