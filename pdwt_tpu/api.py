@@ -475,6 +475,63 @@ class Wavelets:
         self._coeffs = fn(self._coeffs, beta)
         self.state = WState.THRESHOLD
 
+    def garrote_threshold(self, beta, do_thresh_appcoeffs: bool = False,
+                          normalize: bool = False):
+        """Non-negative garrote (reference TODO.txt: "More threshold
+        types")."""
+        if not self._check_not_inverse("threshold coefficients"):
+            return
+        fn = self._jitted(
+            ("garrote", do_thresh_appcoeffs, normalize, self.spec),
+            lambda: partial(ops.garrote_threshold,
+                            do_thresh_appcoeffs=do_thresh_appcoeffs,
+                            normalize=normalize))
+        self._coeffs = fn(self._coeffs, beta)
+        self.state = WState.THRESHOLD
+
+    def firm_threshold(self, beta, beta2, do_thresh_appcoeffs: bool = False,
+                       normalize: bool = False):
+        """Firm/semisoft threshold with lower knee ``beta`` and upper
+        knee ``beta2`` (reference TODO.txt: "More threshold types")."""
+        if not self._check_not_inverse("threshold coefficients"):
+            return
+        fn = self._jitted(
+            ("firm", do_thresh_appcoeffs, normalize, self.spec),
+            lambda: partial(ops.firm_threshold,
+                            do_thresh_appcoeffs=do_thresh_appcoeffs,
+                            normalize=normalize))
+        self._coeffs = fn(self._coeffs, beta, beta2)
+        self.state = WState.THRESHOLD
+
+    def noise_sigma(self) -> float:
+        """Robust MAD noise estimate from the finest diagonal band."""
+        return float(self._jitted(("nsigma", self.spec),
+                                  lambda: ops.noise_sigma)(self._coeffs))
+
+    def universal_threshold(self) -> float:
+        """VisuShrink σ·sqrt(2 ln N) for the current coefficients —
+        feed straight back into :meth:`soft_threshold`."""
+        return float(self._jitted(("uthresh", self.spec),
+                                  lambda: ops.universal_threshold)(
+            self._coeffs))
+
+    def bayes_shrink(self, do_thresh_appcoeffs: bool = False):
+        """One-call adaptive denoise: BayesShrink per-band thresholds +
+        soft threshold, fused into a single jitted program."""
+        if not self._check_not_inverse("threshold coefficients"):
+            return
+
+        def make():
+            def fn(c):
+                return ops.soft_threshold(
+                    c, ops.bayes_thresholds(c),
+                    do_thresh_appcoeffs=do_thresh_appcoeffs)
+            return fn
+
+        self._coeffs = self._jitted(
+            ("bayes", do_thresh_appcoeffs, self.spec), make)(self._coeffs)
+        self.state = WState.THRESHOLD
+
     def shrink(self, beta, do_thresh_appcoeffs: bool = True):
         if not self._check_not_inverse("shrink coefficients"):
             return

@@ -38,6 +38,7 @@ _THRESH = {
     "soft": ops.soft_threshold,
     "hard": ops.hard_threshold,
     "group": ops.group_soft_threshold,
+    "garrote": ops.garrote_threshold,
 }
 
 
@@ -67,7 +68,7 @@ def denoise_step(
         img = jnp.roll(img, shift=(sr, sc), axis=(-2, -1))
     if swt:
         coeffs = sep_core.swt2d(img, wav, levels, backend=backend)
-        if mode in ("soft", "hard"):
+        if mode in ("soft", "hard") and not isinstance(beta, (list, tuple)):
             # fused fast path: the detail threshold happens inside the
             # synthesis kernels' tile reads and the norm is computed
             # from the UN-thresholded coefficients by the identity
@@ -90,6 +91,41 @@ def denoise_step(
     if key is not None:
         out = jnp.roll(out, shift=(-sr, -sc), axis=(-2, -1))
     return out, n1
+
+
+def auto_denoise(
+    img: jnp.ndarray,
+    wav,
+    levels: int,
+    *,
+    method: str = "bayes",
+    mode: str = "soft",
+    swt: bool = False,
+    backend: Optional[str] = None,
+) -> jnp.ndarray:
+    """Fully data-driven 2D denoise: estimate the noise level and the
+    thresholds from the coefficients themselves, threshold, invert — one
+    jitted program, no tuning knob.  ``method`` is ``"bayes"``
+    (BayesShrink per-band thresholds) or ``"universal"`` (VisuShrink
+    σ·sqrt(2 ln N)).  The reference leaves β to the user (its demo
+    hard-codes 10.0, reference: src/demo.cpp:38)."""
+    wav = _resolve(wav)
+    nr, nc = img.shape[-2:]
+    fwd = sep_core.swt2d if swt else sep_core.dwt2d
+    coeffs = fwd(img, wav, levels, backend=backend)
+    if method == "bayes":
+        beta = list(ops.bayes_thresholds(coeffs))
+    elif method == "universal":
+        beta = ops.universal_threshold(coeffs)
+    else:
+        raise ValueError(f"unknown method {method!r}")
+    if swt and mode in ("soft", "hard") and not isinstance(beta, list):
+        return sep_core.iswt2d_denoise(coeffs, wav, beta, mode=mode,
+                                       backend=backend)
+    coeffs = _THRESH[mode](coeffs, beta)
+    if swt:
+        return sep_core.iswt2d(coeffs, wav, backend=backend)
+    return sep_core.idwt2d(coeffs, wav, (nr, nc), backend=backend)
 
 
 def cycle_spin_denoise(
@@ -211,7 +247,8 @@ def denoise_step_3d(
         vol = jnp.roll(vol, shift=(sd, sr, sc), axis=(-3, -2, -1))
     fwd = sep3.swt3d if swt else sep3.dwt3d
     coeffs = fwd(vol, wav, levels, backend=backend)
-    if swt and mode in ("soft", "hard"):
+    if swt and mode in ("soft", "hard") and not isinstance(beta,
+                                                           (list, tuple)):
         # fused fast path like the 2D step: the detail threshold happens
         # inside the synthesis kernels' tile reads and the norm comes
         # from the UN-thresholded coefficients — the thresholded pytree

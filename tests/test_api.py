@@ -335,3 +335,39 @@ def test_levels_clamped_to_one_when_wmax_zero(rng):
     W.forward()
     out = np.asarray(W.inverse())
     assert np.abs(out - vol).max() < 1e-2
+
+
+def test_new_threshold_methods_and_estimators(rng):
+    """garrote/firm/bayes_shrink facade methods + estimator scalars
+    (reference TODO.txt 'More threshold types')."""
+    from pdwt_tpu import ops
+    from pdwt_tpu.core import separable as S
+    from pdwt_tpu.filters import get_wavelet
+
+    img = _image(rng)
+    w = get_wavelet("db3")
+    for name, args in (("garrote_threshold", (2.0,)),
+                       ("firm_threshold", (1.0, 3.0)),
+                       ("bayes_shrink", ())):
+        W = Wavelets(img, wname="db3", levels=3)
+        W.forward()
+        getattr(W, name)(*args)
+        got = W.get_coeff(3)  # D1
+        c = S.dwt2d(jnp.asarray(img), w, 3)
+        fn = {"garrote_threshold": lambda: ops.garrote_threshold(c, 2.0),
+              "firm_threshold": lambda: ops.firm_threshold(c, 1.0, 3.0),
+              "bayes_shrink": lambda: ops.soft_threshold(
+                  c, list(ops.bayes_thresholds(c)))}[name]
+        # facade pipelines run f32; the oracle composition runs x64
+        np.testing.assert_allclose(got, np.asarray(fn().details[0][2]),
+                                   rtol=1e-5, atol=1e-3)
+        out = np.asarray(W.inverse())
+        assert np.isfinite(out).all()
+
+    W = Wavelets(img, wname="db3", levels=3)
+    W.forward()
+    sig = W.noise_sigma()
+    ut = W.universal_threshold()
+    c = S.dwt2d(jnp.asarray(img), w, 3)
+    assert abs(sig - float(ops.noise_sigma(c))) < 1e-5
+    assert abs(ut - float(ops.universal_threshold(c))) < 1e-4

@@ -263,3 +263,114 @@ def test_checkpoint_roundtrip_bf16(tmp_path, rng, monkeypatch):
     for a, b in zip(jax.tree.leaves(c), jax.tree.leaves(c2)):
         assert np.array_equal(np.asarray(a, np.float32),
                               np.asarray(b, np.float32))
+
+
+# ---------------------------------------------------------------------------
+# new threshold types + estimators (reference TODO.txt "More threshold types")
+# ---------------------------------------------------------------------------
+
+
+def test_garrote_threshold_values(coeffs2d):
+    beta = 0.5
+    out = ops.garrote_threshold(coeffs2d, beta)
+    for lvl in range(3):
+        for band in range(3):
+            x = np.asarray(coeffs2d.details[lvl][band])
+            ref = np.where(np.abs(x) > beta, x - beta * beta / x, 0.0)
+            np.testing.assert_allclose(
+                np.asarray(out.details[lvl][band]), ref, atol=1e-12)
+    np.testing.assert_array_equal(np.asarray(out.approx),
+                                  np.asarray(coeffs2d.approx))
+    # finite gradient through the kink and at zero
+    g = jax.grad(lambda c: ops.norm2sq(ops.garrote_threshold(c, 0.5)))(
+        coeffs2d)
+    assert np.isfinite(np.asarray(g.details[0][0])).all()
+
+
+def test_firm_threshold_values(coeffs2d):
+    b1, b2 = 0.3, 0.9
+    out = ops.firm_threshold(coeffs2d, b1, b2)
+    for lvl in range(3):
+        for band in range(3):
+            x = np.asarray(coeffs2d.details[lvl][band])
+            ax = np.abs(x)
+            ref = np.where(ax <= b1, 0.0,
+                           np.where(ax >= b2, x,
+                                    np.sign(x) * b2 * (ax - b1) / (b2 - b1)))
+            np.testing.assert_allclose(
+                np.asarray(out.details[lvl][band]), ref, atol=1e-12)
+    # firm with b2 -> b1^+ approaches hard threshold
+    out_h = ops.firm_threshold(coeffs2d, 0.5, 0.5 + 1e-9)
+    ref_h = ops.hard_threshold(coeffs2d, 0.5)
+    np.testing.assert_allclose(np.asarray(out_h.details[1][1]),
+                               np.asarray(ref_h.details[1][1]), atol=1e-6)
+
+
+def test_threshold_per_level_and_per_band_beta(coeffs2d, coeffs1d):
+    betas = [(0.1, 0.2, 0.3), (0.4, 0.5, 0.6), (0.7, 0.8, 0.9)]
+    out = ops.soft_threshold(coeffs2d, betas)
+    for lvl in range(3):
+        for band in range(3):
+            np.testing.assert_allclose(
+                np.asarray(out.details[lvl][band]),
+                _np_soft(np.asarray(coeffs2d.details[lvl][band]),
+                         betas[lvl][band]), atol=1e-12)
+    # per-level scalars for 1D pytrees; appcoeffs take the coarsest entry
+    out1 = ops.hard_threshold(coeffs1d, [0.2, 0.4, 0.8],
+                              do_thresh_appcoeffs=True)
+    x = np.asarray(coeffs1d.details[2])
+    np.testing.assert_allclose(np.asarray(out1.details[2]),
+                               np.where(np.abs(x) > 0.8, x, 0), atol=1e-12)
+    a = np.asarray(coeffs1d.approx)
+    np.testing.assert_allclose(np.asarray(out1.approx),
+                               np.where(np.abs(a) > 0.8, a, 0), atol=1e-12)
+
+
+def test_noise_sigma_and_universal(rng):
+    w = get_wavelet("db4")
+    sigma = 7.0
+    x = jnp.asarray(rng.standard_normal((256, 256)) * sigma, jnp.float32)
+    c = S.dwt2d(x, w, 3)
+    est = float(ops.noise_sigma(c))
+    assert abs(est - sigma) / sigma < 0.05, est
+    n = sum(int(b.size) for det in c.details for b in det)
+    ut = float(ops.universal_threshold(c))
+    assert abs(ut - est * math.sqrt(2 * math.log(n))) < 1e-3
+    # explicit sigma wins
+    assert abs(float(ops.universal_threshold(c, jnp.float32(1.0)))
+               - math.sqrt(2 * math.log(n))) < 1e-5
+
+
+def test_bayes_thresholds_structure_and_denoise(rng):
+    w = get_wavelet("db4")
+    # piecewise-constant signal + noise: BayesShrink should beat doing
+    # nothing by a wide margin
+    clean = np.zeros((128, 128), np.float32)
+    clean[32:96, 32:96] = 100.0
+    noisy = jnp.asarray(clean + rng.standard_normal((128, 128)) * 10.0,
+                        jnp.float32)
+    c = S.dwt2d(noisy, w, 3)
+    betas = ops.bayes_thresholds(c)
+    assert len(betas) == 3 and all(len(b) == 3 for b in betas)
+    den = S.idwt2d(ops.soft_threshold(c, list(betas)), w, (128, 128))
+    mse_n = float(jnp.mean((noisy - clean) ** 2))
+    mse_d = float(jnp.mean((den - clean) ** 2))
+    assert mse_d < 0.5 * mse_n, (mse_d, mse_n)
+
+
+def test_auto_denoise_model(rng):
+    from pdwt_tpu.models import auto_denoise
+
+    clean = np.zeros((128, 128), np.float32)
+    clean[32:96, 32:96] = 100.0
+    noisy = jnp.asarray(clean + rng.standard_normal((128, 128)) * 10.0,
+                        jnp.float32)
+    mse_n = float(jnp.mean((noisy - clean) ** 2))
+    for method, swt in (("bayes", False), ("universal", False),
+                        ("bayes", True)):
+        den = jax.jit(lambda x, m=method, s=swt: auto_denoise(
+            x, "db4", 3, method=m, swt=s))(noisy)
+        mse_d = float(jnp.mean((den - clean) ** 2))
+        assert mse_d < 0.6 * mse_n, (method, swt, mse_d, mse_n)
+    with pytest.raises(ValueError):
+        auto_denoise(noisy, "db4", 3, method="nope")
