@@ -124,6 +124,15 @@ def main() -> None:
     record("3D SWT db4 2-level TI denoise step 64x512x512",
            64 * 512 * 512, cfg7, vol7)
 
+    # 8. full wavelet-packet decomposition (beyond the reference): every
+    # depth transforms ALL nodes in one batched fused-level call, so
+    # per-pixel work is depth-proportional (no decimation decay)
+    from pdwt_tpu.core import packets as pk_mod
+
+    record("WP2D db7 3-depth full packet fwd+inv 2048x2048", 2048 * 2048,
+           lambda x: pk_mod.iwp2d(pk_mod.wp2d(x, w7, 3).nodes[3], w7,
+                                  (2048, 2048)), img)
+
     # precision-mode variants of the headline configs (round 3): bf16 =
     # MXU serving mode (bf16 details, f32 A-chain), mixed = f32 arrays
     # with bf16x3 compute (~1e-5 rel; SWT routes mixed to exact kernels,

@@ -1,9 +1,9 @@
 """Application-level models built on the wavelet engine."""
 from .denoiser import (auto_denoise, cycle_spin_denoise, denoise_step,
-                       denoise_step_3d, sharded_denoise_step,
-                       sharded_denoise_step_3d)
+                       denoise_step_3d, packet_denoise,
+                       sharded_denoise_step, sharded_denoise_step_3d)
 from .solver import ista
 
 __all__ = ["denoise_step", "denoise_step_3d", "cycle_spin_denoise",
-           "auto_denoise", "sharded_denoise_step",
+           "auto_denoise", "packet_denoise", "sharded_denoise_step",
            "sharded_denoise_step_3d", "ista"]

@@ -128,6 +128,39 @@ def auto_denoise(
     return sep_core.idwt2d(coeffs, wav, (nr, nc), backend=backend)
 
 
+def packet_denoise(
+    img: jnp.ndarray,
+    wav,
+    levels: int,
+    beta,
+    *,
+    cost: str = "shannon",
+    mode: str = "soft",
+    backend: Optional[str] = None,
+) -> jnp.ndarray:
+    """Best-basis wavelet-packet denoise: decompose to a full packet
+    tree, pick the Coifman-Wickerhauser best basis, threshold every
+    detail leaf (the pure approximation chain, node 0 of its depth, is
+    kept), reconstruct.  The basis search needs concrete coefficients,
+    so this runs the decomposition eagerly and jits the (static-basis)
+    thresholded reconstruction — wrap in jit only the pieces yourself
+    if you reuse one basis across frames."""
+    from ..core import packets as pk_mod
+    from ..ops.threshold import _hard, _soft
+
+    wav = _resolve(wav)
+    thr = {"soft": _soft, "hard": _hard}[mode]
+    pk = pk_mod.wp2d(img, wav, levels, backend=backend)
+    leaves, _ = pk_mod.best_basis(pk, cost)
+
+    def mfn(v, j, i):
+        return v if i == 0 else thr(v, beta)
+
+    return jax.jit(
+        lambda p: pk_mod.wp_reconstruct(p, leaves, wav, map_fn=mfn,
+                                        backend=backend))(pk)
+
+
 def cycle_spin_denoise(
     img: jnp.ndarray,
     key: jax.Array,
