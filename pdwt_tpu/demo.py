@@ -38,6 +38,13 @@ def main(argv=None) -> int:
     p.add_argument("--nonseparable", action="store_true")
     p.add_argument("--cycle-spinning", action="store_true")
     p.add_argument("--beta", type=float, default=90.0)
+    p.add_argument("--auto-beta", default="none",
+                   choices=("none", "universal", "bayes"),
+                   help="scenario 3: pick the threshold from the data "
+                        "(VisuShrink universal scalar / BayesShrink "
+                        "per-band) instead of --beta (JAX engine only; "
+                        "beyond the reference, whose demo hard-codes "
+                        "beta — src/demo.cpp:38)")
     p.add_argument("--out", default="res.dat")
     p.add_argument("--native", action="store_true",
                    help="use the C++ CPU engine instead of JAX")
@@ -71,6 +78,9 @@ def main(argv=None) -> int:
             ask("Use cycle spinning (0/1)", int(args.cycle_spinning), int))
         if args.scenario == 3:
             args.beta = ask("Threshold beta", args.beta, float)
+
+    if args.auto_beta != "none" and args.native:
+        p.error("--auto-beta needs the JAX engine (drop --native)")
 
     from pdwt_tpu.utils import read_dat, write_dat
 
@@ -124,9 +134,18 @@ def main(argv=None) -> int:
                 print(f"approximation written to {args.out}")
                 return 0
             if args.scenario == 3:
-                W.soft_threshold(args.beta)
-                print(f"soft threshold beta={args.beta} applied; "
-                      f"norm1 = {W.norm1():.6e}")
+                if args.auto_beta == "bayes":
+                    sigma = W.noise_sigma()
+                    W.bayes_shrink()
+                    print(f"BayesShrink applied (sigma~{sigma:.4g}); "
+                          f"norm1 = {W.norm1():.6e}")
+                else:
+                    beta = (W.universal_threshold()
+                            if args.auto_beta == "universal"
+                            else args.beta)
+                    W.soft_threshold(beta)
+                    print(f"soft threshold beta={beta:.6g} applied; "
+                          f"norm1 = {W.norm1():.6e}")
             # prove reconstruction comes from the coefficients alone
             # (reference: src/demo.cpp:208-214)
             W.set_image(np.zeros_like(img))

@@ -106,15 +106,18 @@ def auto_denoise(
     """Fully data-driven 2D denoise: estimate the noise level and the
     thresholds from the coefficients themselves, threshold, invert — one
     jitted program, no tuning knob.  ``method`` is ``"bayes"``
-    (BayesShrink per-band thresholds) or ``"universal"`` (VisuShrink
-    σ·sqrt(2 ln N)).  The reference leaves β to the user (its demo
-    hard-codes 10.0, reference: src/demo.cpp:38)."""
+    (BayesShrink per-band thresholds), ``"sure"`` (hybrid SureShrink),
+    or ``"universal"`` (VisuShrink σ·sqrt(2 ln N)).  The reference
+    leaves β to the user (its demo hard-codes 10.0, reference:
+    src/demo.cpp:38)."""
     wav = _resolve(wav)
     nr, nc = img.shape[-2:]
     fwd = sep_core.swt2d if swt else sep_core.dwt2d
     coeffs = fwd(img, wav, levels, backend=backend)
     if method == "bayes":
         beta = list(ops.bayes_thresholds(coeffs))
+    elif method == "sure":
+        beta = list(ops.sure_thresholds(coeffs))
     elif method == "universal":
         beta = ops.universal_threshold(coeffs)
     else:

@@ -62,6 +62,55 @@ def universal_threshold(coeffs: Coeffs,
     return sigma * jnp.float32(math.sqrt(2.0 * math.log(_detail_count(coeffs))))
 
 
+def sure_thresholds(coeffs: Coeffs,
+                    sigma: Optional[jnp.ndarray] = None,
+                    hybrid: bool = True):
+    """SureShrink (Donoho & Johnstone 1995) per-band soft thresholds:
+    minimize Stein's unbiased risk estimate
+    ``SURE(t) = n·σ² − 2σ²·#{|d| ≤ t} + Σ min(d², t²)`` over the n+1
+    candidate thresholds {0} ∪ {|d_i|} — an exact argmin via one sort +
+    cumsum per band (static shapes, MXU-free, jit/grad-safe).  With
+    ``hybrid=True`` a band whose energy is too sparse for SURE to be
+    reliable falls back to the universal threshold
+    σ·sqrt(2 ln n) (the classic hybrid scheme).  Returns the same
+    nested structure as :func:`bayes_thresholds`."""
+    if sigma is None:
+        sigma = noise_sigma(coeffs)
+    sigma = sigma.astype(jnp.float32)
+    s2 = sigma * sigma
+
+    def band_t(d):
+        d = d.astype(jnp.float32).ravel()
+        n = d.size
+        a = jnp.sort(d * d)  # ascending d²
+        # candidate t = |d|_(k) (k-th smallest magnitude): exactly k
+        # coords satisfy |d| ≤ t, and Σ min(d², t²) = csum[k-1] + (n−k)·a[k-1]
+        ks = jnp.arange(1, n + 1, dtype=jnp.float32)
+        csum = jnp.cumsum(a)
+        risk = (n * s2 - 2.0 * s2 * ks
+                + csum + (n - ks) * a)
+        k = jnp.argmin(risk)
+        t_sure = jnp.sqrt(a[k])
+        # the t = 0 candidate (threshold nothing) has SURE = n·σ²
+        t_best = jnp.where(risk[k] < n * s2, t_sure, 0.0)
+        if not hybrid:
+            return t_best
+        t_univ = sigma * jnp.float32(math.sqrt(2.0 * math.log(max(n, 2))))
+        # sparsity test (D&J 1995): if Σ(d²/σ²−1)/n ≤ n^{-1/2}·ln(n)^{3/2},
+        # SURE is unreliable — use the universal threshold
+        sparse = ((csum[-1] / s2 - n) / n
+                  <= jnp.float32(n ** -0.5 * math.log(max(n, 2)) ** 1.5))
+        return jnp.where(sparse, t_univ, t_best)
+
+    out = []
+    for det in coeffs.details:
+        if isinstance(det, tuple):
+            out.append(tuple(band_t(b) for b in det))
+        else:
+            out.append(band_t(det))
+    return tuple(out)
+
+
 def bayes_thresholds(coeffs: Coeffs,
                      sigma: Optional[jnp.ndarray] = None):
     """BayesShrink (Chang, Yu & Vetterli 2000) per-band soft thresholds

@@ -89,3 +89,21 @@ def test_demo_3d_volume(tmp_path, rng):
         assert r.returncode == 0, r.stderr
         rec = np.fromfile(out, dtype=np.float32).reshape(8, 32, 32)
         assert np.abs(rec - vol).max() < 1e-2
+
+
+def test_demo_auto_beta(tmp_path, image_dat):
+    """--auto-beta picks the threshold from the data (scenario 3)."""
+    path, img = image_dat
+    for ab in ("universal", "bayes"):
+        out = str(tmp_path / f"res_{ab}.dat")
+        r = _run([path, "--nr", "64", "--nc", "64", "--scenario", "3",
+                  "--wavelet", "db3", "--levels", "3",
+                  "--auto-beta", ab, "--out", out])
+        assert r.returncode == 0, r.stderr
+        assert ("BayesShrink" in r.stdout) == (ab == "bayes")
+        rec = np.fromfile(out, dtype=np.float32).reshape(64, 64)
+        assert np.isfinite(rec).all()
+    # --native rejects --auto-beta
+    r = _run([path, "--nr", "64", "--nc", "64", "--scenario", "3",
+              "--auto-beta", "bayes", "--native"])
+    assert r.returncode != 0

@@ -374,3 +374,40 @@ def test_auto_denoise_model(rng):
         assert mse_d < 0.6 * mse_n, (method, swt, mse_d, mse_n)
     with pytest.raises(ValueError):
         auto_denoise(noisy, "db4", 3, method="nope")
+
+
+def test_sure_thresholds(rng):
+    """SURE picks ~0 on pure signal (keep everything), large on pure
+    noise; the risk minimizer matches a brute-force SURE scan."""
+    w = get_wavelet("db4")
+    # pure noise: hybrid picks substantial thresholds
+    noise = jnp.asarray(rng.standard_normal((128, 128)) * 5.0, jnp.float32)
+    cn = S.dwt2d(noise, w, 2)
+    tn = ops.sure_thresholds(cn)
+    assert len(tn) == 2 and all(len(t) == 3 for t in tn)
+    assert all(float(t) > 3.0 for lvl in tn for t in lvl), tn
+
+    # brute-force cross-check on one band (non-hybrid exact argmin)
+    d = np.asarray(cn.details[0][2]).ravel()
+    s = float(ops.noise_sigma(cn)) ** 2
+    cands = np.concatenate([[0.0], np.abs(d)])
+    best = min(
+        float(len(d) * s - 2 * s * (np.abs(d) <= t).sum()
+              + np.minimum(d * d, t * t).sum())
+        for t in cands)
+    t_lib = float(ops.sure_thresholds(cn, hybrid=False)[0][2])
+    got = float(len(d) * s - 2 * s * (np.abs(d) <= t_lib).sum()
+                + np.minimum(d * d, t_lib * t_lib).sum())
+    assert abs(got - best) <= 1e-3 * abs(best) + 1e-6
+
+    # denoising quality: auto_denoise(sure) beats the noisy input
+    from pdwt_tpu.models import auto_denoise
+
+    clean = np.zeros((128, 128), np.float32)
+    clean[32:96, 32:96] = 100.0
+    noisy = jnp.asarray(clean + rng.standard_normal((128, 128)) * 10.0,
+                        jnp.float32)
+    den = jax.jit(lambda x: auto_denoise(x, "db4", 3, method="sure"))(noisy)
+    mse_n = float(jnp.mean((noisy - clean) ** 2))
+    mse_d = float(jnp.mean((den - clean) ** 2))
+    assert mse_d < 0.5 * mse_n, (mse_d, mse_n)

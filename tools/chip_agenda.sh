@@ -31,4 +31,9 @@ step bench_all 3600 python bench_all.py
 # 3. headline
 step bench 1200 python bench.py
 
+# 4. TPU-gated hardware equality sweeps (one compile per family): 2D/1D
+# kernel families + the 3D family sweep added this round
+step tpu_sweep 2400 env PDWT_TEST_TPU=1 python -m pytest \
+  tests/test_tpu_sweep.py -q
+
 echo "agenda complete" | tee -a "$OUT/agenda.log"
