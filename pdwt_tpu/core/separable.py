@@ -612,7 +612,7 @@ def iswt2d_denoise(coeffs: Coeffs2D, wav: Wavelet, beta, *,
     (kernels.swt_inv_level_2d_denoise_ad)."""
     import math as _math
 
-    from ..ops.threshold import _app_beta, _hard, _soft
+    from ..ops.threshold import _app_beta, _garrote, _hard, _soft
 
     backend = _auto_backend(backend, None)
     levels = coeffs.levels
@@ -621,14 +621,15 @@ def iswt2d_denoise(coeffs: Coeffs2D, wav: Wavelet, beta, *,
     if backend != "pallas":
         from .. import ops as _ops
 
-        fn = _ops.soft_threshold if mode == "soft" else _ops.hard_threshold
+        fn = {"soft": _ops.soft_threshold, "hard": _ops.hard_threshold,
+              "garrote": _ops.garrote_threshold}[mode]
         c2 = fn(coeffs, beta, normalize=normalize,
                 do_thresh_appcoeffs=do_thresh_appcoeffs)
         return iswt2d(c2, wav, backend=backend)
 
     from .. import kernels
 
-    thr = _soft if mode == "soft" else _hard
+    thr = {"soft": _soft, "hard": _hard, "garrote": _garrote}[mode]
     batch = coeffs.approx.shape[:-2]
     b = int(np.prod(batch, dtype=np.int64)) if batch else 1
     flat = lambda t: t.reshape((b,) + t.shape[len(batch):])

@@ -494,7 +494,7 @@ def iswt3d_denoise(coeffs: Coeffs3D, wav: Wavelet, beta, *,
     never writes thresholded coefficients to HBM."""
     import math as _math
 
-    from ..ops.threshold import _app_beta, _hard, _soft
+    from ..ops.threshold import _app_beta, _garrote, _hard, _soft
 
     backend = _auto_backend(backend, None)
     levels = coeffs.levels
@@ -503,14 +503,15 @@ def iswt3d_denoise(coeffs: Coeffs3D, wav: Wavelet, beta, *,
     if backend != "pallas":
         from .. import ops as _ops
 
-        fn = _ops.soft_threshold if mode == "soft" else _ops.hard_threshold
+        fn = {"soft": _ops.soft_threshold, "hard": _ops.hard_threshold,
+              "garrote": _ops.garrote_threshold}[mode]
         c2 = fn(coeffs, beta, normalize=normalize,
                 do_thresh_appcoeffs=do_thresh_appcoeffs)
         return iswt3d(c2, wav, backend=backend)
 
     from .. import kernels
 
-    thr = _soft if mode == "soft" else _hard
+    thr = {"soft": _soft, "hard": _hard, "garrote": _garrote}[mode]
     ddt = (coeffs.details[-1][0].dtype if coeffs.details
            else coeffs.approx.dtype)
     mxu = _mxu_mode(ddt)

@@ -521,21 +521,22 @@ def _swt_inv_mxu_den_bwd(rec_lo_t, rec_hi_t, level, mode, thr_mode,
     out = swt_fwd_level_2d_mxu(ct, lo_r, hi_r, level, mode)
     if out is None:
         out = _fma_swt_fwd(ct.astype(jnp.float32), lo_r, hi_r, level)
+    from .swt_pallas import _thresh_vjp_factors
+
     ct_a, cth_p, ctv_p, ctd_p = out
     f32 = jnp.float32
     b = jnp.asarray(beta, f32)
-    masks = [(jnp.abs(t.astype(f32)) > b) for t in (h, v, d)]
-    cts = [jnp.where(m, cp.astype(f32), 0.0).astype(t.dtype)
-           for m, cp, t in zip(masks, (cth_p, ctv_p, ctd_p), (h, v, d))]
-    if thr_mode == "soft":
-        ct_beta = -sum(
-            jnp.sum(jnp.where(m, cp.astype(f32)
-                              * jnp.sign(t.astype(f32)), 0.0))
-            for m, cp, t in zip(masks, (cth_p, ctv_p, ctd_p), (h, v, d)))
-        ct_beta = jnp.asarray(ct_beta, jnp.result_type(beta)).reshape(
-            jnp.shape(beta))
-    else:
-        ct_beta = jnp.zeros(jnp.shape(beta), jnp.result_type(beta))
+    cts, ct_beta = [], 0.0
+    for cp, t in zip((cth_p, ctv_p, ctd_p), (h, v, d)):
+        tf = t.astype(f32)
+        m = jnp.abs(tf) > b
+        dfdx, dfdb = _thresh_vjp_factors(thr_mode, tf, b)
+        cts.append(jnp.where(m, cp.astype(f32) * dfdx, 0.0).astype(t.dtype))
+        if dfdb is not None:
+            ct_beta = ct_beta + jnp.sum(
+                jnp.where(m, cp.astype(f32) * dfdb, 0.0))
+    ct_beta = jnp.asarray(ct_beta, jnp.result_type(beta)).reshape(
+        jnp.shape(beta))
     return (ct_a.astype(a_probe.dtype), cts[0], cts[1], cts[2], ct_beta)
 
 

@@ -208,6 +208,23 @@ def _thresh_tile(x, mode, beta):
         return jnp.sign(x) * jnp.maximum(jnp.abs(x) - beta, 0.0)
     if mode == "hard":
         return jnp.where(jnp.abs(x) > beta, x, 0.0)
+    if mode == "garrote":
+        safe = jnp.where(x == 0, 1.0, x)
+        return jnp.where(x * x > beta * beta, x - beta * beta / safe, 0.0)
+    raise ValueError(mode)
+
+
+def _thresh_vjp_factors(mode, t, b):
+    """(d thresh/d x, d thresh/d beta) on the mask |t| > b (a.e.
+    derivatives; zero off-mask).  Shared by the VPU and MXU fused
+    denoise backward passes."""
+    if mode == "soft":
+        return 1.0, -jnp.sign(t)
+    if mode == "hard":
+        return 1.0, None
+    if mode == "garrote":
+        safe = jnp.where(t == 0, 1.0, t)
+        return 1.0 + (b * b) / (safe * safe), -2.0 * b / safe
     raise ValueError(mode)
 
 
@@ -758,18 +775,15 @@ def _swt_inv2d_den_bwd(rec_lo_t, rec_hi_t, level, mode, res, ct):
     ct_a, cth_p, ctv_p, ctd_p = out
     b = jnp.asarray(beta, h.dtype)
     masks = [(jnp.abs(t) > b) for t in (h, v, d)]
-    ct_h = jnp.where(masks[0], cth_p, 0.0)
-    ct_v = jnp.where(masks[1], ctv_p, 0.0)
-    ct_d = jnp.where(masks[2], ctd_p, 0.0)
-    if mode == "soft":
-        ct_beta = -sum(
-            jnp.sum(jnp.where(m, cp * jnp.sign(t), 0.0))
-            for m, cp, t in zip(masks, (cth_p, ctv_p, ctd_p), (h, v, d)))
-        ct_beta = jnp.asarray(ct_beta, jnp.result_type(beta)).reshape(
-            jnp.shape(beta))
-    else:
-        ct_beta = jnp.zeros(jnp.shape(beta), jnp.result_type(beta))
-    return ct_a, ct_h, ct_v, ct_d, ct_beta
+    ct_bands, ct_beta = [], 0.0
+    for m, cp, t in zip(masks, (cth_p, ctv_p, ctd_p), (h, v, d)):
+        dfdx, dfdb = _thresh_vjp_factors(mode, t, b)
+        ct_bands.append(jnp.where(m, cp * dfdx, 0.0))
+        if dfdb is not None:
+            ct_beta = ct_beta + jnp.sum(jnp.where(m, cp * dfdb, 0.0))
+    ct_beta = jnp.asarray(ct_beta, jnp.result_type(beta)).reshape(
+        jnp.shape(beta))
+    return ct_a, ct_bands[0], ct_bands[1], ct_bands[2], ct_beta
 
 
 swt_inv_level_2d_denoise_ad.defvjp(_swt_inv2d_den_fwd, _swt_inv2d_den_bwd)

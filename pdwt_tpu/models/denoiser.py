@@ -68,7 +68,8 @@ def denoise_step(
         img = jnp.roll(img, shift=(sr, sc), axis=(-2, -1))
     if swt:
         coeffs = sep_core.swt2d(img, wav, levels, backend=backend)
-        if mode in ("soft", "hard") and not isinstance(beta, (list, tuple)):
+        if (mode in ("soft", "hard", "garrote")
+                and not isinstance(beta, (list, tuple))):
             # fused fast path: the detail threshold happens inside the
             # synthesis kernels' tile reads and the norm is computed
             # from the UN-thresholded coefficients by the identity
@@ -122,7 +123,8 @@ def auto_denoise(
         beta = ops.universal_threshold(coeffs)
     else:
         raise ValueError(f"unknown method {method!r}")
-    if swt and mode in ("soft", "hard") and not isinstance(beta, list):
+    if (swt and mode in ("soft", "hard", "garrote")
+            and not isinstance(beta, list)):
         return sep_core.iswt2d_denoise(coeffs, wav, beta, mode=mode,
                                        backend=backend)
     coeffs = _THRESH[mode](coeffs, beta)
@@ -149,10 +151,10 @@ def packet_denoise(
     thresholded reconstruction — wrap in jit only the pieces yourself
     if you reuse one basis across frames."""
     from ..core import packets as pk_mod
-    from ..ops.threshold import _hard, _soft
+    from ..ops.threshold import _garrote, _hard, _soft
 
     wav = _resolve(wav)
-    thr = {"soft": _soft, "hard": _hard}[mode]
+    thr = {"soft": _soft, "hard": _hard, "garrote": _garrote}[mode]
     pk = pk_mod.wp2d(img, wav, levels, backend=backend)
     leaves, _ = pk_mod.best_basis(pk, cost)
 
@@ -283,7 +285,7 @@ def denoise_step_3d(
         vol = jnp.roll(vol, shift=(sd, sr, sc), axis=(-3, -2, -1))
     fwd = sep3.swt3d if swt else sep3.dwt3d
     coeffs = fwd(vol, wav, levels, backend=backend)
-    if swt and mode in ("soft", "hard") and not isinstance(beta,
+    if swt and mode in ("soft", "hard", "garrote") and not isinstance(beta,
                                                            (list, tuple)):
         # fused fast path like the 2D step: the detail threshold happens
         # inside the synthesis kernels' tile reads and the norm comes

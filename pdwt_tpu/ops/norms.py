@@ -122,6 +122,10 @@ def thresholded_norm1(coeffs: Coeffs, beta, *, mode: str = "soft",
             return jnp.sum(jnp.maximum(ax - b, 0))
         if mode == "hard":
             return jnp.sum(jnp.where(ax > b, ax, 0))
+        if mode == "garrote":
+            # norm1(garrote(x, b)) = sum_{|x|>b} (|x| - b^2/|x|)
+            safe = jnp.where(ax > b, ax, 1)
+            return jnp.sum(jnp.where(ax > b, ax - b * b / safe, 0))
         raise ValueError(mode)
 
     lvl_beta = lambda i: (beta / (_math.sqrt(2.0) ** (i + 1))

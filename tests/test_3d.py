@@ -383,9 +383,10 @@ def test_3d_iswt_denoise_fused_matches_unfused(rng, monkeypatch):
         # unfused ops path thresholds the stored bf16 values — a
         # |x|·2^-8 rounding-order difference, not an inequality.
         tol = 1e-3 if dt == jnp.float32 else 3.0
-        for mode in ("soft", "hard"):
-            thr = (ops.soft_threshold if mode == "soft"
-                   else ops.hard_threshold)
+        for mode in ("soft", "hard", "garrote"):
+            thr = {"soft": ops.soft_threshold,
+                   "hard": ops.hard_threshold,
+                   "garrote": ops.garrote_threshold}[mode]
             slow = S3.iswt3d(thr(c, 5.0), w, backend="pallas")
             fast = S3.iswt3d_denoise(c, w, 5.0, mode=mode,
                                      backend="pallas")

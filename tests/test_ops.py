@@ -411,3 +411,9 @@ def test_sure_thresholds(rng):
     mse_n = float(jnp.mean((noisy - clean) ** 2))
     mse_d = float(jnp.mean((den - clean) ** 2))
     assert mse_d < 0.5 * mse_n, (mse_d, mse_n)
+
+
+def test_thresholded_norm1_garrote(coeffs2d):
+    n_ref = float(ops.norm1(ops.garrote_threshold(coeffs2d, 0.5)))
+    n_fast = float(ops.thresholded_norm1(coeffs2d, 0.5, mode="garrote"))
+    assert abs(n_fast - n_ref) / n_ref < 1e-10

@@ -92,10 +92,11 @@ def test_iswt2d_denoise_fused_matches_unfused(rng, monkeypatch):
     x = jnp.asarray(rng.standard_normal((1, 128, 128)) * 10,
                     jnp.float32)
     c = sep.swt2d(x, w, 2, backend="gather")
-    for mode in ("soft", "hard"):
+    thr_fns = {"soft": ops.soft_threshold, "hard": ops.hard_threshold,
+               "garrote": ops.garrote_threshold}
+    for mode in ("soft", "hard", "garrote"):
         for normalize in (False, True):
-            c_thr = (ops.soft_threshold if mode == "soft"
-                     else ops.hard_threshold)(c, 3.0, normalize=normalize)
+            c_thr = thr_fns[mode](c, 3.0, normalize=normalize)
             y_ref = sep.iswt2d(c_thr, w, backend="gather")
             y_fused = sep.iswt2d_denoise(c, w, 3.0, mode=mode,
                                          normalize=normalize,
@@ -123,7 +124,9 @@ def test_iswt2d_denoise_fused_grad(rng, monkeypatch):
     w = get_wavelet("db4")
     x = jnp.asarray(rng.standard_normal((1, 128, 128)) * 10, jnp.float32)
 
-    for mode in ("soft", "hard"):
+    thr_fns = {"soft": ops.soft_threshold, "hard": ops.hard_threshold,
+               "garrote": ops.garrote_threshold}
+    for mode in ("soft", "hard", "garrote"):
         def loss_fused(v, b):
             c = sep.swt2d(v, w, 2, backend="gather")
             y = sep.iswt2d_denoise(c, w, b, mode=mode, backend="pallas")
@@ -131,8 +134,7 @@ def test_iswt2d_denoise_fused_grad(rng, monkeypatch):
 
         def loss_ref(v, b):
             c = sep.swt2d(v, w, 2, backend="gather")
-            thr = ops.soft_threshold if mode == "soft" else ops.hard_threshold
-            y = sep.iswt2d(thr(c, b), w, backend="gather")
+            y = sep.iswt2d(thr_fns[mode](c, b), w, backend="gather")
             return jnp.sum(y ** 2)
 
         gx_f, gb_f = jax.grad(loss_fused, argnums=(0, 1))(x, 3.0)
