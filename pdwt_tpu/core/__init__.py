@@ -20,8 +20,9 @@ from .separable3d import (
     iswt3d_denoise,
     swt3d,
 )
-from .packets import (Packets1D, Packets2D, best_basis, iwp1d, iwp2d,
-                      wp1d, wp2d, wp_costs, wp_reconstruct)
+from .packets import (Packets1D, Packets2D, Packets3D, best_basis,
+                      iwp1d, iwp2d, iwp3d, wp1d, wp2d, wp3d, wp_costs,
+                      wp_reconstruct)
 from .nonseparable import dwt2d_ns, idwt2d_ns, iswt2d_ns, swt2d_ns
 from .haar import haar_dwt1d, haar_dwt2d, haar_idwt1d, haar_idwt2d
 from .shapes import (coeff_shapes_1d, coeff_shapes_2d, coeff_shapes_3d,
@@ -34,7 +35,8 @@ __all__ = [
     "dwt3d", "idwt3d", "swt3d", "iswt3d", "iswt3d_denoise",
     "swt1d", "swt2d", "iswt1d", "iswt2d", "iswt2d_denoise",
     "dwt2d_ns", "idwt2d_ns", "swt2d_ns", "iswt2d_ns",
-    "Packets1D", "Packets2D", "wp1d", "wp2d", "iwp1d", "iwp2d",
+    "Packets1D", "Packets2D", "Packets3D", "wp1d", "wp2d", "wp3d",
+    "iwp1d", "iwp2d", "iwp3d",
     "wp_costs", "best_basis", "wp_reconstruct",
     "haar_dwt1d", "haar_dwt2d", "haar_idwt1d", "haar_idwt2d",
     "coeff_shapes_1d", "coeff_shapes_2d", "coeff_shapes_3d",

@@ -60,6 +60,28 @@ class Packets2D(NamedTuple):
         return len(self.nodes) - 1
 
 
+class Packets3D(NamedTuple):
+    """Full packet tree of a volume: ``nodes[j]`` has shape
+    ``batch + (8**j, d_j, r_j, c_j)`` — depth 0 is the volume itself.
+    Child ordering within a split: (aaa,) + DETAIL_KEYS_3D."""
+    nodes: Tuple[jnp.ndarray, ...]
+
+    @property
+    def levels(self) -> int:
+        return len(self.nodes) - 1
+
+
+def _geom(packets):
+    """(spatial ndim, fan-out, node axis) for a packet pytree."""
+    if isinstance(packets, Packets3D):
+        return 3, 8, -4
+    if isinstance(packets, Packets2D):
+        return 2, 4, -3
+    if isinstance(packets, Packets1D):
+        return 1, 2, -2
+    raise TypeError(f"expected a Packets pytree, got {type(packets)}")
+
+
 def wp2d(x: jnp.ndarray, wav: Wavelet, levels: int, *,
          backend: Optional[str] = None) -> Packets2D:
     """Full 2D wavelet packet decomposition over the trailing two axes
@@ -100,6 +122,52 @@ def iwp2d(leaf_nodes: jnp.ndarray, wav: Wavelet,
                          g[..., 3, :, :]),))
         x = idwt2d(cfs, wav, (rows[j], cols[j]), backend=backend)
     return x[..., 0, :, :]
+
+
+def wp3d(x: jnp.ndarray, wav: Wavelet, levels: int, *,
+         backend: Optional[str] = None) -> Packets3D:
+    """Full 3D wavelet packet decomposition over the trailing three
+    axes — one batched single-level 3D DWT per depth (node axis =
+    batch, 8 children per node)."""
+    from .separable3d import dwt3d
+
+    batch = x.shape[:-3]
+    nodes = [x[..., None, :, :, :]]
+    for j in range(levels):
+        cur = nodes[-1]
+        c = dwt3d(cur, wav, 1, backend=backend)
+        a = c.approx
+        dets = c.details[0]
+        if a.dtype != dets[0].dtype:
+            a = a.astype(dets[0].dtype)
+        n, dd, r, cc = a.shape[-4:]
+        stk = jnp.stack((a,) + tuple(dets), axis=-4)
+        nodes.append(stk.reshape(batch + (8 * n, dd, r, cc)))
+    return Packets3D(tuple(nodes))
+
+
+def iwp3d(leaf_nodes: jnp.ndarray, wav: Wavelet,
+          shape: Tuple[int, int, int], *,
+          backend: Optional[str] = None) -> jnp.ndarray:
+    """Inverse of the full 3D packet decomposition from
+    ``packets.nodes[-1]``."""
+    from .separable3d import Coeffs3D, idwt3d
+
+    x = leaf_nodes
+    levels = int(round(math.log(x.shape[-4], 8)))
+    if 8 ** levels != x.shape[-4]:
+        raise ValueError(f"node axis {x.shape[-4]} is not a power of 8")
+    deps = level_sizes(shape[0], levels)
+    rows = level_sizes(shape[1], levels)
+    cols = level_sizes(shape[2], levels)
+    batch = x.shape[:-4]
+    for j in range(levels - 1, -1, -1):
+        n, dd, r, c = x.shape[-4:]
+        g = x.reshape(batch + (n // 8, 8, dd, r, c))
+        cfs = Coeffs3D(g[..., 0, :, :, :],
+                       (tuple(g[..., k, :, :, :] for k in range(1, 8)),))
+        x = idwt3d(cfs, wav, (deps[j], rows[j], cols[j]), backend=backend)
+    return x[..., 0, :, :, :]
 
 
 def wp1d(x: jnp.ndarray, wav: Wavelet, levels: int, *,
@@ -163,7 +231,7 @@ def _node_costs(nodes: jnp.ndarray, node_axis: int, cost: str, thresh):
 
 def wp_costs(packets, cost: str = "shannon", thresh: float = 0.0):
     """Per-depth per-node additive costs, one jitted program."""
-    axis = -3 if isinstance(packets, Packets2D) else -2
+    _, _, axis = _geom(packets)
 
     def prog(nodes):
         return [_node_costs(nd, axis, cost, thresh) for nd in nodes]
@@ -181,7 +249,7 @@ def best_basis(packets, cost: str = "shannon",
     (-sum x^2 ln x^2), ``"logenergy"``, ``"l1"``, or ``"threshold"``
     (count above ``thresh``); costs aggregate over any batch axes (one
     shared basis for the whole batch)."""
-    fan = 4 if isinstance(packets, Packets2D) else 2
+    _, fan, _ = _geom(packets)
     costs = [np.asarray(c, np.float64) for c in wp_costs(
         packets, cost, thresh)]
     levels = packets.levels
@@ -215,19 +283,34 @@ def wp_reconstruct(packets, leaves: Sequence[Tuple[int, int]],
     optionally transformed by ``map_fn(node_array, depth, index)`` —
     e.g. a threshold — before synthesis.  The leaf set is static, so
     the whole reconstruction is one jittable program: per depth, every
-    completed sibling quadruple (pair in 1D) is synthesized by one
+    completed sibling group (pair/quad/octet in 1D/2D/3D) is synthesized by one
     batched single-level inverse."""
-    is2d = isinstance(packets, Packets2D)
-    fan = 4 if is2d else 2
+    sd, fan, axis = _geom(packets)
     levels = packets.levels
-    if is2d:
-        r0, c0 = packets.nodes[0].shape[-2:]
-        rows = level_sizes(r0, levels)
-        cols = level_sizes(c0, levels)
-    else:
-        lens = level_sizes(packets.nodes[0].shape[-1], levels)
-    sl = ((lambda nd, i: nd[..., i, :, :]) if is2d
-          else (lambda nd, i: nd[..., i, :]))
+    # per-axis size tables at every depth
+    sizes = [level_sizes(n, levels)
+             for n in packets.nodes[0].shape[-sd:]]
+
+    def sl(nd, i):
+        return nd[(Ellipsis, i) + (slice(None),) * sd]
+
+    def inv_level(kids, j):
+        n = kids.shape[axis]
+        batch = kids.shape[:axis]
+        g = kids.reshape(batch + (n // fan, fan) + kids.shape[-sd:])
+        band = lambda k: g[(Ellipsis, k) + (slice(None),) * sd]
+        out_shape = tuple(s[j - 1] for s in sizes)
+        if sd == 3:
+            from .separable3d import Coeffs3D, idwt3d
+
+            cfs = Coeffs3D(band(0), (tuple(band(k) for k in range(1, 8)),))
+            return idwt3d(cfs, wav, out_shape, backend=backend)
+        if sd == 2:
+            cfs = Coeffs2D(band(0), ((band(1), band(2), band(3)),))
+            return idwt2d(cfs, wav, out_shape, backend=backend)
+        cfs = Coeffs1D(band(0), (band(1),))
+        return idwt1d(cfs, wav, out_shape[0], backend=backend)
+
     cover = sorted(set((int(j), int(i)) for j, i in leaves))
     cur = {}
     for j, i in cover:
@@ -245,21 +328,8 @@ def wp_reconstruct(packets, leaves: Sequence[Tuple[int, int]],
         want = [fan * p + k for p in parents for k in range(fan)]
         if idx != want:
             raise ValueError(f"leaves do not tile depth {j}: {idx}")
-        kids = jnp.stack([layer[i] for i in idx], axis=-3 if is2d else -2)
-        batch = kids.shape[:-3] if is2d else kids.shape[:-2]
-        if is2d:
-            n, r, c = kids.shape[-3:]
-            g = kids.reshape(batch + (n // 4, 4, r, c))
-            cfs = Coeffs2D(g[..., 0, :, :],
-                           ((g[..., 1, :, :], g[..., 2, :, :],
-                             g[..., 3, :, :]),))
-            vals = idwt2d(cfs, wav, (rows[j - 1], cols[j - 1]),
-                          backend=backend)
-        else:
-            n, ln = kids.shape[-2:]
-            g = kids.reshape(batch + (n // 2, 2, ln))
-            cfs = Coeffs1D(g[..., 0, :], (g[..., 1, :],))
-            vals = idwt1d(cfs, wav, lens[j - 1], backend=backend)
+        kids = jnp.stack([layer[i] for i in idx], axis=axis)
+        vals = inv_level(kids, j)
         up = cur.setdefault(j - 1, {})
         for t, p in enumerate(parents):
             if p in up:

@@ -167,3 +167,29 @@ def test_packet_denoise_model(rng):
     mse_n = float(jnp.mean((noisy - clean) ** 2))
     mse_d = float(jnp.mean((den - clean) ** 2))
     assert mse_d < 0.5 * mse_n, (mse_d, mse_n)
+
+
+def test_wp3d_roundtrip_and_best_basis(rng):
+    """3D packets: full roundtrip, pyramid-chain equality, best-basis
+    cover + reconstruction (odd sizes included)."""
+    from pdwt_tpu.core import separable3d as S3
+
+    w = get_wavelet("db3")
+    x = jnp.asarray(rng.standard_normal((12, 20, 28)))
+    pk = P.wp3d(x, w, 2)
+    assert pk.nodes[2].shape[-4] == 64
+    y = P.iwp3d(pk.nodes[2], w, (12, 20, 28))
+    np.testing.assert_allclose(np.asarray(y), np.asarray(x), atol=1e-8)
+    # node 0 chain = pyramid approx; children 1..7 = DETAIL_KEYS_3D order
+    c = S3.dwt3d(x, w, 2)
+    np.testing.assert_allclose(np.asarray(pk.nodes[2][0]),
+                               np.asarray(c.approx), atol=1e-10)
+    for k in range(7):
+        np.testing.assert_allclose(np.asarray(pk.nodes[1][k + 1]),
+                                   np.asarray(c.details[0][k]), atol=1e-10)
+    leaves, total = P.best_basis(pk, "shannon")
+    assert abs(sum(8.0 ** -j for j, _ in leaves) - 1.0) < 1e-12
+    y2 = P.wp_reconstruct(pk, leaves, w)
+    np.testing.assert_allclose(np.asarray(y2), np.asarray(x), atol=1e-8)
+    with pytest.raises(ValueError, match="power of 8"):
+        P.iwp3d(pk.nodes[1][..., :4, :, :, :], w, (12, 20, 28))
