@@ -137,7 +137,7 @@ def packet_denoise(
     img: jnp.ndarray,
     wav,
     levels: int,
-    beta,
+    beta=None,
     *,
     cost: str = "shannon",
     mode: str = "soft",
@@ -146,16 +146,26 @@ def packet_denoise(
     """Best-basis wavelet-packet denoise: decompose to a full packet
     tree, pick the Coifman-Wickerhauser best basis, threshold every
     detail leaf (the pure approximation chain, node 0 of its depth, is
-    kept), reconstruct.  The basis search needs concrete coefficients,
-    so this runs the decomposition eagerly and jits the (static-basis)
-    thresholded reconstruction — wrap in jit only the pieces yourself
-    if you reuse one basis across frames."""
+    kept), reconstruct.  ``beta=None`` picks the VisuShrink universal
+    threshold from the depth-1 diagonal node's MAD noise estimate.
+    The basis search needs concrete coefficients, so this runs the
+    decomposition eagerly and jits the (static-basis) thresholded
+    reconstruction — wrap in jit only the pieces yourself if you reuse
+    one basis across frames."""
+    import math as _math
+
     from ..core import packets as pk_mod
+    from ..ops.estimate import _MAD_TO_SIGMA
     from ..ops.threshold import _garrote, _hard, _soft
 
     wav = _resolve(wav)
     thr = {"soft": _soft, "hard": _hard, "garrote": _garrote}[mode]
     pk = pk_mod.wp2d(img, wav, levels, backend=backend)
+    if beta is None:
+        d1 = pk.nodes[1][..., 3, :, :].astype(jnp.float32)
+        sigma = jnp.median(jnp.abs(d1)) * jnp.float32(_MAD_TO_SIGMA)
+        beta = sigma * jnp.float32(_math.sqrt(2.0 * _math.log(
+            img.shape[-2] * img.shape[-1])))
     leaves, _ = pk_mod.best_basis(pk, cost)
 
     def mfn(v, j, i):

@@ -193,3 +193,16 @@ def test_wp3d_roundtrip_and_best_basis(rng):
     np.testing.assert_allclose(np.asarray(y2), np.asarray(x), atol=1e-8)
     with pytest.raises(ValueError, match="power of 8"):
         P.iwp3d(pk.nodes[1][..., :4, :, :, :], w, (12, 20, 28))
+
+
+def test_packet_denoise_auto_beta(rng):
+    from pdwt_tpu.models import packet_denoise
+
+    clean = np.zeros((64, 64), np.float32)
+    clean[16:48, 16:48] = 100.0
+    noisy = jnp.asarray(clean + rng.standard_normal((64, 64)) * 10.0,
+                        jnp.float32)
+    den = packet_denoise(noisy, "db4", 3)  # beta=None -> universal
+    mse_n = float(jnp.mean((noisy - clean) ** 2))
+    mse_d = float(jnp.mean((den - clean) ** 2))
+    assert mse_d < 0.6 * mse_n, (mse_d, mse_n)

@@ -26,7 +26,8 @@ grep -q "256" "$OUT/probe.out" || { echo "tunnel dead — aborting" | tee -a "$O
 step vpu_tile_sweep 2400 python tools/vpu_tile_sweep.py "$OUT/vpu_tile_sweep.json"
 
 # 2. full bench sweep incl. the 3D configs (f32 + bf16) — first 3D chip numbers
-step bench_all 3600 python bench_all.py
+# (grew to ~16 configs this session: 3D TI denoise, packets)
+step bench_all 5400 python bench_all.py
 
 # 3. headline
 step bench 1200 python bench.py
