@@ -58,3 +58,31 @@ def test_ista_group_lasso(rng):
     e_rec = float(jnp.abs(x - clean).mean())
     assert e_rec < 0.7 * e_noisy
     assert np.isfinite(np.asarray(trace)).all()
+
+
+def test_ista_inpainting_mask_op(rng):
+    """ista with a masked (non-identity, self-adjoint) operator
+    recovers missing pixels of a piecewise-constant image — the
+    inpainting workload from the reference README's problem statement
+    (reference: README.md:9-10 'wavelet-regularized inverse
+    problems')."""
+    import jax.numpy as jnp
+    import numpy as np
+    from pdwt_tpu.models import ista
+
+    clean = np.zeros((64, 64), np.float32)
+    clean[16:48, 16:48] = 100.0
+    mask = (rng.uniform(size=(64, 64)) > 0.3).astype(np.float32)  # keep 70%
+    y = jnp.asarray(clean * mask)
+    m = jnp.asarray(mask)
+
+    op = lambda x: m * x  # self-adjoint projection
+    x, trace = ista(y, op=op, wav="db4", levels=3, lam=0.5, iters=60,
+                    x0=y)
+    # objective decreases and the masked-out pixels get filled in
+    assert float(trace[-1]) < float(trace[0])
+    err_missing = float(jnp.abs((x - clean) * (1 - m)).sum()
+                        / max(float((1 - m).sum()), 1))
+    err_baseline = float(jnp.abs((y - clean) * (1 - m)).sum()
+                         / max(float((1 - m).sum()), 1))
+    assert err_missing < 0.35 * err_baseline, (err_missing, err_baseline)
