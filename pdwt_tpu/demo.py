@@ -13,6 +13,8 @@ Scenarios (reference: src/demo.cpp:13-16):
      inverse so the reconstruction provably comes from the coefficients
      alone (reference: src/demo.cpp:208-214).
   3  forward + soft threshold(beta) + inverse (sparse denoising)
+  4  best-basis wavelet-packet denoise (beyond the reference; 2D JAX
+     engine; --auto-beta any != none picks the threshold from the data)
 """
 from __future__ import annotations
 
@@ -31,7 +33,7 @@ def main(argv=None) -> int:
                    help="depth for a 3D volume (.dat holds nd*nr*nc "
                         "float32); 0 = 2D image (beyond the reference: "
                         "it has no 3D)")
-    p.add_argument("--scenario", type=int, default=2, choices=(1, 2, 3))
+    p.add_argument("--scenario", type=int, default=2, choices=(1, 2, 3, 4))
     p.add_argument("--wavelet", default="haar")
     p.add_argument("--levels", type=int, default=1)
     p.add_argument("--swt", action="store_true")
@@ -87,6 +89,25 @@ def main(argv=None) -> int:
     shape = ((args.nd, args.nr, args.nc) if args.nd
              else (args.nr, args.nc))
     img = read_dat(args.image, shape)
+
+    if args.scenario == 4:
+        if args.native or args.nd:
+            p.error("scenario 4 (packet denoise) needs the 2D JAX engine")
+        import jax.numpy as jnp
+
+        from pdwt_tpu.models import packet_denoise
+
+        beta = None if args.auto_beta != "none" else args.beta
+        rec = np.asarray(packet_denoise(jnp.asarray(img), args.wavelet,
+                                        args.levels, beta),
+                         dtype=np.float32)
+        which = "universal (auto)" if beta is None else f"{beta:g}"
+        print(f"best-basis packet denoise applied (beta = {which})")
+        err = float(np.abs(rec - img).max())
+        print(f"max |denoised - input| = {err:.3e} (expected nonzero)")
+        write_dat(args.out, rec)
+        print(f"result written to {args.out}")
+        return 0
 
     if args.native:
         from pdwt_tpu import native

@@ -107,3 +107,18 @@ def test_demo_auto_beta(tmp_path, image_dat):
     r = _run([path, "--nr", "64", "--nc", "64", "--scenario", "3",
               "--auto-beta", "bayes", "--native"])
     assert r.returncode != 0
+
+
+def test_demo_scenario4_packet_denoise(tmp_path, image_dat):
+    path, img = image_dat
+    out = str(tmp_path / "res4.dat")
+    r = _run([path, "--nr", "64", "--nc", "64", "--scenario", "4",
+              "--wavelet", "db3", "--levels", "3", "--auto-beta",
+              "universal", "--out", out])
+    assert r.returncode == 0, r.stderr
+    assert "best-basis packet denoise" in r.stdout
+    rec = np.fromfile(out, dtype=np.float32).reshape(64, 64)
+    assert np.isfinite(rec).all()
+    r = _run([path, "--nr", "64", "--nc", "64", "--scenario", "4",
+              "--native"])
+    assert r.returncode != 0

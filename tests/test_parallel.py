@@ -424,3 +424,33 @@ def test_sharded_pallas_odd_unsharded_axes(mesh, rng, monkeypatch):
     y3 = par.idwt3d(c3, w, (7, 64, 128), mesh, backend="pallas", **ax3)
     assert y3.shape == x3.shape
     assert float(jnp.abs(y3 - jnp.asarray(x3)).max()) < 1e-4
+
+
+def test_data_parallel_packets_and_anisotropic(rng):
+    """The new transforms are batch-parallel: under a data-axis
+    sharding, wp2d / wp_reconstruct / fs_dwt / fs_idwt run sharded
+    (jit keeps the batch axis distributed) and match single-device
+    results bit-for-bit."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from pdwt_tpu.core import anisotropic as A
+    from pdwt_tpu.core import packets as PK
+    from pdwt_tpu.filters import get_wavelet
+
+    w = get_wavelet("db3")
+    mesh = jax.sharding.Mesh(np.array(jax.devices()[:8]), ("data",))
+    x = jnp.asarray(rng.standard_normal((8, 32, 48)), jnp.float32)
+    xs = jax.device_put(x, NamedSharding(mesh, P("data")))
+
+    pk_ref = PK.wp2d(x, w, 2)
+    leaves, _ = PK.best_basis(pk_ref, "shannon")
+    f = jax.jit(lambda v: PK.wp_reconstruct(PK.wp2d(v, w, 2), leaves, w))
+    y = f(xs)
+    assert y.sharding.spec == P("data"), y.sharding
+    np.testing.assert_array_equal(np.asarray(y), np.asarray(f(x)))
+
+    g = jax.jit(lambda v: A.fs_idwt(A.fs_dwt(v, w, (2, 1)), w,
+                                    (32, 48), (2, 1)))
+    ys = g(xs)
+    np.testing.assert_array_equal(np.asarray(ys), np.asarray(g(x)))
