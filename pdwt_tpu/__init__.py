@@ -24,6 +24,7 @@ Layers:
 """
 from . import core, filters, models, ops, parallel, utils
 from .api import Wavelets, WaveletSpec
+from .api_packets import WaveletPackets
 from .filters import (
     Wavelet,
     get_wavelet,
@@ -36,7 +37,7 @@ from .filters import (
 __version__ = "0.2.0"
 
 __all__ = [
-    "Wavelets", "WaveletSpec", "Wavelet",
+    "Wavelets", "WaveletSpec", "WaveletPackets", "Wavelet",
     "get_wavelet", "list_wavelets", "make_custom_wavelet",
     "register_wavelet", "quad_filters",
     "core", "filters", "models", "ops", "parallel", "utils",

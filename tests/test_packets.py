@@ -206,3 +206,45 @@ def test_packet_denoise_auto_beta(rng):
     mse_n = float(jnp.mean((noisy - clean) ** 2))
     mse_d = float(jnp.mean((den - clean) ** 2))
     assert mse_d < 0.6 * mse_n, (mse_d, mse_n)
+
+
+def test_wavelet_packets_facade(rng):
+    """Stateful WaveletPackets facade: forward / best_basis /
+    fused-threshold reconstruct / node access, 2D and 1D."""
+    from pdwt_tpu import WaveletPackets
+    from pdwt_tpu.ops.threshold import _soft
+
+    img = np.asarray(rng.standard_normal((64, 64)) * 10, np.float32)
+    WP = WaveletPackets(img, wname="db4", levels=3)
+    assert "not decomposed" in repr(WP)
+    WP.forward()
+    leaves, cost = WP.best_basis("shannon")
+    assert "leaf basis" in repr(WP)
+    rec = WP.reconstruct()
+    np.testing.assert_allclose(np.asarray(rec), img, atol=1e-4)
+    # fused threshold inside reconstruction == manual map_fn
+    den = WP.reconstruct(beta=5.0)
+    ref = P.wp_reconstruct(WP.packets, leaves, WP.wavelet,
+                           map_fn=lambda v, j, i:
+                           v if i == 0 else _soft(v, 5.0))
+    np.testing.assert_allclose(np.asarray(den), np.asarray(ref),
+                               atol=1e-5)
+    # node access matches the packets pytree; costs shapes
+    np.testing.assert_array_equal(WP.get_node(1, 2),
+                                  np.asarray(WP.packets.nodes[1][2]))
+    cs = WP.costs("l1")
+    assert [len(c) for c in cs] == [1, 4, 16, 64]
+
+    # 1D + full-tree reconstruct without best_basis
+    sig = np.asarray(rng.standard_normal((2, 128)), np.float32)
+    W1 = WaveletPackets(sig, wname="db2", levels=2, ndim=1)
+    W1.forward()
+    rec1 = W1.reconstruct()
+    np.testing.assert_allclose(np.asarray(rec1), sig, atol=1e-4)
+
+    with pytest.raises(ValueError):
+        WaveletPackets(img, levels=0)
+    with pytest.raises(ValueError):
+        WaveletPackets(img, ndim=4)
+    with pytest.raises(ValueError):
+        WaveletPackets(img, wname="db2", levels=1).reconstruct()
