@@ -28,6 +28,7 @@ for biorthogonal banks the comparison is approximate.
 """
 from __future__ import annotations
 
+import functools
 import math
 from typing import NamedTuple, Optional, Sequence, Tuple
 
@@ -229,14 +230,24 @@ def _node_costs(nodes: jnp.ndarray, node_axis: int, cost: str, thresh):
     raise ValueError(f"unknown cost {cost!r}")
 
 
-def wp_costs(packets, cost: str = "shannon", thresh: float = 0.0):
-    """Per-depth per-node additive costs, one jitted program."""
-    _, _, axis = _geom(packets)
-
-    def prog(nodes):
+@functools.lru_cache(maxsize=None)
+def _cost_prog(axis: int, cost: str):
+    # one jitted program per (geometry, cost) — reused across calls so
+    # repeated best_basis() invocations never retrace (thresh is traced)
+    def prog(nodes, thresh):
         return [_node_costs(nd, axis, cost, thresh) for nd in nodes]
 
-    return jax.jit(prog)(list(packets.nodes))
+    return jax.jit(prog)
+
+
+def wp_costs(packets, cost: str = "shannon", thresh: float = 0.0):
+    """Per-depth per-node additive costs, one jitted program (cached
+    per tree geometry and cost function)."""
+    _, _, axis = _geom(packets)
+    if cost not in ("shannon", "logenergy", "l1", "threshold"):
+        raise ValueError(f"unknown cost {cost!r}")
+    return _cost_prog(axis, cost)(list(packets.nodes),
+                                  jnp.float32(thresh))
 
 
 def best_basis(packets, cost: str = "shannon",

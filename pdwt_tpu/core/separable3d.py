@@ -500,7 +500,9 @@ def iswt3d_denoise(coeffs: Coeffs3D, wav: Wavelet, beta, *,
     levels = coeffs.levels
     lvl_beta = lambda i: (beta / (_math.sqrt(2.0) ** (i + 1))
                           if normalize else beta)
-    if backend != "pallas":
+    if backend != "pallas" or isinstance(beta, (list, tuple)):
+        # per-level/per-band beta sequences ride the ops path (the
+        # fused kernels threshold a whole level with one scalar)
         from .. import ops as _ops
 
         fn = {"soft": _ops.soft_threshold, "hard": _ops.hard_threshold,

@@ -183,3 +183,23 @@ def test_swt_keep_approx_interpret_pallas(rng, monkeypatch):
     for a, b in zip(ap_ref, ap_p):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=0, atol=1e-5)
+
+
+def test_iswt2d_denoise_sequence_beta(rng, monkeypatch):
+    """Per-level/per-band beta sequences route the fused entry point to
+    the ops path on every backend (the kernels threshold a level with
+    one scalar) — semantics match threshold-then-inverse."""
+    import jax.numpy as jnp
+
+    from pdwt_tpu import ops
+    from pdwt_tpu.core import separable as sep
+    from pdwt_tpu.filters import get_wavelet
+
+    monkeypatch.setenv("PDWT_PALLAS_INTERPRET", "1")
+    w = get_wavelet("db4")
+    x = jnp.asarray(rng.standard_normal((128, 128)) * 10, jnp.float32)
+    c = sep.swt2d(x, w, 2, backend="gather")
+    betas = [(1.0, 2.0, 3.0), (4.0, 5.0, 6.0)]
+    ref = sep.iswt2d(ops.soft_threshold(c, betas), w, backend="gather")
+    got = sep.iswt2d_denoise(c, w, betas, backend="pallas")
+    assert float(jnp.abs(got - ref).max()) < 1e-4

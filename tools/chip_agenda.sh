@@ -20,7 +20,7 @@ step probe 180 python -c "
 import jax, jax.numpy as jnp
 print(jax.devices())
 print(float(jax.jit(lambda a: (a@a).sum())(jnp.ones((256,256)))))"
-grep -q "256" "$OUT/probe.out" || { echo "tunnel dead — aborting" | tee -a "$OUT/agenda.log"; exit 1; }
+grep -q "16777216" "$OUT/probe.out" || { echo "tunnel dead — aborting" | tee -a "$OUT/agenda.log"; exit 1; }
 
 # 1. VPU tile sweep (round-4 roadmap item 1; bake only on a >5% same-run win)
 step vpu_tile_sweep 2400 python tools/vpu_tile_sweep.py "$OUT/vpu_tile_sweep.json"

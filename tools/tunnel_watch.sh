@@ -13,7 +13,7 @@ ok=0
 while true; do
   if timeout 150 python -c "
 import jax, jax.numpy as jnp
-assert float(jax.jit(lambda a: (a@a).sum())(jnp.ones((256,256)))) == 256.0*256
+assert float(jax.jit(lambda a: (a@a).sum())(jnp.ones((256,256)))) == 256.0**3
 print('ok')" >/dev/null 2>&1; then
     ok=$((ok+1))
     echo "$(date +%H:%M:%S) PROBE_OK ($ok/2)" >> "$LOG"
