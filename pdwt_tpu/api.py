@@ -365,6 +365,97 @@ class Wavelets:
         self.state = WState.FORWARD
         return self._coeffs
 
+    def run_denoise(self, beta, mode: str = "soft",
+                    do_thresh_appcoeffs: bool = False,
+                    normalize: bool = False):
+        """The whole denoise pipeline — (cycle-spin shift) → analysis →
+        threshold → sparsity norm → synthesis → unshift — as ONE jitted
+        program and ONE device dispatch (the step-by-step
+        ``forward(); soft_threshold(); norm1(); inverse()`` sequence
+        costs 4+ dispatches, each seconds through a remote tunnel).
+        Separable specs only.  On the SWT path the threshold fuses into
+        the synthesis kernels' tile reads and the norm uses
+        ``ops.thresholded_norm1`` (nothing thresholded touches HBM).
+        Stateless: returns ``(denoised, norm1)`` on device and leaves
+        the facade's image/coefficients untouched."""
+        s = self.spec
+        if not (s.do_separable or s.ndim == 1):
+            raise ValueError("run_denoise supports separable specs only")
+        w = self._fwd_wavelet()
+        be = self._backend
+        thr = {"soft": ops.soft_threshold, "hard": ops.hard_threshold,
+               "garrote": ops.garrote_threshold,
+               "group": ops.group_soft_threshold}[mode]
+        fuse = s.do_swt and mode in ("soft", "hard", "garrote")
+
+        def make():
+            from .core import separable3d as sep3
+
+            def fn(img, sd, sr, sc, b):
+                if s.do_cycle_spinning:
+                    img = (ops.circshift3d(img, sd, sr, sc)
+                           if s.ndim == 3
+                           else ops.circshift2d(img, sr, sc))
+                if s.ndim == 1:
+                    fwd = sep_core.swt1d if s.do_swt else sep_core.dwt1d
+                elif s.ndim == 3:
+                    fwd = sep3.swt3d if s.do_swt else sep3.dwt3d
+                else:
+                    fwd = sep_core.swt2d if s.do_swt else sep_core.dwt2d
+                c = fwd(img, w, s.nlevels, backend=be)
+                if fuse:
+                    n1 = ops.thresholded_norm1(
+                        c, b, mode=mode, normalize=normalize,
+                        do_thresh_appcoeffs=do_thresh_appcoeffs)
+                    inv_den = (sep3.iswt3d_denoise if s.ndim == 3
+                               else sep_core.iswt2d_denoise
+                               if s.ndim == 2 else None)
+                    if inv_den is not None:
+                        out = inv_den(
+                            c, w, b, mode=mode, normalize=normalize,
+                            do_thresh_appcoeffs=do_thresh_appcoeffs,
+                            backend=be)
+                    else:
+                        c = thr(c, b, normalize=normalize,
+                                do_thresh_appcoeffs=do_thresh_appcoeffs)
+                        out = sep_core.iswt1d(c, w, backend=be)
+                else:
+                    c = thr(c, b, normalize=normalize,
+                            do_thresh_appcoeffs=do_thresh_appcoeffs)
+                    n1 = ops.norm1(c)
+                    if s.ndim == 1:
+                        out = (sep_core.iswt1d(c, w, backend=be)
+                               if s.do_swt
+                               else sep_core.idwt1d(c, w, s.nc,
+                                                    backend=be))
+                    elif s.ndim == 3:
+                        out = (sep3.iswt3d(c, w, backend=be)
+                               if s.do_swt
+                               else sep3.idwt3d(c, w, (s.nd, s.nr, s.nc),
+                                                backend=be))
+                    else:
+                        out = (sep_core.iswt2d(c, w, backend=be)
+                               if s.do_swt
+                               else sep_core.idwt2d(c, w, (s.nr, s.nc),
+                                                    backend=be))
+                if s.do_cycle_spinning:
+                    out = (ops.circshift3d(out, -sd, -sr, -sc)
+                           if s.ndim == 3
+                           else ops.circshift2d(out, -sr, -sc))
+                return out, n1
+
+            return fn
+
+        sd = sr = sc = 0
+        if s.do_cycle_spinning:
+            sr = int(self._rng.integers(0, s.nr))
+            sc = int(self._rng.integers(0, s.nc))
+            if s.ndim == 3:
+                sd = int(self._rng.integers(0, s.nd))
+        key = ("run_denoise", mode, do_thresh_appcoeffs, normalize, s,
+               self._wavelet)
+        return self._jitted(key, make)(self.d_image, sd, sr, sc, beta)
+
     def inverse(self):
         """Reconstruct the image from the coefficients
         (reference: src/wt.cu:273-307)."""

@@ -371,3 +371,38 @@ def test_new_threshold_methods_and_estimators(rng):
     c = S.dwt2d(jnp.asarray(img), w, 3)
     assert abs(sig - float(ops.noise_sigma(c))) < 1e-5
     assert abs(ut - float(ops.universal_threshold(c))) < 1e-4
+
+
+def test_run_denoise_single_dispatch(rng):
+    """run_denoise == forward + threshold + norm1 + inverse (+ unshift),
+    for DWT and SWT specs, 2D and 3D, without touching facade state."""
+    from pdwt_tpu import ops
+    from pdwt_tpu.core import separable as S
+    from pdwt_tpu.core import separable3d as S3
+    from pdwt_tpu.filters import get_wavelet
+
+    w = get_wavelet("db3")
+    img = _image(rng)
+    for swt in (False, True):
+        W = Wavelets(img, wname="db3", levels=3, do_swt=swt)
+        out, n1 = W.run_denoise(5.0)
+        assert W.state is WState.INIT  # stateless
+        c = S.swt2d(jnp.asarray(img), w, 3) if swt \
+            else S.dwt2d(jnp.asarray(img), w, 3)
+        ct = ops.soft_threshold(c, 5.0)
+        ref = S.iswt2d(ct, w) if swt else S.idwt2d(ct, w, img.shape)
+        assert float(jnp.abs(out - ref).max()) < 1e-3
+        assert abs(float(n1) - float(ops.norm1(ct))) / float(
+            ops.norm1(ct)) < 1e-5
+
+    # 3D + garrote + cycle spinning roundtrips finitely
+    vol = (rng.standard_normal((8, 16, 16)) * 50).astype(np.float32)
+    W3 = Wavelets(vol, wname="db2", levels=2, do_swt=False,
+                  do_cycle_spinning=True)
+    out3, n13 = W3.run_denoise(2.0, mode="garrote")
+    assert out3.shape == vol.shape and np.isfinite(float(n13))
+
+    # non-separable spec refuses
+    Wn = Wavelets(img, wname="db3", levels=2, do_separable=False)
+    with pytest.raises(ValueError, match="separable"):
+        Wn.run_denoise(1.0)
