@@ -341,6 +341,24 @@ void pdwt_hard_threshold(pdwt_real *x, long n, pdwt_real beta) {
     if (std::fabs(x[i]) <= beta) x[i] = 0.f;
 }
 
+void pdwt_garrote_threshold(pdwt_real *x, long n, pdwt_real beta) {
+  for (long i = 0; i < n; ++i) {
+    pdwt_real v = x[i];
+    x[i] = (v * v > beta * beta) ? v - beta * beta / v : (pdwt_real)0;
+  }
+}
+
+void pdwt_firm_threshold(pdwt_real *x, long n, pdwt_real b1, pdwt_real b2) {
+  for (long i = 0; i < n; ++i) {
+    pdwt_real v = x[i], a = std::fabs(v);
+    if (a <= b1)
+      x[i] = 0;
+    else if (a < b2)
+      x[i] = (v < 0 ? (pdwt_real)-1 : (pdwt_real)1)
+             * b2 * (a - b1) / (b2 - b1);
+  }
+}
+
 void pdwt_proj_linf(pdwt_real *x, long n, pdwt_real beta) {
   for (long i = 0; i < n; ++i) {
     pdwt_real v = x[i];

@@ -96,6 +96,10 @@ int pdwt_inverse3d(pdwt_real *const *coeffs, int nd, int nr, int nc,
 
 void pdwt_soft_threshold(pdwt_real *x, long n, pdwt_real beta);
 void pdwt_hard_threshold(pdwt_real *x, long n, pdwt_real beta);
+/* non-negative garrote: x*max(1 - beta^2/x^2, 0) */
+void pdwt_garrote_threshold(pdwt_real *x, long n, pdwt_real beta);
+/* firm (semisoft): 0 below b1, identity above b2, linear ramp between */
+void pdwt_firm_threshold(pdwt_real *x, long n, pdwt_real b1, pdwt_real b2);
 void pdwt_proj_linf(pdwt_real *x, long n, pdwt_real beta);
 double pdwt_norm1(const pdwt_real *x, long n);
 double pdwt_norm2sq(const pdwt_real *x, long n);

@@ -11,6 +11,8 @@ from .lib import (
     dwt2d,
     dwt2d_ns,
     dwt3d,
+    firm_threshold,
+    garrote_threshold,
     group_soft_threshold,
     idwt1d,
     idwt2d,
@@ -29,5 +31,6 @@ __all__ = [
     "dwt2d", "idwt2d", "dwt1d", "idwt1d", "dwt3d", "idwt3d",
     "dwt2d_ns", "idwt2d_ns",
     "soft_threshold", "group_soft_threshold", "shrink", "axpy",
+    "garrote_threshold", "firm_threshold",
     "norm1", "norm2sq", "norm_l21",
 ]

@@ -228,6 +228,22 @@ def soft_threshold(x: np.ndarray, beta: float) -> np.ndarray:
     return x
 
 
+def garrote_threshold(x: np.ndarray, beta: float) -> np.ndarray:
+    lib = _load()
+    x = np.ascontiguousarray(x, _DTYPE).copy()
+    lib.pdwt_garrote_threshold(_fptr(x), ctypes.c_long(x.size),
+                               _c_real(beta))
+    return x
+
+
+def firm_threshold(x: np.ndarray, beta: float, beta2: float) -> np.ndarray:
+    lib = _load()
+    x = np.ascontiguousarray(x, _DTYPE).copy()
+    lib.pdwt_firm_threshold(_fptr(x), ctypes.c_long(x.size),
+                            _c_real(beta), _c_real(beta2))
+    return x
+
+
 def norm1(x: np.ndarray) -> float:
     lib = _load()
     x = np.ascontiguousarray(x, _DTYPE)

@@ -149,3 +149,27 @@ def test_native_3d_matches_jax(rng):
                 assert np.abs(np.asarray(a) - np.asarray(b)).max() < 1e-12
     finally:
         native.set_dtype(np.float32)
+
+
+def test_native_garrote_and_firm_match_jax():
+    """Native garrote/firm thresholds == the jnp formulas (f64)."""
+    if not native.is_available():
+        pytest.skip("native toolchain unavailable")
+    import jax.numpy as jnp
+
+    from pdwt_tpu.ops.threshold import _firm, _garrote
+
+    from pdwt_tpu.native import lib as nlib
+
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal(1000) * 3
+    nlib.set_dtype(np.float64)
+    try:
+        ng = native.garrote_threshold(x, 1.2)
+        jg = np.asarray(_garrote(jnp.asarray(x), 1.2))
+        np.testing.assert_allclose(ng, jg, atol=1e-12)
+        nf = native.firm_threshold(x, 0.8, 2.4)
+        jf = np.asarray(_firm(jnp.asarray(x), 0.8, 2.4))
+        np.testing.assert_allclose(nf, jf, atol=1e-12)
+    finally:
+        nlib.set_dtype(np.float32)
