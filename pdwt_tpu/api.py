@@ -383,9 +383,15 @@ class Wavelets:
             raise ValueError("run_denoise supports separable specs only")
         w = self._fwd_wavelet()
         be = self._backend
-        thr = {"soft": ops.soft_threshold, "hard": ops.hard_threshold,
-               "garrote": ops.garrote_threshold,
-               "group": ops.group_soft_threshold}[mode]
+        from .models.denoiser import _THRESH as _thresh_fns
+
+        thr = _thresh_fns.get(mode)
+        if thr is None:
+            raise ValueError(
+                f"unknown mode {mode!r}; pick from {sorted(_thresh_fns)}")
+        # sequence betas are safe on the fused path: iswt*_denoise
+        # reroutes them to the ops threshold internally and
+        # thresholded_norm1 resolves them per (level, band)
         fuse = s.do_swt and mode in ("soft", "hard", "garrote")
 
         def make():

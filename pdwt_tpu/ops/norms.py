@@ -108,10 +108,10 @@ def thresholded_norm1(coeffs: Coeffs, beta, *, mode: str = "soft",
     thresholded pytree: norm1(soft(x, b)) = sum max(|x|-b, 0) and
     norm1(hard(x, b)) = sum |x| * [|x| > b].  Pairs with the fused
     threshold-in-inverse kernels (core.separable.iswt2d_denoise) so a
-    denoise step never writes thresholded coefficients to HBM."""
-    import math as _math
-
-    from .threshold import _app_beta
+    denoise step never writes thresholded coefficients to HBM.
+    ``beta`` accepts the same scalar or per-level/per-band sequences as
+    the threshold ops (see threshold._resolve_beta)."""
+    from .threshold import _app_beta, _resolve_beta
 
     n = coeffs.levels
 
@@ -128,13 +128,15 @@ def thresholded_norm1(coeffs: Coeffs, beta, *, mode: str = "soft",
             return jnp.sum(jnp.where(ax > b, ax - b * b / safe, 0))
         raise ValueError(mode)
 
-    lvl_beta = lambda i: (beta / (_math.sqrt(2.0) ** (i + 1))
-                          if normalize else beta)
     total = 0.0
     for i, det in enumerate(coeffs.details):
-        bands = det if isinstance(det, tuple) else (det,)
-        for x in bands:
-            total = total + term(x, lvl_beta(i))
+        if isinstance(det, tuple):
+            for j, x in enumerate(det):
+                total = total + term(x, _resolve_beta(beta, i, j,
+                                                      normalize))
+        else:
+            total = total + term(det, _resolve_beta(beta, i, None,
+                                                    normalize))
     a = coeffs.approx
     if do_thresh_appcoeffs:
         total = total + term(a, _app_beta(beta, n, normalize))

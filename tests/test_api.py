@@ -406,3 +406,26 @@ def test_run_denoise_single_dispatch(rng):
     Wn = Wavelets(img, wname="db3", levels=2, do_separable=False)
     with pytest.raises(ValueError, match="separable"):
         Wn.run_denoise(1.0)
+
+
+def test_run_denoise_sequence_beta_and_mode_errors(rng):
+    """Per-level beta sequences work on the fused SWT facade path
+    (review finding): result equals threshold-then-inverse and the
+    norm matches; unknown modes raise ValueError."""
+    from pdwt_tpu import ops
+    from pdwt_tpu.core import separable as S
+    from pdwt_tpu.filters import get_wavelet
+
+    img = _image(rng)
+    w = get_wavelet("db3")
+    betas = [1.0, 2.0, 3.0]
+    W = Wavelets(img, wname="db3", levels=3, do_swt=True)
+    out, n1 = W.run_denoise(betas)
+    c = S.swt2d(jnp.asarray(img, jnp.float32), w, 3)
+    ct = ops.soft_threshold(c, betas)
+    ref = S.iswt2d(ct, w)
+    assert float(jnp.abs(out - ref).max()) < 1e-3
+    assert abs(float(n1) - float(ops.norm1(ct))) / float(
+        ops.norm1(ct)) < 1e-5
+    with pytest.raises(ValueError, match="unknown mode"):
+        W.run_denoise(1.0, mode="sofft")
