@@ -133,6 +133,39 @@ def auto_denoise(
     return sep_core.idwt2d(coeffs, wav, (nr, nc), backend=backend)
 
 
+def auto_denoise_3d(
+    vol: jnp.ndarray,
+    wav,
+    levels: int,
+    *,
+    method: str = "bayes",
+    mode: str = "soft",
+    swt: bool = False,
+    backend: Optional[str] = None,
+) -> jnp.ndarray:
+    """Volume analogue of :func:`auto_denoise`: estimate the noise from
+    the finest all-highpass (ddd) band and threshold per band (bayes /
+    sure) or globally (universal), one jitted program."""
+    from ..core import separable3d as sep3
+
+    wav = _resolve(wav)
+    nd, nr, nc = vol.shape[-3:]
+    fwd = sep3.swt3d if swt else sep3.dwt3d
+    coeffs = fwd(vol, wav, levels, backend=backend)
+    if method == "bayes":
+        beta = list(ops.bayes_thresholds(coeffs))
+    elif method == "sure":
+        beta = list(ops.sure_thresholds(coeffs))
+    elif method == "universal":
+        beta = ops.universal_threshold(coeffs)
+    else:
+        raise ValueError(f"unknown method {method!r}")
+    coeffs = _THRESH[mode](coeffs, beta)
+    if swt:
+        return sep3.iswt3d(coeffs, wav, backend=backend)
+    return sep3.idwt3d(coeffs, wav, (nd, nr, nc), backend=backend)
+
+
 def packet_denoise(
     img: jnp.ndarray,
     wav,

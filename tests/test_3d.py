@@ -418,3 +418,22 @@ def test_3d_denoise_step_fused_norm(rng):
     assert abs(float(n1) - n1_ref) / n1_ref < 1e-5
     slow = S3.iswt3d(ops.soft_threshold(c, 3.0), w)
     assert float(jnp.abs(out - slow).max()) < 1e-3
+
+
+def test_auto_denoise_3d(rng):
+    from pdwt_tpu.models import auto_denoise_3d
+
+    clean = np.zeros((8, 64, 64), np.float32)
+    clean[2:6, 16:48, 16:48] = 100.0
+    noisy = jnp.asarray(clean + rng.standard_normal((8, 64, 64)) * 10.0,
+                        jnp.float32)
+    mse_n = float(jnp.mean((noisy - clean) ** 2))
+    for method in ("bayes", "universal", "sure"):
+        den = jax.jit(lambda v, m=method: auto_denoise_3d(
+            v, "db2", 2, method=m))(noisy)
+        mse_d = float(jnp.mean((den - clean) ** 2))
+        # VisuShrink famously oversmooths sharp edges — weaker bound
+        bound = 0.85 if method == "universal" else 0.6
+        assert mse_d < bound * mse_n, (method, mse_d, mse_n)
+    with pytest.raises(ValueError):
+        auto_denoise_3d(noisy, "db2", 2, method="nope")
