@@ -146,3 +146,52 @@ def test_3d_roundtrips_on_chip(rng):
                                - img.astype(jnp.float32)))
 
     assert float(bf16_rt(xb)) < 8.0
+
+
+def test_fourth_session_features_on_chip(rng):
+    """One compile (+ one bf16): fused-denoise modes (soft/hard/garrote)
+    vs unfused, packets roundtrip, anisotropic roundtrip, fused 3D SWT
+    denoise — the fourth-session surface validated on real hardware."""
+    from pdwt_tpu import ops
+    from pdwt_tpu.core import anisotropic as A
+    from pdwt_tpu.core import packets as P
+    from pdwt_tpu.core import separable3d as S3
+
+    w = get_wavelet("db4")
+    x = jnp.asarray(rng.uniform(0, 255, (512, 512)), jnp.float32)
+    vol = jnp.asarray(rng.uniform(0, 255, (8, 128, 256)), jnp.float32)
+    thr = {"soft": ops.soft_threshold, "hard": ops.hard_threshold,
+           "garrote": ops.garrote_threshold}
+
+    @jax.jit
+    def run(img, v):
+        errs = []
+        c = sep.swt2d(img, w, 2)
+        for mode in ("soft", "hard", "garrote"):
+            y_f = sep.iswt2d_denoise(c, w, 10.0, mode=mode)
+            y_r = sep.iswt2d(thr[mode](c, 10.0), w)
+            errs.append(jnp.max(jnp.abs(y_f - y_r)))
+        pk = P.wp2d(img, w, 2)
+        errs.append(jnp.max(jnp.abs(
+            P.iwp2d(pk.nodes[2], w, img.shape) - img)))
+        y2 = A.fs_idwt(A.fs_dwt(img, w, (2, 3)), w, img.shape, (2, 3))
+        errs.append(jnp.max(jnp.abs(y2 - img)))
+        c3 = S3.swt3d(v, w, 1)
+        y3f = S3.iswt3d_denoise(c3, w, 10.0)
+        y3r = S3.iswt3d(ops.soft_threshold(c3, 10.0), w)
+        errs.append(jnp.max(jnp.abs(y3f - y3r)))
+        return jnp.stack(errs)
+
+    errs = np.asarray(run(x, vol))
+    assert (errs < 2e-2).all(), errs  # f32 roundoff on [0,255] data
+
+    # bf16 serving mode through the same fused paths (one more compile)
+    @jax.jit
+    def run_b(img):
+        c = sep.swt2d(img, w, 2)
+        y_f = sep.iswt2d_denoise(c, w, 10.0, mode="garrote")
+        y_r = sep.iswt2d(ops.garrote_threshold(c, 10.0), w)
+        return jnp.max(jnp.abs(y_f.astype(jnp.float32)
+                               - y_r.astype(jnp.float32)))
+    errb = float(run_b(x.astype(jnp.bfloat16)))
+    assert errb < 8.0, errb  # bf16 storage rounding on [0,255]
