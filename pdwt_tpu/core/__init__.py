@@ -24,6 +24,7 @@ from .packets import (Packets1D, Packets2D, Packets3D, best_basis,
                       iwp1d, iwp2d, iwp3d, wp1d, wp2d, wp3d, wp_costs,
                       wp_reconstruct)
 from .anisotropic import fs_dwt, fs_idwt, fs_slices
+from .cwt import cwt, fourier_wavelength, icwt, log_scales
 from .nonseparable import dwt2d_ns, idwt2d_ns, iswt2d_ns, swt2d_ns
 from .haar import haar_dwt1d, haar_dwt2d, haar_idwt1d, haar_idwt2d
 from .shapes import (coeff_shapes_1d, coeff_shapes_2d, coeff_shapes_3d,
@@ -40,6 +41,7 @@ __all__ = [
     "iwp1d", "iwp2d", "iwp3d",
     "wp_costs", "best_basis", "wp_reconstruct",
     "fs_dwt", "fs_idwt", "fs_slices",
+    "cwt", "icwt", "log_scales", "fourier_wavelength",
     "haar_dwt1d", "haar_dwt2d", "haar_idwt1d", "haar_idwt2d",
     "coeff_shapes_1d", "coeff_shapes_2d", "coeff_shapes_3d",
     "div2", "level_sizes", "max_level",
