@@ -133,6 +133,16 @@ def main() -> None:
            lambda x: pk_mod.iwp2d(pk_mod.wp2d(x, w7, 3).nodes[3], w7,
                                   (2048, 2048)), img)
 
+    # 9. continuous wavelet transform (beyond the reference): batched
+    # FFT + broadcast scale bank — measures the XLA TPU FFT path
+    from pdwt_tpu.core import cwt as cwt_fn
+    from pdwt_tpu.core import log_scales
+
+    scales9 = log_scales(4096, dj=0.25)  # 45 scales
+    sig9 = jnp.asarray(rng.standard_normal((64, 4096)), jnp.float32)
+    record(f"CWT morlet {len(scales9)}-scale 64x4096", 64 * 4096,
+           lambda x: jnp.abs(cwt_fn(x, scales9)) ** 2, sig9)
+
     # precision-mode variants of the headline configs (round 3): bf16 =
     # MXU serving mode (bf16 details, f32 A-chain), mixed = f32 arrays
     # with bf16x3 compute (~1e-5 rel; SWT routes mixed to exact kernels,
