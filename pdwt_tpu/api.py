@@ -392,7 +392,8 @@ class Wavelets:
         # sequence betas are safe on the fused path: iswt*_denoise
         # reroutes them to the ops threshold internally and
         # thresholded_norm1 resolves them per (level, band)
-        fuse = s.do_swt and mode in ("soft", "hard", "garrote")
+        fuse = (s.do_swt and s.ndim != 1
+                and mode in ("soft", "hard", "garrote"))
 
         def make():
             from .core import separable3d as sep3
@@ -414,17 +415,11 @@ class Wavelets:
                         c, b, mode=mode, normalize=normalize,
                         do_thresh_appcoeffs=do_thresh_appcoeffs)
                     inv_den = (sep3.iswt3d_denoise if s.ndim == 3
-                               else sep_core.iswt2d_denoise
-                               if s.ndim == 2 else None)
-                    if inv_den is not None:
-                        out = inv_den(
-                            c, w, b, mode=mode, normalize=normalize,
-                            do_thresh_appcoeffs=do_thresh_appcoeffs,
-                            backend=be)
-                    else:
-                        c = thr(c, b, normalize=normalize,
-                                do_thresh_appcoeffs=do_thresh_appcoeffs)
-                        out = sep_core.iswt1d(c, w, backend=be)
+                               else sep_core.iswt2d_denoise)
+                    out = inv_den(
+                        c, w, b, mode=mode, normalize=normalize,
+                        do_thresh_appcoeffs=do_thresh_appcoeffs,
+                        backend=be)
                 else:
                     c = thr(c, b, normalize=normalize,
                             do_thresh_appcoeffs=do_thresh_appcoeffs)

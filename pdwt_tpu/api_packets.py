@@ -22,9 +22,7 @@ import numpy as np
 
 from .core import packets as pk_mod
 from .filters import Wavelet, get_wavelet
-from .ops.threshold import _garrote, _hard, _soft
-
-_THR = {"soft": _soft, "hard": _hard, "garrote": _garrote}
+from .ops.threshold import THR_ELEM
 
 
 class WaveletPackets:
@@ -94,7 +92,7 @@ class WaveletPackets:
             raise ValueError("run forward() first")
         leaves = self.leaves if self.leaves is not None \
             else self._full_cover()
-        thr = _THR[mode]
+        thr = THR_ELEM[mode]
 
         def make():
             def fn(pk, b):

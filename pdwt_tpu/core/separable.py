@@ -612,7 +612,7 @@ def iswt2d_denoise(coeffs: Coeffs2D, wav: Wavelet, beta, *,
     (kernels.swt_inv_level_2d_denoise_ad)."""
     import math as _math
 
-    from ..ops.threshold import _app_beta, _garrote, _hard, _soft
+    from ..ops.threshold import THR_ELEM, _app_beta
 
     backend = _auto_backend(backend, None)
     levels = coeffs.levels
@@ -631,7 +631,7 @@ def iswt2d_denoise(coeffs: Coeffs2D, wav: Wavelet, beta, *,
 
     from .. import kernels
 
-    thr = {"soft": _soft, "hard": _hard, "garrote": _garrote}[mode]
+    thr = THR_ELEM[mode]
     batch = coeffs.approx.shape[:-2]
     b = int(np.prod(batch, dtype=np.int64)) if batch else 1
     flat = lambda t: t.reshape((b,) + t.shape[len(batch):])

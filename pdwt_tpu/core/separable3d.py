@@ -494,7 +494,7 @@ def iswt3d_denoise(coeffs: Coeffs3D, wav: Wavelet, beta, *,
     never writes thresholded coefficients to HBM."""
     import math as _math
 
-    from ..ops.threshold import _app_beta, _garrote, _hard, _soft
+    from ..ops.threshold import THR_ELEM, _app_beta
 
     backend = _auto_backend(backend, None)
     levels = coeffs.levels
@@ -513,7 +513,7 @@ def iswt3d_denoise(coeffs: Coeffs3D, wav: Wavelet, beta, *,
 
     from .. import kernels
 
-    thr = {"soft": _soft, "hard": _hard, "garrote": _garrote}[mode]
+    thr = THR_ELEM[mode]
     ddt = (coeffs.details[-1][0].dtype if coeffs.details
            else coeffs.approx.dtype)
     mxu = _mxu_mode(ddt)

@@ -94,6 +94,19 @@ def denoise_step(
     return out, n1
 
 
+def _auto_betas(coeffs, method: str):
+    """Data-driven thresholds for auto_denoise/auto_denoise_3d: a
+    per-level/per-band list (bayes / sure) or a traced scalar
+    (universal)."""
+    if method == "bayes":
+        return list(ops.bayes_thresholds(coeffs))
+    if method == "sure":
+        return list(ops.sure_thresholds(coeffs))
+    if method == "universal":
+        return ops.universal_threshold(coeffs)
+    raise ValueError(f"unknown method {method!r}")
+
+
 def auto_denoise(
     img: jnp.ndarray,
     wav,
@@ -115,14 +128,7 @@ def auto_denoise(
     nr, nc = img.shape[-2:]
     fwd = sep_core.swt2d if swt else sep_core.dwt2d
     coeffs = fwd(img, wav, levels, backend=backend)
-    if method == "bayes":
-        beta = list(ops.bayes_thresholds(coeffs))
-    elif method == "sure":
-        beta = list(ops.sure_thresholds(coeffs))
-    elif method == "universal":
-        beta = ops.universal_threshold(coeffs)
-    else:
-        raise ValueError(f"unknown method {method!r}")
+    beta = _auto_betas(coeffs, method)
     if (swt and mode in ("soft", "hard", "garrote")
             and not isinstance(beta, list)):
         return sep_core.iswt2d_denoise(coeffs, wav, beta, mode=mode,
@@ -152,14 +158,7 @@ def auto_denoise_3d(
     nd, nr, nc = vol.shape[-3:]
     fwd = sep3.swt3d if swt else sep3.dwt3d
     coeffs = fwd(vol, wav, levels, backend=backend)
-    if method == "bayes":
-        beta = list(ops.bayes_thresholds(coeffs))
-    elif method == "sure":
-        beta = list(ops.sure_thresholds(coeffs))
-    elif method == "universal":
-        beta = ops.universal_threshold(coeffs)
-    else:
-        raise ValueError(f"unknown method {method!r}")
+    beta = _auto_betas(coeffs, method)
     coeffs = _THRESH[mode](coeffs, beta)
     if swt:
         return sep3.iswt3d(coeffs, wav, backend=backend)
@@ -189,10 +188,10 @@ def packet_denoise(
 
     from ..core import packets as pk_mod
     from ..ops.estimate import _MAD_TO_SIGMA
-    from ..ops.threshold import _garrote, _hard, _soft
+    from ..ops.threshold import THR_ELEM
 
     wav = _resolve(wav)
-    thr = {"soft": _soft, "hard": _hard, "garrote": _garrote}[mode]
+    thr = THR_ELEM[mode]
     pk = pk_mod.wp2d(img, wav, levels, backend=backend)
     if beta is None:
         d1 = pk.nodes[1][..., 3, :, :].astype(jnp.float32)

@@ -44,6 +44,15 @@ def noise_sigma(coeffs: Coeffs) -> jnp.ndarray:
     return jnp.median(jnp.abs(d)) * jnp.float32(_MAD_TO_SIGMA)
 
 
+def _per_band(coeffs: Coeffs, band_t):
+    """Apply ``band_t`` to every detail band, preserving the pytree's
+    per-level structure (tuple-of-bands or bare array)."""
+    return tuple(
+        tuple(band_t(b) for b in det) if isinstance(det, tuple)
+        else band_t(det)
+        for det in coeffs.details)
+
+
 def _detail_count(coeffs: Coeffs) -> int:
     n = 0
     for det in coeffs.details:
@@ -102,13 +111,7 @@ def sure_thresholds(coeffs: Coeffs,
                   <= jnp.float32(n ** -0.5 * math.log(max(n, 2)) ** 1.5))
         return jnp.where(sparse, t_univ, t_best)
 
-    out = []
-    for det in coeffs.details:
-        if isinstance(det, tuple):
-            out.append(tuple(band_t(b) for b in det))
-        else:
-            out.append(band_t(det))
-    return tuple(out)
+    return _per_band(coeffs, band_t)
 
 
 def bayes_thresholds(coeffs: Coeffs,
@@ -129,10 +132,4 @@ def bayes_thresholds(coeffs: Coeffs,
         return jnp.where(sx > 0, s2 / jnp.where(sx > 0, sx, 1.0),
                          jnp.max(jnp.abs(d)))
 
-    out = []
-    for det in coeffs.details:
-        if isinstance(det, tuple):
-            out.append(tuple(band_t(b) for b in det))
-        else:
-            out.append(band_t(det))
-    return tuple(out)
+    return _per_band(coeffs, band_t)

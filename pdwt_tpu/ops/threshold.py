@@ -81,6 +81,11 @@ def _firm(x, b1, b2):
     return jnp.where(ax <= b1, 0, jnp.where(ax >= b2, x, ramp))
 
 
+# elementwise forms of the modes the fused threshold-in-inverse kernels
+# support — shared by the kernel callers and the packet facades
+THR_ELEM = {"soft": _soft, "hard": _hard, "garrote": _garrote}
+
+
 def _resolve_beta(beta, i: int, j, normalize: bool):
     """Per-(level, band) threshold.  ``beta`` is a scalar (optionally
     sqrt(2)-normalized per level, reference: src/common.cu:244) or a
