@@ -288,14 +288,19 @@ def best_basis(packets, cost: str = "shannon",
 def wp_reconstruct(packets, leaves: Sequence[Tuple[int, int]],
                    wav: Wavelet, *,
                    backend: Optional[str] = None,
-                   map_fn=None) -> jnp.ndarray:
+                   map_fn=None, inv1_fn=None) -> jnp.ndarray:
     """Reconstruct the signal/image from a pruned packet tree: the
     coefficients of the ``leaves`` cover (as from :func:`best_basis`),
     optionally transformed by ``map_fn(node_array, depth, index)`` —
     e.g. a threshold — before synthesis.  The leaf set is static, so
     the whole reconstruction is one jittable program: per depth, every
     completed sibling group (pair/quad/octet in 1D/2D/3D) is synthesized by one
-    batched single-level inverse."""
+    batched single-level inverse.
+
+    ``inv1_fn(coeffs, out_shape)`` overrides the batched single-level
+    inverse — the extension point the spatially sharded composition
+    (:mod:`pdwt_tpu.parallel.packets`) uses to substitute the ring-halo
+    inverses; ``coeffs`` is the matching ``Coeffs1D/2D/3D``."""
     sd, fan, axis = _geom(packets)
     levels = packets.levels
     # per-axis size tables at every depth
@@ -305,6 +310,17 @@ def wp_reconstruct(packets, leaves: Sequence[Tuple[int, int]],
     def sl(nd, i):
         return nd[(Ellipsis, i) + (slice(None),) * sd]
 
+    def default_inv1(cfs, out_shape):
+        if sd == 3:
+            from .separable3d import idwt3d
+
+            return idwt3d(cfs, wav, out_shape, backend=backend)
+        if sd == 2:
+            return idwt2d(cfs, wav, out_shape, backend=backend)
+        return idwt1d(cfs, wav, out_shape[0], backend=backend)
+
+    inv1 = inv1_fn if inv1_fn is not None else default_inv1
+
     def inv_level(kids, j):
         n = kids.shape[axis]
         batch = kids.shape[:axis]
@@ -312,15 +328,14 @@ def wp_reconstruct(packets, leaves: Sequence[Tuple[int, int]],
         band = lambda k: g[(Ellipsis, k) + (slice(None),) * sd]
         out_shape = tuple(s[j - 1] for s in sizes)
         if sd == 3:
-            from .separable3d import Coeffs3D, idwt3d
+            from .separable3d import Coeffs3D
 
             cfs = Coeffs3D(band(0), (tuple(band(k) for k in range(1, 8)),))
-            return idwt3d(cfs, wav, out_shape, backend=backend)
-        if sd == 2:
+        elif sd == 2:
             cfs = Coeffs2D(band(0), ((band(1), band(2), band(3)),))
-            return idwt2d(cfs, wav, out_shape, backend=backend)
-        cfs = Coeffs1D(band(0), (band(1),))
-        return idwt1d(cfs, wav, out_shape[0], backend=backend)
+        else:
+            cfs = Coeffs1D(band(0), (band(1),))
+        return inv1(cfs, out_shape)
 
     cover = sorted(set((int(j), int(i)) for j, i in leaves))
     cur = {}

@@ -498,3 +498,58 @@ def test_sharded_anisotropic_mixed_axes(mesh, rng):
     r_sh = par.fs_idwt(y_sh, w, (45, 128), lv, mesh, axes=(None, "col"),
                        data_axis="data")
     assert float(jnp.abs(r_sh - jnp.asarray(x)).max()) < 5e-5
+
+
+def test_sharded_packets_match_single_device(mesh, rng):
+    """Spatially sharded wavelet packets: per-depth ring-halo batched
+    single-level DWTs (node axis rides batch) — the full tree, the
+    best-basis reconstruction, and the full-tree inverse all match
+    single-device results."""
+    from pdwt_tpu.core import packets as PK
+    from pdwt_tpu.parallel import packets as PPK
+
+    w = get_wavelet("db3")
+    x = rng.standard_normal((2, 64, 128)).astype(np.float32)
+    xs = par.shard_image(x, mesh, **AXES)
+
+    pk_sh = PPK.wp2d(xs, w, 2, mesh, **AXES)
+    pk_ref = PK.wp2d(jnp.asarray(x), w, 2)
+    assert _max_err(list(pk_sh.nodes), list(pk_ref.nodes)) == 0.0
+
+    leaves, cost = PK.best_basis(pk_sh, "shannon")
+    leaves_ref, cost_ref = PK.best_basis(pk_ref, "shannon")
+    assert leaves == leaves_ref
+    y_sh = PPK.wp_reconstruct(pk_sh, leaves, w, mesh, **AXES)
+    y_ref = PK.wp_reconstruct(pk_ref, leaves_ref, w)
+    assert _max_err(y_sh, y_ref) == 0.0
+    assert float(jnp.abs(y_sh - jnp.asarray(x)).max()) < 5e-5
+
+    full = PPK.iwp2d(pk_sh.nodes[-1], w, (64, 128), mesh, **AXES)
+    assert float(jnp.abs(full - jnp.asarray(x)).max()) < 5e-5
+
+
+def test_sharded_packets_1d_and_3d(mesh, rng):
+    from pdwt_tpu.core import packets as PK
+    from pdwt_tpu.parallel import packets as PPK
+
+    w = get_wavelet("db2")
+    # batched 1D, signal axis on the col ring
+    s = rng.standard_normal((4, 256)).astype(np.float32)
+    ss = par.shard_image(s, mesh, data_axis="data", col_axis="col")
+    pk = PPK.wp1d(ss, w, 3, mesh, data_axis="data", col_axis="col")
+    pk_ref = PK.wp1d(jnp.asarray(s), w, 3)
+    assert _max_err(list(pk.nodes), list(pk_ref.nodes)) == 0.0
+    y = PPK.iwp1d(pk.nodes[-1], w, 256, mesh, data_axis="data",
+                  col_axis="col")
+    assert float(jnp.abs(y - jnp.asarray(s)).max()) < 5e-5
+
+    # volume over (row, col) rings, depth local
+    v = rng.standard_normal((16, 32, 64)).astype(np.float32)
+    ax3 = dict(row_axis="row", col_axis="col")
+    vs = par.shard_image(v, mesh, **ax3)
+    pk3 = PPK.wp3d(vs, w, 2, mesh, **ax3)
+    pk3_ref = PK.wp3d(jnp.asarray(v), w, 2)
+    assert _max_err(list(pk3.nodes), list(pk3_ref.nodes)) == 0.0
+    leaves, _ = PK.best_basis(pk3, "l1")
+    y3 = PPK.wp_reconstruct(pk3, leaves, w, mesh, **ax3)
+    assert float(jnp.abs(y3 - jnp.asarray(v)).max()) < 5e-5
