@@ -25,7 +25,7 @@ def main() -> None:
     from pdwt_tpu.filters import get_wavelet, quad_filters
     from pdwt_tpu.core import nonseparable as ns
     from pdwt_tpu.models.denoiser import denoise_step
-    from pdwt_tpu.utils import device_time
+    from pdwt_tpu.utils import device_time, device_time_any
 
     dev = jax.devices()[0]
     log(f"device: {dev.platform}:{dev.device_kind}")
@@ -140,8 +140,15 @@ def main() -> None:
 
     scales9 = log_scales(4096, dj=0.25)  # 45 scales
     sig9 = jnp.asarray(rng.standard_normal((64, 4096)), jnp.float32)
-    record(f"CWT morlet {len(scales9)}-scale 64x4096", 64 * 4096,
-           lambda x: jnp.abs(cwt_fn(x, scales9)) ** 2, sig9)
+    # the scaleogram changes shape (adds the scale axis), so the
+    # endomorphism slope timer cannot chain it — use the probe-chained
+    # variant built for shape-changing ops
+    t9 = device_time_any(lambda x: jnp.abs(cwt_fn(x, scales9)) ** 2, sig9)
+    results.append({"config": f"CWT morlet {len(scales9)}-scale 64x4096",
+                    "value": round(64 * 4096 / t9 / 1e6, 1),
+                    "unit": "Mpix/s", "ms": round(t9 * 1e3, 3)})
+    log(f"CWT morlet {len(scales9)}-scale 64x4096: {t9*1e3:.3f} ms = "
+        f"{64 * 4096 / t9 / 1e6:.0f} Mpix/s")
 
     # precision-mode variants of the headline configs (round 3): bf16 =
     # MXU serving mode (bf16 details, f32 A-chain), mixed = f32 arrays

@@ -91,24 +91,30 @@ def _phases(lo: int, *, lane_aligned: bool = True):
     return lo_r, lo_c, lo_r - lo, lo_c - lo
 
 
-def _vpu_tile_override(mr: int, mc: int):
+def _vpu_tile_override(mr: int, mc: int, role: str = "any"):
     """Sweep knob: PDWT_TPU_VPU_TILES="TRxTC" pins the exact-kernel tile
     pair (when divisibility holds), bypassing the VMEM estimate so
     tools/vpu_tile_sweep.py can measure configs the conservative formula
-    rejects.  Not a user-facing knob — oversized tiles fail Mosaic
-    compilation."""
+    rejects.  A comma list of "role:TRxTC" entries pins per kernel
+    family instead ("fwd"/"inv" = decimated DWT passes, "swt" = the
+    à-trous kernels) so A/B runs can isolate one family.  Not a
+    user-facing knob — oversized tiles fail Mosaic compilation."""
     env = __import__("os").environ.get("PDWT_TPU_VPU_TILES")
     if not env:
         return None
-    tr, tc = (int(v) for v in env.split("x"))
-    if mr % tr == 0 and mc % tc == 0:
-        return tr, tc
+    for part in env.split(","):
+        want, _, tiles = part.rpartition(":")
+        if want and want != role:
+            continue
+        tr, tc = (int(v) for v in tiles.split("x"))
+        if mr % tr == 0 and mc % tc == 0:
+            return tr, tc
     return None
 
 
 def _pick_tiles_2d(mr: int, mc: int, hlen: int, *, inv: bool):
     """Largest (TR, TC) pair whose kernel body fits the VMEM budget."""
-    ov = _vpu_tile_override(mr, mc)
+    ov = _vpu_tile_override(mr, mc, "inv" if inv else "fwd")
     if ov is not None:
         return ov
     if inv:

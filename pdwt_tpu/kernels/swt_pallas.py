@@ -69,7 +69,7 @@ def _fir_atrous_pair_sub(lo_band, hi_band, taps_lo, taps_hi, n_out, f,
 def _swt_tiles(nr: int, nc: int, hlen: int, f: int, lo: int = 0):
     span = (hlen - 1) * f
     _, _, pr, pc = _phases(lo)
-    ov = _vpu_tile_override(nr, nc)
+    ov = _vpu_tile_override(nr, nc, "swt")
     if ov is not None:
         return ov
     best = None

@@ -175,6 +175,15 @@ def test_vpu_tile_override_equality(rng, monkeypatch):
         assert err == 0.0, (tiles, err)
         yp = S.idwt2d(cp, w, (128, 256), backend="pallas")
         assert float(jnp.abs(yp - x).max()) < 1e-4, tiles
+    # per-role pins ("fwd:/inv:/swt:TRxTC" comma list) select per family
+    for tiles in ("inv:32x128", "fwd:32x128,inv:64x128", "swt:32x128"):
+        monkeypatch.setenv("PDWT_TPU_VPU_TILES", tiles)
+        cp = S.dwt2d(x, w, 2, backend="pallas")
+        err = max(float(jnp.abs(a - b).max()) for a, b in zip(
+            jax.tree_util.tree_leaves(cp), jax.tree_util.tree_leaves(ref)))
+        assert err == 0.0, (tiles, err)
+        yp = S.idwt2d(cp, w, (128, 256), backend="pallas")
+        assert float(jnp.abs(yp - x).max()) < 1e-4, tiles
     monkeypatch.setenv("PDWT_TPU_VPU_TILES", "32x128")
     cs = S.swt2d(x, w, 2, backend="pallas")
     monkeypatch.delenv("PDWT_TPU_VPU_TILES")
