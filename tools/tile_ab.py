@@ -43,7 +43,7 @@ def main(out_path="tools/tile_ab_results.json"):
             rt = f"error: {type(e).__name__}"
         try:
             ti = device_time(
-                lambda v: denoise_step(v, w, 3, 25.0, swt=True)[0],
+                lambda v: denoise_step(v, None, w, 3, 25.0, swt=True)[0],
                 xt) * 1e3
         except Exception as e:
             ti = f"error: {type(e).__name__}"
