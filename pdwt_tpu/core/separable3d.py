@@ -34,8 +34,32 @@ import numpy as np
 
 from ..filters import Wavelet
 from . import conv
+from .depth_matmul import depth_analysis_mm, depth_synthesis_mm, use_depth_mm
 from .separable import _auto_backend, _f32, _ftup, _mxu_mode
 from .shapes import level_sizes
+
+
+def _depth_analysis(x, filters, *, dilation=1, decimate=True, pad_fn=None):
+    """Depth (axis -3) analysis of the pallas compositions: the MXU
+    banded-matrix formulation when the padding is the baked periodic
+    wrap (core/depth_matmul.py — one HBM read instead of hlen slice-FMA
+    streams), the fma slice-FMA pass when a halo ``pad_fn`` rides."""
+    if pad_fn is None and use_depth_mm():
+        return depth_analysis_mm(x, filters, dilation=dilation,
+                                 decimate=decimate)
+    return conv.analysis_pass(x, filters, axis=-3, dilation=dilation,
+                              decimate=decimate, backend="fma",
+                              pad_fn=pad_fn)
+
+
+def _depth_synthesis(z, filters, *, out_len, dilation=1, decimated=True,
+                     pad_fn=None):
+    if pad_fn is None and use_depth_mm():
+        return depth_synthesis_mm(z, filters, out_len=out_len,
+                                  dilation=dilation, decimated=decimated)
+    return conv.synthesis_pass(z, filters, axis=-3, out_len=out_len,
+                               dilation=dilation, decimated=decimated,
+                               backend="fma", pad_fn=pad_fn)
 
 #: pywt-style subband keys (axis order depth,row,col) for details[i][j].
 DETAIL_KEYS_3D = ("daa", "ada", "dda", "aad", "dad", "add", "ddd")
@@ -83,12 +107,11 @@ def _depth_split(res, wav, b, d, *, dilation=1, decimate=True, mode=None,
     details); channel 1 (daa) is a detail and is downcast.  ``pad_fn``
     lets the sharded engine ride its depth halo ring here."""
     r, c = res[0].shape[-2:]
-    kw = dict(axis=-3, dilation=dilation, decimate=decimate, backend="fma",
-              pad_fn=pad_fn)
+    kw = dict(dilation=dilation, decimate=decimate, pad_fn=pad_fn)
     dec = (wav.dec_lo, wav.dec_hi)
-    za = conv.analysis_pass(
+    za = _depth_analysis(
         res[0].reshape(b, 1, d, r, c), dec, **kw)           # (B, 2, ...)
-    zd = conv.analysis_pass(
+    zd = _depth_analysis(
         jnp.stack([t.reshape(b, d, r, c) for t in res[1:]], axis=1),
         dec, **kw)                                          # (B, 6, ...)
     daa = za[:, 1]
@@ -134,9 +157,8 @@ def _inv_level_3d_pallas(z: jnp.ndarray, wav: Wavelet, lo_t, hi_t,
 
     if z.dtype != jnp.float32:
         return None
-    t = conv.synthesis_pass(z, (wav.rec_lo, wav.rec_hi), axis=-3,
-                            out_len=out_drc[0],
-                            backend="fma")  # (B, 4, Dout, rm, cm)
+    t = _depth_synthesis(z, (wav.rec_lo, wav.rec_hi),
+                         out_len=out_drc[0])  # (B, 4, Dout, rm, cm)
     b, _, dd, rm, cm = t.shape
     flat = lambda k: t[:, k].reshape(b * dd, rm, cm)
     y = kernels.inv_level_2d_ad(flat(0), flat(1), flat(2), flat(3),
@@ -216,14 +238,13 @@ def _inv_level_3d_regrouped(a, bands7, b, dd, inv2d, wav, *,
         outs.append(y.reshape(b, dd, y.shape[-2], y.shape[-1]))
     z = jnp.stack(outs, axis=1)  # (B, 2, dd, R, C) — k_dep pairs
     if swt_level is None:
-        out = conv.synthesis_pass(z, (wav.rec_lo, wav.rec_hi), axis=-3,
-                                  out_len=out_dep, backend="fma",
-                                  pad_fn=pad_fn)
+        out = _depth_synthesis(z, (wav.rec_lo, wav.rec_hi),
+                               out_len=out_dep, pad_fn=pad_fn)
     else:
-        out = conv.synthesis_pass(z, (wav.rec_lo * 0.5, wav.rec_hi * 0.5),
-                                  axis=-3, dilation=1 << (swt_level - 1),
-                                  decimated=False, backend="fma",
-                                  pad_fn=pad_fn)
+        out = _depth_synthesis(z, (wav.rec_lo * 0.5, wav.rec_hi * 0.5),
+                               out_len=z.shape[-3],
+                               dilation=1 << (swt_level - 1),
+                               decimated=False, pad_fn=pad_fn)
     return out[:, 0]
 
 
@@ -353,9 +374,9 @@ def _swt_inv_level_3d_pallas(z: jnp.ndarray, wav: Wavelet, lo_t, hi_t,
 
     if z.dtype != jnp.float32:
         return None
-    t = conv.synthesis_pass(z, (wav.rec_lo * 0.5, wav.rec_hi * 0.5),
-                            axis=-3, dilation=1 << (lvl - 1),
-                            decimated=False, backend="fma")
+    t = _depth_synthesis(z, (wav.rec_lo * 0.5, wav.rec_hi * 0.5),
+                         out_len=z.shape[-3], dilation=1 << (lvl - 1),
+                         decimated=False)
     b, _, d, r, c = t.shape
     flat = lambda k: t[:, k].reshape(b * d, r, c)
     y = kernels.swt_inv_level_2d_ad(flat(0), flat(1), flat(2), flat(3),

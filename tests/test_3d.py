@@ -437,3 +437,57 @@ def test_auto_denoise_3d(rng):
         assert mse_d < bound * mse_n, (method, mse_d, mse_n)
     with pytest.raises(ValueError):
         auto_denoise_3d(noisy, "db2", 2, method="nope")
+
+
+def test_depth_matmul_matches_conv(rng, monkeypatch):
+    """core/depth_matmul.py (MXU banded-matrix depth pass) equals the
+    conv passes for all four variants — decimated/à-trous analysis and
+    synthesis, odd depths, dilations — and PDWT_TPU_DEPTH_MM=0 routes
+    the pallas composition back to the fma formulation unchanged."""
+    from pdwt_tpu.core import conv
+    from pdwt_tpu.core.depth_matmul import (depth_analysis_mm,
+                                            depth_synthesis_mm)
+
+    w = get_wavelet("db7")
+    for d in (16, 17):
+        x = jnp.asarray(rng.standard_normal((2, 3, d, 4, 8)), jnp.float32)
+        ref = conv.analysis_pass(x, (w.dec_lo, w.dec_hi), axis=-3,
+                                 backend="gather")
+        got = depth_analysis_mm(x, (w.dec_lo, w.dec_hi))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=0, atol=1e-5)
+        for f in (1, 2, 4):
+            r2 = conv.analysis_pass(x, (w.dec_lo, w.dec_hi), axis=-3,
+                                    dilation=f, decimate=False,
+                                    backend="gather")
+            g2 = depth_analysis_mm(x, (w.dec_lo, w.dec_hi), dilation=f,
+                                   decimate=False)
+            np.testing.assert_allclose(np.asarray(g2), np.asarray(r2),
+                                       rtol=0, atol=1e-5)
+            z2 = jnp.asarray(rng.standard_normal((2, 8, d, 4, 8)),
+                             jnp.float32)
+            r4 = conv.synthesis_pass(z2, (w.rec_lo * .5, w.rec_hi * .5),
+                                     axis=-3, dilation=f, decimated=False,
+                                     backend="gather")
+            g4 = depth_synthesis_mm(z2, (w.rec_lo * .5, w.rec_hi * .5),
+                                    out_len=d, dilation=f, decimated=False)
+            np.testing.assert_allclose(np.asarray(g4), np.asarray(r4),
+                                       rtol=0, atol=1e-5)
+        m = (d + 1) // 2
+        z = jnp.asarray(rng.standard_normal((2, 6, m, 4, 8)), jnp.float32)
+        r3 = conv.synthesis_pass(z, (w.rec_lo, w.rec_hi), axis=-3,
+                                 out_len=d, backend="gather")
+        g3 = depth_synthesis_mm(z, (w.rec_lo, w.rec_hi), out_len=d)
+        np.testing.assert_allclose(np.asarray(g3), np.asarray(r3),
+                                   rtol=0, atol=1e-5)
+
+    # composition toggle: mm on (default) vs off = same coefficients
+    monkeypatch.setenv("PDWT_PALLAS_INTERPRET", "1")
+    x = jnp.asarray(rng.standard_normal((8, 32, 256)), jnp.float32)
+    w4 = get_wavelet("db4")
+    c_on = S3.swt3d(x, w4, 2, backend="pallas")
+    monkeypatch.setenv("PDWT_TPU_DEPTH_MM", "0")
+    c_off = S3.swt3d(x, w4, 2, backend="pallas")
+    for a, b in zip(jax.tree.leaves(c_on), jax.tree.leaves(c_off)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=1e-5)
