@@ -3,6 +3,11 @@
 Prints one JSON line per config (stderr diagnostics).  ``bench.py`` stays
 the single-line headline harness the driver runs; this is the full sweep
 for the record.
+
+Optional argv substrings filter which configs run (case-insensitive
+match against the config name), e.g. ``python bench_all.py 3D WP2D``
+runs only the volume and packet configs — through a flaky tunnel the
+full sweep is ~90 min, a filtered one minutes.
 """
 from __future__ import annotations
 
@@ -31,8 +36,14 @@ def main() -> None:
     log(f"device: {dev.platform}:{dev.device_kind}")
     rng = np.random.default_rng(0)
     results = []
+    filters = [f.lower() for f in sys.argv[1:]]
+
+    def want(name):
+        return not filters or any(f in name.lower() for f in filters)
 
     def record(name, pixels, fn, arg, **kw):
+        if not want(name):
+            return
         t = device_time(fn, arg, **kw)
         rate = pixels / t / 1e6
         results.append({"config": name, "value": round(rate, 1),
@@ -139,16 +150,19 @@ def main() -> None:
     from pdwt_tpu.core import log_scales
 
     scales9 = log_scales(4096, dj=0.25)  # 45 scales
-    sig9 = jnp.asarray(rng.standard_normal((64, 4096)), jnp.float32)
-    # the scaleogram changes shape (adds the scale axis), so the
-    # endomorphism slope timer cannot chain it — use the probe-chained
-    # variant built for shape-changing ops
-    t9 = device_time_any(lambda x: jnp.abs(cwt_fn(x, scales9)) ** 2, sig9)
-    results.append({"config": f"CWT morlet {len(scales9)}-scale 64x4096",
-                    "value": round(64 * 4096 / t9 / 1e6, 1),
-                    "unit": "Mpix/s", "ms": round(t9 * 1e3, 3)})
-    log(f"CWT morlet {len(scales9)}-scale 64x4096: {t9*1e3:.3f} ms = "
-        f"{64 * 4096 / t9 / 1e6:.0f} Mpix/s")
+    if want("CWT"):
+        sig9 = jnp.asarray(rng.standard_normal((64, 4096)), jnp.float32)
+        # the scaleogram changes shape (adds the scale axis), so the
+        # endomorphism slope timer cannot chain it — use the
+        # probe-chained variant built for shape-changing ops
+        t9 = device_time_any(lambda x: jnp.abs(cwt_fn(x, scales9)) ** 2,
+                             sig9)
+        results.append({"config": f"CWT morlet {len(scales9)}-scale "
+                                  "64x4096",
+                        "value": round(64 * 4096 / t9 / 1e6, 1),
+                        "unit": "Mpix/s", "ms": round(t9 * 1e3, 3)})
+        log(f"CWT morlet {len(scales9)}-scale 64x4096: {t9*1e3:.3f} ms = "
+            f"{64 * 4096 / t9 / 1e6:.0f} Mpix/s")
 
     # precision-mode variants of the headline configs (round 3): bf16 =
     # MXU serving mode (bf16 details, f32 A-chain), mixed = f32 arrays
