@@ -22,17 +22,21 @@ print(jax.devices())
 print(float(jax.jit(lambda a: (a@a).sum())(jnp.ones((256,256)))))"
 grep -q "16777216" "$OUT/probe.out" || { echo "tunnel dead — aborting" | tee -a "$OUT/agenda.log"; exit 1; }
 
-# 1. VPU tile sweep (round-4 roadmap item 1; bake only on a >5% same-run win)
+# 1. the still-unmeasured feature configs FIRST (smallest regret if a
+# later large compile hangs the agenda): 3D roundtrip/TI-denoise (+bf16),
+# wavelet packets, rank-3 quads, CWT — bench_all's argv substrings
+step bench_new 2400 python bench_all.py 3D WP2D RANK-3 CWT
+
+# 2. VPU tile sweep (roadmap item 1; bake only on a >5% same-run win)
 step vpu_tile_sweep 2400 python tools/vpu_tile_sweep.py "$OUT/vpu_tile_sweep.json"
 
-# 2. full bench sweep incl. the 3D configs (f32 + bf16) — first 3D chip numbers
-# (grew to ~16 configs this session: 3D TI denoise, packets)
+# 3. full bench sweep (all configs, f32 + bf16 + mixed)
 step bench_all 5400 python bench_all.py
 
-# 3. headline
+# 4. headline
 step bench 1200 python bench.py
 
-# 4. TPU-gated hardware equality sweeps (one compile per family): 2D/1D
+# 5. TPU-gated hardware equality sweeps (one compile per family): 2D/1D
 # kernel families + the 3D family sweep added this round
 step tpu_sweep 2400 env PDWT_TEST_TPU=1 python -m pytest \
   tests/test_tpu_sweep.py -q

@@ -6,7 +6,8 @@ chip/tunnel drift swamps the effect at that cadence.  Here the two
 PROGRAMS (default inverse tiles vs inv:128x256) are traced once each,
 then their timing reps are interleaved loop-by-loop so both see the
 same drift phases; the slope difference is then trustworthy.
-Usage: python tools/tile_ab2.py [out.json]
+Usage: python tools/tile_ab2.py [out.json] [cfgA cfgB]
+(cfg "default" = no pin; default pair: default vs inv:128x256)
 """
 import json
 import os
@@ -49,12 +50,13 @@ def build(cfg):
     return make(M1), make(M2)
 
 
-def main(out_path="tools/tile_ab2_results.json"):
+def main(out_path="tools/tile_ab2_results.json", *argv):
     import jax.numpy as jnp
 
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.uniform(0, 255, (2048, 2048)), jnp.float32)
-    cfgs = [None, "inv:128x256"]
+    cfgs = [None if c in ("default", "none") else c for c in argv] \
+        or [None, "inv:128x256"]
     progs = [build(c) for c in cfgs]
     os.environ.pop("PDWT_TPU_VPU_TILES", None)
     for lp1, lp2 in progs:  # compile+warm both before any timing

@@ -11,7 +11,7 @@ mkdir -p "$OUT"
 LOG="$OUT/watch.log"
 ok=0
 while true; do
-  if timeout 150 python -c "
+  if timeout 240 python -c "
 import jax, jax.numpy as jnp
 assert float(jax.jit(lambda a: (a@a).sum())(jnp.ones((256,256)))) == 256.0**3
 print('ok')" >/dev/null 2>&1; then
