@@ -42,6 +42,9 @@ def device_time(fn, arg, **kw):
 
 def main() -> None:
     import jax
+
+    from pdwt_tpu.utils import enable_compile_cache
+    enable_compile_cache()
     import jax.numpy as jnp
 
     from pdwt_tpu.core import separable as sep

@@ -23,6 +23,9 @@ def log(*a):
 
 def main() -> None:
     import jax
+
+    from pdwt_tpu.utils import enable_compile_cache
+    enable_compile_cache()
     import jax.numpy as jnp
 
     from pdwt_tpu import ops

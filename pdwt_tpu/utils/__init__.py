@@ -1,3 +1,4 @@
+from .cache import enable_compile_cache
 from .checkpoint import load_coeffs, save_coeffs
 from .io import read_dat, write_dat
 from .debug import assert_finite, checked, validate_coeffs
@@ -7,4 +8,4 @@ from .profiling import device_time, device_time_any, trace
 __all__ = ["read_dat", "write_dat", "save_coeffs", "load_coeffs",
            "device_time", "device_time_any", "trace",
            "assert_finite", "checked", "validate_coeffs",
-           "to_pywt", "from_pywt"]
+           "to_pywt", "from_pywt", "enable_compile_cache"]

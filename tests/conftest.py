@@ -21,6 +21,11 @@ import jax  # noqa: E402
 if not _ON_TPU:
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_enable_x64", True)
+else:
+    # persistent compile cache: remote (tunnel) compiles dominate the
+    # on-chip suite; repeat runs load executables from disk instead
+    from pdwt_tpu.utils import enable_compile_cache
+    enable_compile_cache()
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

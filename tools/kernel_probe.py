@@ -17,6 +17,9 @@ import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+from pdwt_tpu.utils import enable_compile_cache  # noqa: E402
+enable_compile_cache()
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

@@ -12,6 +12,9 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+from pdwt_tpu.utils import enable_compile_cache  # noqa: E402
+enable_compile_cache()
+
 import numpy as np
 
 

@@ -18,6 +18,9 @@ import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+from pdwt_tpu.utils import enable_compile_cache  # noqa: E402
+enable_compile_cache()
+
 
 def main():
     ap = argparse.ArgumentParser()

@@ -16,6 +16,9 @@ import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+from pdwt_tpu.utils import enable_compile_cache  # noqa: E402
+enable_compile_cache()
+
 import numpy as np
 
 K, M1, M2, REPS = 8, 1, 5, 12
