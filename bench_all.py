@@ -37,16 +37,32 @@ def main() -> None:
 
     dev = jax.devices()[0]
     log(f"device: {dev.platform}:{dev.device_kind}")
-    rng = np.random.default_rng(0)
     results = []
     filters = [f.lower() for f in sys.argv[1:]]
 
     def want(name):
         return not filters or any(f in name.lower() for f in filters)
 
+    # lazy input arrays: a filtered run through the tunnel must not pay
+    # host->device transfer for configs it skips, so record() takes
+    # thunks and this memo keeps base arrays shared across configs
+    _arrays = {}
+
+    def arr(shape, dtype=None, seed=0):
+        def make():
+            key = (shape, str(dtype), seed)
+            if key not in _arrays:
+                g = np.random.default_rng(seed)
+                _arrays[key] = jnp.asarray(g.standard_normal(shape),
+                                           dtype or jnp.float32)
+            return _arrays[key]
+        return make
+
     def record(name, pixels, fn, arg, **kw):
         if not want(name):
             return
+        if callable(arg):
+            arg = arg()
         t = device_time(fn, arg, **kw)
         rate = pixels / t / 1e6
         results.append({"config": name, "value": round(rate, 1),
@@ -54,7 +70,7 @@ def main() -> None:
         log(f"{name}: {t*1e3:.3f} ms = {rate:.0f} Mpix/s")
 
     # 1. haar 2D single-level fwd+inv, 512x512
-    img512 = jnp.asarray(rng.standard_normal((512, 512)), dtype=jnp.float32)
+    img512 = arr((512, 512))
     wh = get_wavelet("haar")
     # tiny config: widen the loop sizes so the slope rises above the
     # tunnel's few-ms dispatch jitter (negative slopes otherwise)
@@ -63,14 +79,14 @@ def main() -> None:
            img512, K=32, M2=17)
 
     # 2. separable db7 2D 5-level fwd+inv, 2048x2048
-    img = jnp.asarray(rng.standard_normal((2048, 2048)), dtype=jnp.float32)
+    img = arr((2048, 2048))
     w7 = get_wavelet("db7")
     record("db7 2D 5-level fwd+inv 2048x2048", 2048 * 2048,
            lambda x: sep.idwt2d(sep.dwt2d(x, w7, 5), w7, (2048, 2048)), img)
 
     # 3. batched 1D sym8 (1024 x 4096) + soft_threshold + norm1 + inverse
     w8 = get_wavelet("sym8")
-    sig = jnp.asarray(rng.standard_normal((1024, 4096)), dtype=jnp.float32)
+    sig = arr((1024, 4096))
 
     def cfg3(x):
         c = sep.dwt1d(x, w8, 4)
@@ -82,7 +98,7 @@ def main() -> None:
            cfg3, sig)
 
     # 4. SWT 2D 3-level with random-shift denoising (full TI step)
-    img1k = jnp.asarray(rng.standard_normal((1024, 1024)), dtype=jnp.float32)
+    img1k = arr((1024, 1024))
     key = jax.random.key(0)
 
     def cfg4(x):
@@ -108,11 +124,10 @@ def main() -> None:
         rq += np.einsum("si,j->sij", g.standard_normal((4, 8)),
                         g.standard_normal(8))
     rq /= np.abs(rq).sum(axis=(1, 2), keepdims=True)
-    img1kf = jnp.asarray(rng.standard_normal((1024, 1024)), jnp.float32)
     record("non-separable RANK-3 quad 2D 2-level fwd+inv 1024x1024",
            1024 * 1024,
            lambda x: ns.idwt2d_ns(ns.dwt2d_ns(x, rq, 2), rq,
-                                  (1024, 1024)), img1kf)
+                                  (1024, 1024)), img1k)
 
     # 6. 3D volume roundtrip (beyond the reference: no 3D there) — the
     # pallas composition runs the fused 2D level kernel with depth as
@@ -120,7 +135,7 @@ def main() -> None:
     from pdwt_tpu.core import separable3d as sep3
 
     w4 = get_wavelet("db4")
-    vol = jnp.asarray(rng.standard_normal((128, 512, 512)), jnp.float32)
+    vol = arr((128, 512, 512))
     record("3D db4 2-level fwd+inv 128x512x512", 128 * 512 * 512,
            lambda x: sep3.idwt3d(sep3.dwt3d(x, w4, 2), w4,
                                  (128, 512, 512)), vol)
@@ -129,7 +144,7 @@ def main() -> None:
     # thresholded_norm1 — the volume analogue of config 4)
     from pdwt_tpu.models.denoiser import denoise_step_3d
 
-    vol7 = jnp.asarray(rng.standard_normal((64, 512, 512)), jnp.float32)
+    vol7 = arr((64, 512, 512))
 
     def cfg7(x):
         out, _ = denoise_step_3d(x, key, "db4", 2, 1.0, swt=True)
@@ -154,7 +169,7 @@ def main() -> None:
 
     scales9 = log_scales(4096, dj=0.25)  # 45 scales
     if want("CWT"):
-        sig9 = jnp.asarray(rng.standard_normal((64, 4096)), jnp.float32)
+        sig9 = arr((64, 4096))()
         # the scaleogram changes shape (adds the scale axis), so the
         # endomorphism slope timer cannot chain it — use the
         # probe-chained variant built for shape-changing ops
@@ -173,7 +188,7 @@ def main() -> None:
     # which are faster than b3 on undecimated levels)
     import os
 
-    imgb = img.astype(jnp.bfloat16)
+    imgb = lambda: img().astype(jnp.bfloat16)
     record("db7 2D 5-level fwd+inv 2048x2048 [bf16]", 2048 * 2048,
            lambda x: sep.idwt2d(sep.dwt2d(x, w7, 5), w7, (2048, 2048)),
            imgb)
@@ -183,7 +198,7 @@ def main() -> None:
                                 (2048, 2048)) * 1.0, img)
     del os.environ["PDWT_TPU_PRECISION"]
 
-    sigb = sig.astype(jnp.bfloat16)
+    sigb = lambda: sig().astype(jnp.bfloat16)
 
     def cfg3b(x):
         c = sep.dwt1d(x, w8, 4)
@@ -194,7 +209,7 @@ def main() -> None:
     record("batched 1D sym8 4-level denoise 1024x4096 [bf16]", 1024 * 4096,
            cfg3b, sigb)
 
-    img1kb = img1k.astype(jnp.bfloat16)
+    img1kb = lambda: img1k().astype(jnp.bfloat16)
 
     def cfg4b(x):
         out, _ = denoise_step(x, key, "db7", 3, 1.0, swt=True)
@@ -203,12 +218,12 @@ def main() -> None:
     record("SWT db7 2D 3-level TI denoise step 1024x1024 [bf16]",
            1024 * 1024, cfg4b, img1kb)
 
-    volb = vol.astype(jnp.bfloat16)
+    volb = lambda: vol().astype(jnp.bfloat16)
     record("3D db4 2-level fwd+inv 128x512x512 [bf16]", 128 * 512 * 512,
            lambda x: sep3.idwt3d(sep3.dwt3d(x, w4, 2), w4,
                                  (128, 512, 512)), volb)
 
-    vol7b = vol7.astype(jnp.bfloat16)
+    vol7b = lambda: vol7().astype(jnp.bfloat16)
     record("3D SWT db4 2-level TI denoise step 64x512x512 [bf16]",
            64 * 512 * 512, cfg7, vol7b)
 

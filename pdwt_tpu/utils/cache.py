@@ -18,8 +18,16 @@ from __future__ import annotations
 
 import os
 
-_DEFAULT_DIR = os.path.join(os.path.dirname(os.path.dirname(
-    os.path.dirname(os.path.abspath(__file__)))), ".jax_cache")
+def _default_dir() -> str:
+    """``<repo>/.jax_cache`` for a checkout; for an installed copy whose
+    tree is not writable (site-packages), a user cache dir instead."""
+    repo = os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))))
+    if os.access(repo, os.W_OK):
+        return os.path.join(repo, ".jax_cache")
+    base = os.environ.get("XDG_CACHE_HOME",
+                          os.path.join(os.path.expanduser("~"), ".cache"))
+    return os.path.join(base, "pdwt_tpu", "jax_cache")
 
 
 def enable_compile_cache(path: str | None = None,
@@ -30,7 +38,8 @@ def enable_compile_cache(path: str | None = None,
     the first compile to catch everything).  Returns the directory."""
     import jax
 
-    path = path or os.environ.get("PDWT_TPU_COMPILE_CACHE", _DEFAULT_DIR)
+    path = (path or os.environ.get("PDWT_TPU_COMPILE_CACHE")
+            or _default_dir())
     jax.config.update("jax_compilation_cache_dir", path)
     # trivial programs are faster to recompile than to hash+load;
     # everything slower than ~0.5 s (= anything remote) is cached

@@ -32,6 +32,8 @@ TILES = ("128x256", "128x128", "64x128", "32x128")
 
 
 def main(out_path: str = "tools/mxu_tile_sweep_results.json") -> None:
+    from _cli import check_out
+    out_path = check_out(out_path)
     import jax
     import jax.numpy as jnp
 

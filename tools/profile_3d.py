@@ -19,6 +19,8 @@ import numpy as np
 
 
 def main(out_path="tools/profile_3d_results.json"):
+    from _cli import check_out
+    out_path = check_out(out_path)
     import jax.numpy as jnp
 
     from pdwt_tpu.core import conv

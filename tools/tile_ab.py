@@ -21,6 +21,8 @@ CONFIGS = (None, "inv:128x256", "fwd:128x256", "128x256",
 
 
 def main(out_path="tools/tile_ab_results.json"):
+    from _cli import check_out
+    out_path = check_out(out_path)
     import jax.numpy as jnp
 
     from pdwt_tpu.core import separable as sep

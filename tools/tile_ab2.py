@@ -54,12 +54,18 @@ def build(cfg):
 
 
 def main(out_path="tools/tile_ab2_results.json", *argv):
+    from _cli import check_out
+    out_path = check_out(out_path)
+    cfgs = [None if c in ("default", "none") else c for c in argv] \
+        or [None, "inv:128x256"]
+    if len(cfgs) != 2:  # fail BEFORE minutes of chip time, not after
+        raise SystemExit(f"need exactly 2 configs (A B), got {len(cfgs)}: "
+                         f"{[c or 'default' for c in cfgs]}")
+
     import jax.numpy as jnp
 
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.uniform(0, 255, (2048, 2048)), jnp.float32)
-    cfgs = [None if c in ("default", "none") else c for c in argv] \
-        or [None, "inv:128x256"]
     progs = [build(c) for c in cfgs]
     os.environ.pop("PDWT_TPU_VPU_TILES", None)
     for lp1, lp2 in progs:  # compile+warm both before any timing

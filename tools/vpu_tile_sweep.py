@@ -39,6 +39,8 @@ TILES = (None, "256x256", "256x128", "128x256", "128x128", "64x256")
 
 
 def main(out_path: str = "tools/vpu_tile_sweep_results.json") -> None:
+    from _cli import check_out
+    out_path = check_out(out_path)
     import jax
     import jax.numpy as jnp
 
