@@ -76,7 +76,8 @@ def _tile_candidates(scheme: str):
     import os
 
     # single-matmul schemes (b1, fd) pipeline best with big tiles; the
-    # 3-matmul b3 is FLOP-bound and wants small K dims
+    # 3-matmul b3 is FLOP-bound and wants small K dims.  The 2-matmul
+    # b2 schemes start from the big-tile order (sweepable via env).
     base = _TILES_SMALL if scheme == "b3" else _TILES_BIG
     env = os.environ.get("PDWT_TPU_MXU_TILES")
     if env:
@@ -148,10 +149,21 @@ def _synthesis_mats(rec_lo, rec_hi, hlen: int, rows: int, cols: int,
     return S, St.T.copy()  # T: (2*cols, 2TC)
 
 
+#: schemes whose constant filter matrices ship as (hi, lo) bf16 splits
+#: and whose kernels route through the left_pair/right_pair call form.
+#: b3  = both sides corrected (3 matmuls, ~2^-17 rel, drops lo*lo);
+#: b2f = filter exact, data rounded once (2 matmuls — when the data is
+#:       ALREADY bf16 this equals b3 exactly, since data_lo == 0);
+#: b2d = data corrected, filter rounded once (2 matmuls — removes the
+#:       data-rounding term that dominates when the data side is the
+#:       large-magnitude f32 approximation chain).
+PAIR_SCHEMES = ("b3", "b2f", "b2d")
+
+
 def _mats_for_scheme(mats_f32, scheme: str):
-    """Constant operand arrays for a compute scheme: b3 ships bf16
-    hi+lo splits, b1 ships bf16, fd ships f32."""
-    if scheme == "b3":
+    """Constant operand arrays for a compute scheme: the pair schemes
+    ship bf16 hi+lo splits, b1 ships bf16, fd ships f32."""
+    if scheme in PAIR_SCHEMES:
         out = []
         for m in mats_f32:
             out.extend(_split_bf16(m))
@@ -165,32 +177,36 @@ def _mm(scheme: str, left, right, left_pair=None, right_pair=None):
     """One banded-matmul pass under a compute scheme.
 
     ``left_pair``/``right_pair`` hold the (hi, lo) constant splits for
-    b3 when that side is a filter matrix; for b3 the non-constant side
-    is split in-kernel."""
+    the pair schemes when that side is a filter matrix; the
+    non-constant (data) side is split in-kernel as the scheme needs."""
     f32 = jnp.float32
-    if scheme == "b3":
+    dot = functools.partial(jnp.dot, preferred_element_type=f32)
+    if scheme in PAIR_SCHEMES:
         if left_pair is not None:
             Lh, Ll = left_pair
             x = right
+            if scheme == "b2f":
+                xb = x.astype(jnp.bfloat16)
+                return dot(Lh, xb) + dot(Ll, xb)
             xh = x.astype(jnp.bfloat16)
             xl = (x - xh.astype(f32)).astype(jnp.bfloat16)
-            return (jnp.dot(Lh, xh, preferred_element_type=f32)
-                    + jnp.dot(Lh, xl, preferred_element_type=f32)
-                    + jnp.dot(Ll, xh, preferred_element_type=f32))
+            if scheme == "b2d":
+                return dot(Lh, xh) + dot(Lh, xl)
+            return dot(Lh, xh) + dot(Lh, xl) + dot(Ll, xh)
         Rh, Rl = right_pair
         x = left
+        if scheme == "b2f":
+            xb = x.astype(jnp.bfloat16)
+            return dot(xb, Rh) + dot(xb, Rl)
         xh = x.astype(jnp.bfloat16)
         xl = (x - xh.astype(f32)).astype(jnp.bfloat16)
-        return (jnp.dot(xh, Rh, preferred_element_type=f32)
-                + jnp.dot(xl, Rh, preferred_element_type=f32)
-                + jnp.dot(xh, Rl, preferred_element_type=f32))
+        if scheme == "b2d":
+            return dot(xh, Rh) + dot(xl, Rh)
+        return dot(xh, Rh) + dot(xl, Rh) + dot(xh, Rl)
     if scheme == "b1":
-        return jnp.dot(left.astype(jnp.bfloat16),
-                       right.astype(jnp.bfloat16),
-                       preferred_element_type=f32)
+        return dot(left.astype(jnp.bfloat16), right.astype(jnp.bfloat16))
     # fd: f32 operands, DEFAULT precision (the chip's fast f32 path)
-    return jnp.dot(left.astype(f32), right.astype(f32),
-                   preferred_element_type=f32)
+    return dot(left.astype(f32), right.astype(f32))
 
 
 # ---------------------------------------------------------------------------
@@ -198,7 +214,7 @@ def _mm(scheme: str, left, right, left_pair=None, right_pair=None):
 # ---------------------------------------------------------------------------
 
 def _fwd_mxu_kernel(scheme, TRR, COLS, TR, TC):
-    nmats = 4 if scheme == "b3" else 2
+    nmats = 4 if scheme in PAIR_SCHEMES else 2
 
     def kernel(xp_hbm, *refs):
         mats = refs[:nmats]
@@ -212,10 +228,10 @@ def _fwd_mxu_kernel(scheme, TRR, COLS, TR, TC):
         dma.start()
         dma.wait()
         x = xt[:]
-        if scheme == "b3":
+        if scheme in PAIR_SCHEMES:
             Ah, Al, Bh, Bl = (m[:] for m in mats)
-            t = _mm("b3", None, x, left_pair=(Ah, Al))
-            out = _mm("b3", t, None, right_pair=(Bh, Bl))
+            t = _mm(scheme, None, x, left_pair=(Ah, Al))
+            out = _mm(scheme, t, None, right_pair=(Bh, Bl))
         else:
             Am, Bm = (m[:] for m in mats)
             t = _mm(scheme, Am, x)
@@ -253,7 +269,7 @@ def _fwd_mxu_call(xp, mats, hlen, scheme, tiles, mshape, out_dtypes):
         kernel,
         grid=(B, mr // TR, mc // TC),
         out_shape=shapes,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] + mat_specs,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] + mat_specs,
         out_specs=(out_spec,) * 4,
         scratch_shapes=[pltpu.VMEM((TRR, COLS), xp.dtype),
                         pltpu.SemaphoreType.DMA(())],
@@ -317,7 +333,7 @@ def fwd_level_2d_mxu(x: jnp.ndarray, dec_lo, dec_hi, mode: str,
 # ---------------------------------------------------------------------------
 
 def _inv_mxu_kernel(scheme, ROWS, COLS, TR, TC):
-    nmats = 4 if scheme == "b3" else 2
+    nmats = 4 if scheme in PAIR_SCHEMES else 2
 
     def kernel(a_hbm, h_hbm, v_hbm, d_hbm, *refs):
         mats = refs[:nmats]
@@ -336,7 +352,7 @@ def _inv_mxu_kernel(scheme, ROWS, COLS, TR, TC):
         for dma in copies:
             dma.wait()
 
-        if scheme == "b3":
+        if scheme in PAIR_SCHEMES:
             Sh, Sl, Th, Tl = (m[:] for m in mats)
             S_pair, T_pair = (Sh, Sl), (Th, Tl)
         else:
@@ -349,15 +365,15 @@ def _inv_mxu_kernel(scheme, ROWS, COLS, TR, TC):
             cd = jnp.bfloat16 if scheme == "b1" else jnp.float32
             u = jnp.concatenate([lo_band.astype(cd), hi_band.astype(cd)],
                                 axis=0)
-            if scheme == "b3":
-                return _mm("b3", None, u, left_pair=S_pair)
+            if scheme in PAIR_SCHEMES:
+                return _mm(scheme, None, u, left_pair=S_pair)
             return _mm(scheme, Sm, u)
 
         t1 = synth(at[:], ht[:])   # (2TR, COLS)
         t2 = synth(vt[:], dt[:])
         u = jnp.concatenate([t1, t2], axis=1)  # (2TR, 2*COLS)
-        if scheme == "b3":
-            out = _mm("b3", u, None, right_pair=T_pair)
+        if scheme in PAIR_SCHEMES:
+            out = _mm(scheme, u, None, right_pair=T_pair)
         else:
             out = _mm(scheme, u, Tm)
         out_ref[0] = out.astype(out_ref.dtype)
@@ -391,7 +407,7 @@ def _inv_mxu_call(ap, hp, vp, dp, mats, hlen, scheme, tiles, mshape,
         kernel,
         grid=(B, mr // TR, mc // TC),
         out_shape=shape,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 4 + mat_specs,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4 + mat_specs,
         out_specs=out_spec,
         scratch_shapes=tiles_scr + [pltpu.SemaphoreType.DMA((4,))],
         interpret=_INTERPRET(),

@@ -33,7 +33,7 @@ from .separable_pallas import (
     _poly_geometry,
     _taps,
 )
-from .matmul_pallas import _mats_for_scheme, _mm
+from .matmul_pallas import PAIR_SCHEMES, _mats_for_scheme, _mm
 from .swt_matmul_pallas import _mode_scheme, _swt_scheme
 
 _TB_TILES = (512, 256, 128, 64, 32, 16)
@@ -99,7 +99,7 @@ def _syn_mat_swt1d(rec_lo, rec_hi, cols, pc, TC, f):
 # --- generic single-matmul kernels ----------------------------------------
 
 def _fwd1d_kernel(scheme, TB, TC, COLS, stride):
-    nmats = 2 if scheme == "b3" else 1
+    nmats = 2 if scheme in PAIR_SCHEMES else 1
 
     def kernel(xp_hbm, *refs):
         mats = refs[:nmats]
@@ -112,8 +112,8 @@ def _fwd1d_kernel(scheme, TB, TC, COLS, stride):
         dma.start()
         dma.wait()
         x = xt[:]
-        if scheme == "b3":
-            out = _mm("b3", x, None, right_pair=(mats[0][:], mats[1][:]))
+        if scheme in PAIR_SCHEMES:
+            out = _mm(scheme, x, None, right_pair=(mats[0][:], mats[1][:]))
         else:
             out = _mm(scheme, x, mats[0][:])
         lo_ref[:] = out[:, :TC].astype(lo_ref.dtype)
@@ -141,7 +141,7 @@ def _fwd1d_call(xp, mats, scheme, tiles, cols, stride, m, out_dtypes):
         kernel,
         grid=(B // TB, m // TC),
         out_shape=shapes,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] + mat_specs,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] + mat_specs,
         out_specs=(out_spec, out_spec),
         scratch_shapes=[pltpu.VMEM((TB, cols), xp.dtype),
                         pltpu.SemaphoreType.DMA(())],
@@ -150,7 +150,7 @@ def _fwd1d_call(xp, mats, scheme, tiles, cols, stride, m, out_dtypes):
 
 
 def _inv1d_kernel(scheme, TB, TC, COLS, n_out):
-    nmats = 2 if scheme == "b3" else 1
+    nmats = 2 if scheme in PAIR_SCHEMES else 1
 
     def kernel(lo_hbm, hi_hbm, *refs):
         mats = refs[:nmats]
@@ -169,8 +169,8 @@ def _inv1d_kernel(scheme, TB, TC, COLS, n_out):
         d2.wait()
         cd = jnp.bfloat16 if scheme == "b1" else jnp.float32
         u = jnp.concatenate([lt[:].astype(cd), ht[:].astype(cd)], axis=1)
-        if scheme == "b3":
-            out = _mm("b3", u, None, right_pair=(mats[0][:], mats[1][:]))
+        if scheme in PAIR_SCHEMES:
+            out = _mm(scheme, u, None, right_pair=(mats[0][:], mats[1][:]))
         else:
             out = _mm(scheme, u, mats[0][:])
         out_ref[:] = out.astype(out_ref.dtype)
@@ -196,7 +196,7 @@ def _inv1d_call(lp, hp, mats, scheme, tiles, cols, n_out_tile, n,
         kernel,
         grid=(B // TB, n // n_out_tile),
         out_shape=shape,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 2 + mat_specs,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2 + mat_specs,
         out_specs=out_spec,
         scratch_shapes=[pltpu.VMEM((TB, cols), lp.dtype),
                         pltpu.VMEM((TB, cols), hp.dtype),

@@ -35,7 +35,7 @@ from .separable_pallas import (
     _ceil_to,
     _poly_geometry,
 )
-from .matmul_pallas import _mats_for_scheme, _mm, _pick_mxu_tiles
+from .matmul_pallas import PAIR_SCHEMES, _mats_for_scheme, _mm, _pick_mxu_tiles
 from .swt_matmul_pallas import _mode_scheme, _swt_geometry, _swt_scheme
 
 _MAX_RANK = 4
@@ -100,7 +100,7 @@ def _ns_fwd_kernel(scheme, rank, WIN_R, WIN_C, TR, TC, stride):
     """Shared by the decimated (stride=2) and à-trous (stride=1)
     forward kernels — the rank/block algebra is identical; only the
     DMA tile stride and window dims differ."""
-    per = 2 if scheme == "b3" else 1
+    per = 2 if scheme in PAIR_SCHEMES else 1
 
     def kernel(xp_hbm, *refs):
         mats = refs[:2 * per]
@@ -117,14 +117,14 @@ def _ns_fwd_kernel(scheme, rank, WIN_R, WIN_C, TR, TC, stride):
         x = xt[:]
         Bp = tuple(m[:] for m in mats[:per])
         Mp = tuple(m[:] for m in mats[per:])
-        if scheme == "b3":
-            t = _mm("b3", x, None, right_pair=Bp)
+        if scheme in PAIR_SCHEMES:
+            t = _mm(scheme, x, None, right_pair=Bp)
         else:
             t = _mm(scheme, x, Bp[0])
         tstack = jnp.concatenate(
             [t[:, k * TC:(k + 1) * TC] for k in range(rank)], axis=0)
-        if scheme == "b3":
-            out = _mm("b3", None, tstack, left_pair=Mp)
+        if scheme in PAIR_SCHEMES:
+            out = _mm(scheme, None, tstack, left_pair=Mp)
         else:
             out = _mm(scheme, Mp[0], tstack)
         a_ref[0] = out[:TR].astype(a_ref.dtype)
@@ -156,7 +156,7 @@ def _ns_fwd_call(xp, mats, scheme, rank, tiles, mshape, geom, out_dtypes):
         kernel,
         grid=(B, mr // TR, mc // TC),
         out_shape=shapes,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] + mat_specs,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] + mat_specs,
         out_specs=(out_spec,) * 4,
         scratch_shapes=[pltpu.VMEM((TRR, COLS), xp.dtype),
                         pltpu.SemaphoreType.DMA(())],
@@ -203,7 +203,7 @@ def ns_fwd_level_2d_mxu(x, A_rk, B_rk, mode: str):
 # --- inverse ---------------------------------------------------------------
 
 def _ns_inv_kernel(scheme, rank, ROWS, COLS, TR, TC):
-    per = 2 if scheme == "b3" else 1
+    per = 2 if scheme in PAIR_SCHEMES else 1
 
     def kernel(a_hbm, h_hbm, v_hbm, d_hbm, *refs):
         mats = refs[:(rank + 1) * per]
@@ -227,14 +227,14 @@ def _ns_inv_kernel(scheme, rank, ROWS, COLS, TR, TC):
         tks = []
         for k in range(rank):
             Sp = tuple(m[:] for m in mats[k * per:(k + 1) * per])
-            if scheme == "b3":
-                tks.append(_mm("b3", None, u, left_pair=Sp))
+            if scheme in PAIR_SCHEMES:
+                tks.append(_mm(scheme, None, u, left_pair=Sp))
             else:
                 tks.append(_mm(scheme, Sp[0], u))
         u2 = jnp.concatenate(tks, axis=1)       # (2TR, rank*COLS)
         Gp = tuple(m[:] for m in mats[rank * per:])
-        if scheme == "b3":
-            out = _mm("b3", u2, None, right_pair=Gp)
+        if scheme in PAIR_SCHEMES:
+            out = _mm(scheme, u2, None, right_pair=Gp)
         else:
             out = _mm(scheme, u2, Gp[0])
         out_ref[0] = out.astype(out_ref.dtype)
@@ -264,7 +264,7 @@ def _ns_inv_call(ap, hp, vp, dp, mats, scheme, rank, tiles, mshape, geom,
         kernel,
         grid=(B, mr // TR, mc // TC),
         out_shape=shape,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 4 + mat_specs,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4 + mat_specs,
         out_specs=out_spec,
         scratch_shapes=tiles_scr + [pltpu.SemaphoreType.DMA((4,))],
         interpret=_INTERPRET(),
@@ -383,7 +383,7 @@ def _ns_swt_fwd_call(xp, mats, scheme, rank, tiles, nshape, geom,
         kernel,
         grid=(B, nr // TR, nc // TC),
         out_shape=shapes,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] + mat_specs,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] + mat_specs,
         out_specs=(out_spec,) * 4,
         scratch_shapes=[pltpu.VMEM((ROWS, COLS), xp.dtype),
                         pltpu.SemaphoreType.DMA(())],
@@ -451,7 +451,7 @@ def _ns_swt_inv_call(ap, hp, vp, dp, mats, scheme, rank, tiles, nshape,
         kernel,
         grid=(B, nr // TR, nc // TC),
         out_shape=shape,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 4 + mat_specs,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4 + mat_specs,
         out_specs=out_spec,
         scratch_shapes=tiles_scr + [pltpu.SemaphoreType.DMA((4,))],
         interpret=_INTERPRET(),

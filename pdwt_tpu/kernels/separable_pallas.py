@@ -312,7 +312,7 @@ def _fwd_call(xp, taps, hlen, tiles, mshape):
         kernel,
         grid=grid,
         out_shape=(shape, shape, shape, shape),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=(out_spec, out_spec, out_spec, out_spec),
         scratch_shapes=[
             pltpu.VMEM((2, rows, cols), xp.dtype),
@@ -461,7 +461,7 @@ def _inv_call(ap, hp, vp, dp, taps, hlen, tiles, pad, mshape):
         kernel,
         grid=grid,
         out_shape=shape,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 4,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4,
         out_specs=out_spec,
         scratch_shapes=[tile(), tile(), tile(), tile(),
                         pltpu.SemaphoreType.DMA((2, 4))],
@@ -634,7 +634,7 @@ def _tail_fwd_call(x, taps, hlen, levels):
         kernel,
         grid=(B,),
         out_shape=tuple(out_shapes),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=tuple(out_specs),
         scratch_shapes=[pltpu.VMEM((R, C), x.dtype),
                         pltpu.SemaphoreType.DMA(())],
@@ -720,7 +720,7 @@ def _tail_inv_call(a, flat_details, taps, hlen, levels):
         kernel,
         grid=(1,),
         out_shape=jax.ShapeDtypeStruct((B, R, C), a.dtype),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * (3 * levels + 1),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * (3 * levels + 1),
         out_specs=pl.BlockSpec((B, R, C), lambda i: (0, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=scratch,

@@ -44,7 +44,7 @@ from .separable_pallas import (
     _ceil_to,
     _taps,
 )
-from .matmul_pallas import _mats_for_scheme, _mm, _tile_candidates
+from .matmul_pallas import PAIR_SCHEMES, _mats_for_scheme, _mm, _tile_candidates
 from .swt_pallas import _thresh_tile
 
 _SWT_VMEM = 11 * 1024 * 1024
@@ -141,7 +141,7 @@ def _swt_scheme(mode: str, in_dtype) -> str:
 def _swt_fwd_mxu_kernel(scheme, ROWS, COLS, TR, TC, halo=None):
     from .halo_dma import emit_halo_copies
 
-    nmats = 4 if scheme == "b3" else 2
+    nmats = 4 if scheme in PAIR_SCHEMES else 2
 
     def kernel(xp_hbm, *refs):
         mats = refs[:nmats]
@@ -160,10 +160,10 @@ def _swt_fwd_mxu_kernel(scheme, ROWS, COLS, TR, TC, halo=None):
             # array — no XLA pad materialization (halo_dma docstring)
             emit_halo_copies(xp_hbm, xt, b, i, j, halo[0], halo[1], sem)
         x = xt[:]
-        if scheme == "b3":
+        if scheme in PAIR_SCHEMES:
             Ah, Al, Bh, Bl = (m[:] for m in mats)
-            t = _mm("b3", None, x, left_pair=(Ah, Al))
-            out = _mm("b3", t, None, right_pair=(Bh, Bl))
+            t = _mm(scheme, None, x, left_pair=(Ah, Al))
+            out = _mm(scheme, t, None, right_pair=(Bh, Bl))
         else:
             Am, Bm = (m[:] for m in mats)
             t = _mm(scheme, Am, x)
@@ -216,7 +216,7 @@ def _swt_fwd_mxu_call(xp, mats, scheme, tiles, nshape, out_dtypes, geom,
         kernel,
         grid=(B, nr // TR, nc // TC),
         out_shape=shapes,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] + mat_specs,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] + mat_specs,
         out_specs=(out_spec,) * 4,
         scratch_shapes=[pltpu.VMEM((ROWS, COLS), xp.dtype),
                         pltpu.SemaphoreType.DMA((9,) if halo else ())],
@@ -269,7 +269,7 @@ def _swt_inv_mxu_kernel(scheme, ROWS, COLS, TR, TC, thresh_mode,
                         halo=None):
     from .halo_dma import emit_halo_copies
 
-    nmats = 4 if scheme == "b3" else 2
+    nmats = 4 if scheme in PAIR_SCHEMES else 2
 
     def kernel(*refs):
         if thresh_mode is not None:
@@ -300,7 +300,7 @@ def _swt_inv_mxu_kernel(scheme, ROWS, COLS, TR, TC, thresh_mode,
                 emit_halo_copies(src, dst, b, i, j, halo[0], halo[1],
                                  sems.at[idx])
 
-        if scheme == "b3":
+        if scheme in PAIR_SCHEMES:
             Sh, Sl, Th, Tl = (m[:] for m in mats)
         else:
             Sm, Tm = (m[:] for m in mats)
@@ -318,15 +318,15 @@ def _swt_inv_mxu_kernel(scheme, ROWS, COLS, TR, TC, thresh_mode,
 
         def synth(lo_t, hi_t):
             u = jnp.concatenate([lo_t, hi_t], axis=0)
-            if scheme == "b3":
-                return _mm("b3", None, u, left_pair=(Sh, Sl))
+            if scheme in PAIR_SCHEMES:
+                return _mm(scheme, None, u, left_pair=(Sh, Sl))
             return _mm(scheme, Sm, u)
 
         t1 = synth(at[:].astype(cd), det(ht))   # (TR, COLS)
         t2 = synth(det(vt), det(dt))
         u = jnp.concatenate([t1, t2], axis=1)   # (TR, 2*COLS)
-        if scheme == "b3":
-            out = _mm("b3", u, None, right_pair=(Th, Tl))
+        if scheme in PAIR_SCHEMES:
+            out = _mm(scheme, u, None, right_pair=(Th, Tl))
         else:
             out = _mm(scheme, u, Tm)
         out_ref[0] = out.astype(out_ref.dtype)
@@ -355,7 +355,7 @@ def _swt_inv_mxu_call(ap, hp, vp, dp, mats, scheme, tiles, nshape,
         pl.BlockSpec(m.shape, (lambda b, i, j: (0, 0)),
                      memory_space=pltpu.VMEM) for m in mats
     ]
-    in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)] * 4 + mat_specs
+    in_specs = [pl.BlockSpec(memory_space=pl.ANY)] * 4 + mat_specs
     args = (ap, hp, vp, dp) + tuple(mats)
     if thresh_mode is not None:
         in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] + in_specs

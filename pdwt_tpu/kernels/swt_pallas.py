@@ -166,7 +166,7 @@ def _swt_fwd_call(xp, taps, hlen, f, tiles, nshape):
         kernel,
         grid=grid,
         out_shape=(shape, shape, shape, shape),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=(out_spec, out_spec, out_spec, out_spec),
         scratch_shapes=[pltpu.VMEM((2, rows, cols), xp.dtype),
                         pltpu.SemaphoreType.DMA((2,))],
@@ -321,7 +321,7 @@ def _swt_inv_call(ap, hp, vp, dp, taps, hlen, f, tiles, nshape,
                             memory_space=pltpu.VMEM)
     shape = jax.ShapeDtypeStruct((B, nr, nc), ap.dtype)
     tile = lambda: pltpu.VMEM((2, rows, cols), ap.dtype)
-    in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)] * 4
+    in_specs = [pl.BlockSpec(memory_space=pl.ANY)] * 4
     args = (ap, hp, vp, dp)
     if thresh_mode is not None:
         in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] + in_specs
@@ -423,7 +423,7 @@ def _fwd1d_call(xp, taps, hlen, tiles, m):
         kernel,
         grid=(B // TB, m // TC),
         out_shape=(shape, shape),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=(out_spec, out_spec),
         scratch_shapes=[pltpu.VMEM((TB, cols), xp.dtype),
                         pltpu.SemaphoreType.DMA(())],
@@ -490,7 +490,7 @@ def _inv1d_call(lp, hp, taps, hlen, tiles, pad, m):
         kernel,
         grid=(B // TB, m // TC),
         out_shape=shape,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 2,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
         out_specs=out_spec,
         scratch_shapes=[tile(), tile(), pltpu.SemaphoreType.DMA((2,))],
         interpret=_INTERPRET(),
@@ -559,7 +559,7 @@ def _swt1d_fwd_call(xp, taps, hlen, f, tiles, n):
         kernel,
         grid=(B // TB, n // TC),
         out_shape=(shape, shape),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=(out_spec, out_spec),
         scratch_shapes=[pltpu.VMEM((TB, cols), xp.dtype),
                         pltpu.SemaphoreType.DMA(())],
@@ -628,7 +628,7 @@ def _swt1d_inv_call(lp, hp, taps, hlen, f, tiles, n):
         kernel,
         grid=(B // TB, n // TC),
         out_shape=shape,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 2,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
         out_specs=out_spec,
         scratch_shapes=[tile(), tile(), pltpu.SemaphoreType.DMA((2,))],
         interpret=_INTERPRET(),

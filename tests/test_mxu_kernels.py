@@ -419,3 +419,69 @@ def test_ns_mxu_grad(rng, monkeypatch):
 
     gb = jax.grad(loss_swt)(x)
     assert bool(jnp.all(jnp.isfinite(gb)))
+
+
+def test_b2_schemes_fwd_interpret(rng, monkeypatch):
+    """Forward-level scheme ladder on bf16 input.  Error sources per
+    scheme: b1 = filter bf16 rounding + pass-2 intermediate rounding;
+    b2f = intermediate only (filter ships as exact hi+lo splits);
+    b2d = filter only (the data side splits in-kernel — the bf16 input
+    is exact, the f32 pass-2 intermediate gets corrected); b3 = both
+    corrected (~2^-17).  CPU ladder: 5.4e-3 / 2.5e-3 / 3.3e-3 /
+    1.1e-5."""
+    import pdwt_tpu.kernels as kernels
+
+    w = get_wavelet("db7")
+    xb = jnp.asarray(rng.uniform(0, 255, (1, 256, 256)),
+                     jnp.float32).astype(jnp.bfloat16)
+    xf = xb.astype(jnp.float32)
+    cg = sep.dwt2d(xf, w, 1, backend="gather")
+    scale = float(jnp.abs(cg.approx).max())
+
+    # the detail bands are STORED bf16 (2^-9 storage rounding masks any
+    # compute improvement) — the f32-stored approx band shows the
+    # compute precision directly
+    errs = {}
+    for scheme in ("b1", "b2f", "b2d", "b3"):
+        monkeypatch.setenv("PDWT_TPU_BF16_L1FWD", scheme)
+        res = kernels.fwd_level_2d_mxu(xb, w.dec_lo, w.dec_hi, "bf16")
+        assert res is not None
+        errs[scheme] = _rel_err((res[0],), (cg.approx,), scale)
+    assert errs["b3"] < 3e-5
+    assert errs["b2f"] < errs["b1"] / 1.8
+    assert errs["b2d"] < errs["b1"] / 1.2
+    assert errs["b3"] < errs["b2f"] / 50
+
+
+def test_b2_schemes_inv_interpret(rng, monkeypatch):
+    """Final-inverse-level schemes under bf16 mode all reconstruct
+    against the gather synthesis of the same inputs.  On CPU ``fd``
+    (f32 operands, DEFAULT precision) is already exact, so the four
+    schemes coincide at the bf16-detail storage floor — the ladder only
+    separates on the TPU, where DEFAULT-f32 is a single bf16 pass
+    (tools/b2_sweep.py measures it there)."""
+    import pdwt_tpu.kernels as kernels
+    from pdwt_tpu.core.separable import Coeffs2D
+
+    w = get_wavelet("db7")
+    x = jnp.asarray(rng.uniform(0, 255, (1, 256, 256)), jnp.float32)
+    c = sep.dwt2d(x, w, 1, backend="gather")
+    a = c.approx
+    h, v, d = (t.astype(jnp.bfloat16) for t in c.details[0])
+    # oracle: exact synthesis of the SAME (f32 a, bf16 details) inputs
+    cb = Coeffs2D(a, ((h.astype(jnp.float32), v.astype(jnp.float32),
+                       d.astype(jnp.float32)),))
+    y_ref = sep.idwt2d(cb, w, (256, 256), backend="gather")
+    scale = float(jnp.abs(y_ref).max())
+
+    errs = {}
+    for scheme in ("fd", "b2f", "b2d", "b3"):
+        monkeypatch.setenv("PDWT_TPU_BF16_L1INV", scheme)
+        y = kernels.inv_level_2d_mxu(a, h, v, d, w.rec_lo, w.rec_hi,
+                                     "bf16", out_dtype=jnp.float32)
+        assert y is not None
+        errs[scheme] = float(jnp.abs(y - y_ref).max()) / scale
+    # all schemes sit at/near the bf16-detail storage floor on CPU;
+    # none may degrade reconstruction beyond it
+    for scheme, e in errs.items():
+        assert e < 1e-4, (scheme, e)
