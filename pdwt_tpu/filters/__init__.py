@@ -5,6 +5,7 @@ from .bank import (
     list_wavelets,
     register_wavelet,
     make_custom_wavelet,
+    modwt_wavelet,
     quad_filters,
     MAX_FILTER_WIDTH,
 )
@@ -16,6 +17,7 @@ __all__ = [
     "list_wavelets",
     "register_wavelet",
     "make_custom_wavelet",
+    "modwt_wavelet",
     "quad_filters",
     "MAX_FILTER_WIDTH",
 ]

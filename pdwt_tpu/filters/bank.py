@@ -161,6 +161,26 @@ def register_wavelet(w: Wavelet) -> None:
     _USER[w.name.lower()] = w
 
 
+def modwt_wavelet(wav) -> Wavelet:
+    """The MODWT-normalized bank of ``wav``: analysis filters scaled by
+    1/sqrt(2), synthesis by sqrt(2) (perfect reconstruction is a pure
+    rescale, so every SWT path — all backends, fused kernels, sharding,
+    3D — accepts the result unchanged).
+
+    With this bank, :func:`~pdwt_tpu.core.separable.swt1d` & friends
+    compute the maximal-overlap DWT of Percival & Walden (the
+    convention time-series users expect, pywt's ``swt(..., norm=True)``)
+    — for an orthonormal ``wav`` the coefficient energy at every level
+    partitions the signal energy instead of doubling per level.  The
+    reference has no such mode (its SWT is the unnormalized à-trous,
+    src/separable.cu:409-493).  ``wav`` is a :class:`Wavelet` or name."""
+    if isinstance(wav, str):
+        wav = get_wavelet(wav)
+    s = np.sqrt(0.5)
+    return Wavelet("modwt-" + wav.name, wav.dec_lo * s, wav.dec_hi * s,
+                   wav.rec_lo / s, wav.rec_hi / s)
+
+
 def quad_filters(
     lo: np.ndarray, hi: np.ndarray, transpose_detail_convention: bool = False
 ) -> np.ndarray:

@@ -203,3 +203,38 @@ def test_iswt2d_denoise_sequence_beta(rng, monkeypatch):
     ref = sep.iswt2d(ops.soft_threshold(c, betas), w, backend="gather")
     got = sep.iswt2d_denoise(c, w, betas, backend="pallas")
     assert float(jnp.abs(got - ref).max()) < 1e-4
+
+
+def test_modwt_energy_partition_and_roundtrip(rng):
+    """filters.modwt_wavelet: the rescaled bank turns the SWT into the
+    maximal-overlap DWT — for an orthonormal mother wavelet the periodic
+    MODWT partitions the signal energy exactly (Percival & Walden):
+    ||x||^2 == ||approx_J||^2 + sum_j ||detail_j||^2 — and perfect
+    reconstruction is preserved (the rescale is PR-neutral)."""
+    from pdwt_tpu.filters import modwt_wavelet
+
+    mw = modwt_wavelet("db4")
+    x = jnp.asarray(rng.standard_normal(256), jnp.float64)
+    c = S.swt1d(x, mw, 3)
+    e = float(jnp.sum(c.approx**2)
+              + sum(jnp.sum(d**2) for d in c.details))
+    assert abs(e - float(jnp.sum(x**2))) / e < 1e-11
+    y = S.iswt1d(c, mw)
+    assert float(jnp.abs(y - x).max()) < 1e-10
+
+    # 2D: energy partition over the 3 detail bands per level + PR
+    img = jnp.asarray(rng.standard_normal((64, 64)), jnp.float64)
+    c2 = S.swt2d(img, mw, 2)
+    e2 = float(jnp.sum(c2.approx**2)
+               + sum(jnp.sum(b**2) for lvl in c2.details for b in lvl))
+    assert abs(e2 - float(jnp.sum(img**2))) / e2 < 1e-11
+    y2 = S.iswt2d(c2, mw)
+    assert float(jnp.abs(y2 - img).max()) < 1e-10
+
+    # level-1 MODWT coefficients are exactly the 1/sqrt(2) rescale of
+    # the unnormalized SWT's
+    w = get_wavelet("db4")
+    cu = S.swt1d(x, w, 2)
+    cm = S.swt1d(x, mw, 2)
+    assert float(jnp.abs(cm.details[0]
+                         - cu.details[0] * 0.5 ** 0.5).max()) < 1e-10
