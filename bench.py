@@ -90,6 +90,26 @@ def main() -> None:
 
         import os
 
+        # the balanced accuracy tier (round 4: b2f/b2f L1 schemes —
+        # half the error at ~2/3 the speed).  Fresh closure: jit's
+        # global cache is keyed on the function object, so reusing
+        # `roundtrip` would return the fast-tier executable.
+        os.environ["PDWT_TPU_BF16_ACCURACY"] = "balanced"
+        try:
+            def rt_bal(x):
+                c = sep.dwt2d(x, wav, LEVELS)
+                return sep.idwt2d(c, wav, (N, N))
+
+            outbb = jax.jit(rt_bal)(imgb)
+            errbb = float(jnp.max(jnp.abs(outbb.astype(jnp.float32)
+                                          - imgb.astype(jnp.float32))))
+            tbb = device_time(rt_bal, imgb)
+            extras["bf16_bal_mpix_s"] = round((N * N) / tbb / 1e6, 1)
+            extras["bf16_bal_max_recon_error"] = errbb
+            log(f"bf16 balanced roundtrip: {tbb*1e3:.3f} ms, err {errbb:.3f}")
+        finally:
+            del os.environ["PDWT_TPU_BF16_ACCURACY"]
+
         os.environ["PDWT_TPU_PRECISION"] = "mixed"
         try:
             outm = jax.jit(lambda x: roundtrip(x) * 1.0)(img)

@@ -125,11 +125,16 @@ def list_wavelets() -> Tuple[str, ...]:
 
 
 def get_wavelet(name: str) -> Wavelet:
-    """Case-insensitive lookup (reference: src/separable.cu:32-41)."""
+    """Case-insensitive lookup (reference: src/separable.cu:32-41).
+    A ``modwt-`` prefix resolves the base name and applies
+    :func:`modwt_wavelet` — so every name-taking API (the ``Wavelets``
+    facade included) accepts e.g. ``"modwt-db4"`` directly."""
     _load_builtin()
     key = name.lower()
     if key in _USER:
         return _USER[key]
+    if key.startswith("modwt-"):
+        return modwt_wavelet(get_wavelet(key[len("modwt-"):]))
     if key in _HAAR_ALIASES:
         key = "haar"
     try:

@@ -159,6 +159,33 @@ def _synthesis_mats(rec_lo, rec_hi, hlen: int, rows: int, cols: int,
 #:       large-magnitude f32 approximation chain).
 PAIR_SCHEMES = ("b3", "b2f", "b2d")
 
+#: bf16-mode L1 accuracy tiers, measured on the v5e (round-4 sweep,
+#: tools/b2_sweep_*.json — 2048^2 db7 5-level roundtrip, max error on
+#: [0,255] worst-case noise):
+#:   fast     (b1 fwd, fd inv)  13.9 GPix/s, err 4.0   [default]
+#:   balanced (b2f : b2f)        9.2 GPix/s, err 2.0
+#:   accurate (b3  : b3)         7.7 GPix/s, err 1.0 (the bf16 storage
+#:            floor; at this point "mixed" — f32 storage, err 0.02 at
+#:            ~7.0 GPix/s — is usually the better mode)
+_BF16_TIERS = {"fast": ("b1", "fd"), "balanced": ("b2f", "b2f"),
+               "accurate": ("b3", "b3")}
+
+
+def _bf16_l1_schemes() -> Tuple[str, str]:
+    """(forward, inverse) compute scheme for the bf16-mode L1 passes:
+    PDWT_TPU_BF16_ACCURACY selects a measured tier; the raw
+    PDWT_TPU_BF16_L1FWD / _L1INV knobs override individually (sweeps)."""
+    import os
+
+    tier = os.environ.get("PDWT_TPU_BF16_ACCURACY", "fast")
+    if tier not in _BF16_TIERS:
+        raise ValueError(
+            f"PDWT_TPU_BF16_ACCURACY={tier!r}: pick from "
+            f"{sorted(_BF16_TIERS)}")
+    f, i = _BF16_TIERS[tier]
+    return (os.environ.get("PDWT_TPU_BF16_L1FWD", f),
+            os.environ.get("PDWT_TPU_BF16_L1INV", i))
+
 
 def _mats_for_scheme(mats_f32, scheme: str):
     """Constant operand arrays for a compute scheme: the pair schemes
@@ -295,13 +322,12 @@ def fwd_level_2d_mxu(x: jnp.ndarray, dec_lo, dec_hi, mode: str,
         scheme = "b3"
         out_dtypes = (jnp.float32, jnp.float32)
     elif mode == "bf16":
-        # bf16 input (level 1): one matmul per pass (b1; override with
-        # PDWT_TPU_BF16_L1FWD for sweeps).  f32 input (the deep
-        # A-chain, <= 1/4 of the pixels): full bf16x3 — a single lossy
-        # pass there cost ~10 absolute on [0,255] at depth.
-        import os
+        # bf16 input (level 1): the PDWT_TPU_BF16_ACCURACY tier picks
+        # the pass scheme (default b1 = one matmul/pass).  f32 input
+        # (the deep A-chain, <= 1/4 of the pixels): full bf16x3 — a
+        # single lossy pass there cost ~10 absolute on [0,255] at depth.
         if x.dtype == jnp.bfloat16:
-            scheme = os.environ.get("PDWT_TPU_BF16_L1FWD", "b1")
+            scheme = _bf16_l1_schemes()[0]
         else:
             scheme = "b3"
         out_dtypes = (jnp.float32, jnp.bfloat16)
@@ -430,13 +456,12 @@ def inv_level_2d_mxu(a, h, v, d, rec_lo, rec_hi, mode: str,
         cast = lambda t: t.astype(jnp.float32)
     elif mode == "bf16":
         # The FINAL level (bf16 output, 3/4 of the inverse work) runs
-        # DEFAULT-f32 (one pass, ~2^-9 on the |a|~2x-range approx;
-        # override with PDWT_TPU_BF16_L1INV for sweeps); the deep
-        # intermediate levels run bf16x3 so A-chain error does not
-        # accumulate across the level loop.
-        import os
+        # the PDWT_TPU_BF16_ACCURACY tier's inverse scheme (default fd
+        # = one DEFAULT-f32 pass, ~2^-9 on the |a|~2x-range approx);
+        # the deep intermediate levels run bf16x3 so A-chain error does
+        # not accumulate across the level loop.
         out_dtype = jnp.bfloat16 if out_dtype is None else out_dtype
-        scheme = (os.environ.get("PDWT_TPU_BF16_L1INV", "fd")
+        scheme = (_bf16_l1_schemes()[1]
                   if out_dtype == jnp.bfloat16 else "b3")
         cast = lambda t: t
         a = a.astype(jnp.float32)

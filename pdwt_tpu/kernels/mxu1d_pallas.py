@@ -33,7 +33,8 @@ from .separable_pallas import (
     _poly_geometry,
     _taps,
 )
-from .matmul_pallas import PAIR_SCHEMES, _mats_for_scheme, _mm
+from .matmul_pallas import (PAIR_SCHEMES, _bf16_l1_schemes,
+                            _mats_for_scheme, _mm)
 from .swt_matmul_pallas import _mode_scheme, _swt_scheme
 
 _TB_TILES = (512, 256, 128, 64, 32, 16)
@@ -253,10 +254,12 @@ def inv_level_1d_mxu(lo, hi, rec_lo, rec_hi, mode: str, out_dtype=None,
         scheme = "b3"
         out_dtype = jnp.float32
     elif mode == "bf16":
-        # final level (bf16 out) = DEFAULT-f32 single pass; deep
-        # intermediate levels = bf16x3 (see matmul_pallas)
+        # final level (bf16 out) = the PDWT_TPU_BF16_ACCURACY tier's
+        # inverse scheme; deep intermediate levels = bf16x3 (see
+        # matmul_pallas)
         out_dtype = jnp.bfloat16 if out_dtype is None else out_dtype
-        scheme = "fd" if out_dtype == jnp.bfloat16 else "b3"
+        scheme = (_bf16_l1_schemes()[1]
+                  if out_dtype == jnp.bfloat16 else "b3")
         lo = lo.astype(jnp.float32)
     else:
         raise ValueError(mode)

@@ -35,7 +35,8 @@ from .separable_pallas import (
     _ceil_to,
     _poly_geometry,
 )
-from .matmul_pallas import PAIR_SCHEMES, _mats_for_scheme, _mm, _pick_mxu_tiles
+from .matmul_pallas import (PAIR_SCHEMES, _bf16_l1_schemes,
+                            _mats_for_scheme, _mm, _pick_mxu_tiles)
 from .swt_matmul_pallas import _mode_scheme, _swt_geometry, _swt_scheme
 
 _MAX_RANK = 4
@@ -282,7 +283,8 @@ def ns_inv_level_2d_mxu(a, h, v, d, A_rk, B_rk, mode: str, out_dtype=None):
         out_dtype = jnp.float32
     elif mode == "bf16":
         out_dtype = jnp.bfloat16 if out_dtype is None else out_dtype
-        scheme = "fd" if out_dtype == jnp.bfloat16 else "b3"
+        scheme = (_bf16_l1_schemes()[1]
+                  if out_dtype == jnp.bfloat16 else "b3")
         a = a.astype(jnp.float32)
     else:
         raise ValueError(mode)

@@ -110,13 +110,15 @@ def _swt_synthesis_mats(rec_lo, rec_hi, rows, cols, pr, pc, TR, TC, f):
 
 def _mode_scheme(mode: str, in_dtype) -> str:
     """Forward-pass compute scheme for DECIMATED kernels: bf16 operands
-    get the single-matmul fast path; the f32 A-chain gets full bf16x3
+    get the PDWT_TPU_BF16_ACCURACY tier's forward scheme (default b1,
+    the single-matmul fast path); the f32 A-chain gets full bf16x3
     (a single lossy pass on the deep levels cost ~10 absolute on [0,255]
     in the round-3 measurements, and decimation makes b3 cheap there)."""
     if mode == "mixed":
         return "b3"
     if mode == "bf16":
-        return "b1" if in_dtype == jnp.bfloat16 else "b3"
+        from .matmul_pallas import _bf16_l1_schemes
+        return _bf16_l1_schemes()[0] if in_dtype == jnp.bfloat16 else "b3"
     raise ValueError(mode)
 
 

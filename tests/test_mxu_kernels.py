@@ -485,3 +485,33 @@ def test_b2_schemes_inv_interpret(rng, monkeypatch):
     # none may degrade reconstruction beyond it
     for scheme, e in errs.items():
         assert e < 1e-4, (scheme, e)
+
+
+def test_bf16_accuracy_tiers(rng, monkeypatch):
+    """PDWT_TPU_BF16_ACCURACY maps to the measured (fwd, inv) scheme
+    pairs; bad values raise; the balanced tier runs end-to-end in
+    interpret mode with the bf16 dtype contract intact."""
+    from pdwt_tpu.kernels.matmul_pallas import _bf16_l1_schemes
+
+    assert _bf16_l1_schemes() == ("b1", "fd")
+    monkeypatch.setenv("PDWT_TPU_BF16_ACCURACY", "balanced")
+    assert _bf16_l1_schemes() == ("b2f", "b2f")
+    monkeypatch.setenv("PDWT_TPU_BF16_L1INV", "b3")
+    assert _bf16_l1_schemes() == ("b2f", "b3")  # raw knob overrides
+    monkeypatch.delenv("PDWT_TPU_BF16_L1INV")
+    monkeypatch.setenv("PDWT_TPU_BF16_ACCURACY", "typo")
+    with pytest.raises(ValueError):
+        _bf16_l1_schemes()
+
+    monkeypatch.setenv("PDWT_TPU_BF16_ACCURACY", "balanced")
+    w = get_wavelet("db4")
+    x = jnp.asarray(rng.uniform(0, 255, (1, 256, 256)),
+                    jnp.float32).astype(jnp.bfloat16)
+    c = sep.dwt2d(x, w, 2, backend="pallas")
+    assert c.approx.dtype == jnp.float32
+    assert c.details[0][0].dtype == jnp.bfloat16
+    y = sep.idwt2d(c, w, (256, 256), backend="pallas")
+    assert y.dtype == jnp.bfloat16
+    err = float(jnp.abs(y.astype(jnp.float32)
+                        - x.astype(jnp.float32)).max())
+    assert err < 3.0
