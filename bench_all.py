@@ -227,6 +227,15 @@ def main() -> None:
     record("3D SWT db4 2-level TI denoise step 64x512x512 [bf16]",
            64 * 512 * 512, cfg7, vol7b)
 
+    # packets inherit the MXU modes through the batched single-level
+    # calls (node axis = kernel batch) — the bf16 tree never decimates
+    # its per-pixel work, so the MXU win compounds with depth
+    record("WP2D db7 3-depth full packet fwd+inv 2048x2048 [bf16]",
+           2048 * 2048,
+           lambda x: pk_mod.iwp2d(pk_mod.wp2d(x, w7, 3).nodes[3], w7,
+                                  (2048, 2048)).astype(jnp.bfloat16),
+           imgb)
+
     for r in results:
         print(json.dumps(r))
 
