@@ -128,12 +128,33 @@ def _swt_scheme(mode: str, in_dtype) -> str:
     the work (measured: TI step 0.70 ms vs 0.29 single-pass at 1024^2);
     and the undecimated inverse's 1/4-averaging keeps the single-pass
     error bounded (~6 vs ~3.7 absolute on worst-case [0,255] noise).
-    bf16 mode therefore runs ONE matmul per pass at every level."""
+    bf16 mode therefore runs ONE matmul per pass at every level
+    (PDWT_TPU_SWT_BF16_SCHEME overrides for sweeps)."""
     if mode == "mixed":
         return "b3"
     if mode == "bf16":
-        return "b1" if in_dtype == jnp.bfloat16 else "fd"
+        return _swt_bf16_scheme(default=("b1" if in_dtype == jnp.bfloat16
+                                         else "fd"))
     raise ValueError(mode)
+
+
+def _swt_bf16_scheme(default: str) -> str:
+    """À-trous bf16 compute scheme: PDWT_TPU_SWT_BF16_SCHEME wins, then
+    the PDWT_TPU_BF16_ACCURACY tier.  balanced AND accurate both map to
+    b2f here — the round-4 chip A/B (tools/swt_b2_ab_results.json):
+    default err 6.5 at TI 0.30 ms, b2f err 2.4 at 0.48 ms, b2d err 5.5
+    at 0.50 ms (dominated: the filter rounding is the big à-trous error
+    source), and b3 is SLOWER than the exact kernels (0.70 vs 0.65 ms,
+    round 3) so it is never the right à-trous point — past b2f, use
+    f32 arrays."""
+    import os
+
+    ov = os.environ.get("PDWT_TPU_SWT_BF16_SCHEME")
+    if ov:
+        return ov
+    if os.environ.get("PDWT_TPU_BF16_ACCURACY", "fast") != "fast":
+        return "b2f"
+    return default
 
 
 # ---------------------------------------------------------------------------
@@ -389,9 +410,10 @@ def swt_inv_level_2d_mxu(a, h, v, d, rec_lo, rec_hi, level: int, mode: str,
         out_dtype = jnp.float32
     elif mode == "bf16":
         # single pass at EVERY level (see _swt_scheme: undecimated
-        # levels never shrink, so b3 would triple most of the work)
+        # levels never shrink, so b3 would triple most of the work);
+        # the accuracy tier / PDWT_TPU_SWT_BF16_SCHEME upgrade to b2f
         out_dtype = jnp.bfloat16 if out_dtype is None else out_dtype
-        scheme = "fd"
+        scheme = _swt_bf16_scheme(default="fd")
         a = a.astype(jnp.float32)
     else:
         raise ValueError(mode)

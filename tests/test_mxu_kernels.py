@@ -515,3 +515,18 @@ def test_bf16_accuracy_tiers(rng, monkeypatch):
     err = float(jnp.abs(y.astype(jnp.float32)
                         - x.astype(jnp.float32)).max())
     assert err < 3.0
+
+
+def test_swt_bf16_scheme_override(rng, monkeypatch):
+    """PDWT_TPU_SWT_BF16_SCHEME routes the à-trous bf16 kernels through
+    a pair scheme end-to-end (interpret mode), keeping the dtype
+    contract and reconstruction."""
+    monkeypatch.setenv("PDWT_TPU_SWT_BF16_SCHEME", "b2f")
+    w = get_wavelet("db7")
+    x = jnp.asarray(rng.uniform(0, 255, (1, 256, 256)), jnp.float32)
+    cb = sep.swt2d(x.astype(jnp.bfloat16), w, 2, backend="pallas")
+    assert cb.approx.dtype == jnp.float32
+    assert cb.details[0][0].dtype == jnp.bfloat16
+    yb = sep.iswt2d(cb, w, backend="pallas")
+    assert yb.dtype == jnp.bfloat16
+    assert float(jnp.abs(yb.astype(jnp.float32) - x).max()) < 3.0
