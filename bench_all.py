@@ -164,7 +164,7 @@ def main() -> None:
 
     # 9. continuous wavelet transform (beyond the reference): batched
     # FFT + broadcast scale bank — measures the XLA TPU FFT path
-    from pdwt_tpu.core import cwt as cwt_fn
+    from pdwt_tpu.core import cwt as cwt_fn  # the function (module: core.continuous)
     from pdwt_tpu.core import log_scales
 
     scales9 = log_scales(4096, dj=0.25)  # 45 scales

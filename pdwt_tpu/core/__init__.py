@@ -24,7 +24,7 @@ from .packets import (Packets1D, Packets2D, Packets3D, best_basis,
                       iwp1d, iwp2d, iwp3d, wp1d, wp2d, wp3d, wp_costs,
                       wp_reconstruct)
 from .anisotropic import fs_dwt, fs_idwt, fs_slices
-from .cwt import cwt, fourier_wavelength, icwt, log_scales
+from .continuous import cwt, fourier_wavelength, icwt, log_scales
 from .nonseparable import dwt2d_ns, idwt2d_ns, iswt2d_ns, swt2d_ns
 from .haar import haar_dwt1d, haar_dwt2d, haar_idwt1d, haar_idwt2d
 from .shapes import (coeff_shapes_1d, coeff_shapes_2d, coeff_shapes_3d,

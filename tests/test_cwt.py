@@ -5,7 +5,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from pdwt_tpu.core import cwt as C
+from pdwt_tpu.core import continuous as C
 
 
 def test_cwt_tone_peaks_at_fourier_wavelength(rng):

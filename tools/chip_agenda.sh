@@ -22,13 +22,16 @@ print(jax.devices())
 print(float(jax.jit(lambda a: (a@a).sum())(jnp.ones((256,256)))))"
 grep -q "16777216" "$OUT/probe.out" || { echo "tunnel dead — aborting" | tee -a "$OUT/agenda.log"; exit 1; }
 
-# 1. the still-unmeasured feature configs FIRST (smallest regret if a
-# later large compile hangs the agenda): 3D roundtrip/TI-denoise (+bf16),
-# wavelet packets, rank-3 quads, CWT — bench_all's argv substrings
-step bench_new 2400 python bench_all.py 3D WP2D RANK-3 CWT
+# 1. round-4 A/Bs FIRST (smallest regret if a later large compile
+# hangs the agenda): MXU depth pass, bf16 L1 scheme ladder, SWT scheme
+step depth_mm_ab 2400 python tools/depth_mm_ab.py "$OUT/depth_mm_ab.json"
+step b2_err 2400 python tools/b2_sweep.py "$OUT/b2_err.json" err
+step b2_speed 2400 python tools/b2_sweep.py "$OUT/b2_speed.json" speed
+step swt_b2_ab 2400 python tools/swt_b2_ab.py "$OUT/swt_b2_ab.json"
 
-# 2. VPU tile sweep (roadmap item 1; bake only on a >5% same-run win)
-step vpu_tile_sweep 2400 python tools/vpu_tile_sweep.py "$OUT/vpu_tile_sweep.json"
+# 2. feature configs (3D roundtrip/TI-denoise (+bf16), wavelet packets,
+# rank-3 quads, CWT — bench_all's argv substrings)
+step bench_new 2400 python bench_all.py 3D WP2D RANK-3 CWT
 
 # 3. full bench sweep (all configs, f32 + bf16 + mixed)
 step bench_all 5400 python bench_all.py
