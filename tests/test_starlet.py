@@ -1,0 +1,80 @@
+"""Starlet (isotropic à-trous) transform — beyond the reference
+(PDWT has no isotropic transform; its SWT is the oriented separable
+à-trous, src/separable.cu:409-493)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pdwt_tpu.core import starlet as S_mod
+from pdwt_tpu.core.starlet import (B3_SPLINE, StarletCoeffs, istarlet,
+                                   starlet, starlet_denoise)
+
+
+@pytest.mark.parametrize("gen", [1, 2])
+@pytest.mark.parametrize("ndim,shape", [(1, (128,)), (2, (64, 48)),
+                                        (3, (16, 24, 32))])
+def test_starlet_perfect_reconstruction(rng, gen, ndim, shape):
+    x = jnp.asarray(rng.standard_normal(shape), jnp.float64)
+    c = starlet(x, 3, ndim=ndim, gen=gen)
+    assert c.levels == 3
+    assert c.approx.shape == shape
+    assert all(w.shape == shape for w in c.details)
+    y = istarlet(c, ndim=ndim, gen=gen)
+    assert float(jnp.abs(y - x).max()) < 1e-12
+
+
+def test_starlet_batched_and_oracle(rng):
+    """Leading axes are batch; level-1 smooth equals the numpy
+    separable B3 correlation with periodic wrap (spec: core/conv.py)."""
+    x = jnp.asarray(rng.standard_normal((3, 32, 32)), jnp.float64)
+    c = starlet(x, 2, ndim=2)
+    c0 = starlet(x[1], 2, ndim=2)
+    assert float(jnp.abs(c.details[0][1] - c0.details[0]).max()) < 1e-14
+
+    # numpy oracle for one periodic B3 smoothing of a row signal
+    v = np.asarray(x[0, 0], np.float64)
+    n = v.size
+    sm = np.zeros_like(v)
+    cen = 2  # fwd_center(5) = hlen//2 for the odd symmetric kernel
+    taps = np.asarray(B3_SPLINE)[::-1]
+    for m in range(n):
+        sm[m] = sum(taps[j] * v[(m - cen + j) % n] for j in range(5))
+    a1 = starlet(x[0, 0], 1, ndim=1)
+    got = np.asarray(a1.approx, np.float64)
+    assert np.abs(got - sm).max() < 1e-14
+
+
+def test_starlet_jit_grad_and_denoise(rng):
+    x = jnp.asarray(rng.standard_normal((64, 64)) * 10, jnp.float32)
+
+    @jax.jit
+    def dn(v):
+        return starlet_denoise(v, 3, 1.0, mode="soft")
+
+    y = dn(x)
+    assert y.shape == x.shape
+    g = jax.grad(lambda v: jnp.sum(dn(v) ** 2))(x)
+    assert bool(jnp.all(jnp.isfinite(g)))
+
+    # per-level betas + garrote mode run; zero threshold == roundtrip
+    y0 = starlet_denoise(x, 2, [0.0, 0.0], mode="garrote")
+    assert float(jnp.abs(y0 - x).max()) < 1e-4
+
+    with pytest.raises(ValueError, match="betas"):
+        starlet_denoise(x, 3, [1.0, 2.0])
+    with pytest.raises(ValueError, match="gen"):
+        starlet(x, 2, gen=3)
+    with pytest.raises(ValueError, match="ndim"):
+        starlet(x, 2, ndim=4)
+
+
+def test_starlet_energy_compaction_on_smooth_signal(rng):
+    """A smooth (lowpass) image puts most energy into the coarse
+    planes — sanity that scales order finest-first."""
+    t = np.linspace(0, 2 * np.pi, 64)
+    img = jnp.asarray(np.sin(t)[:, None] * np.cos(t)[None, :],
+                      jnp.float64)
+    c = starlet(img, 3, ndim=2)
+    e = [float(jnp.sum(w ** 2)) for w in c.details]
+    assert e[0] < e[-1]  # finest plane has the least energy
