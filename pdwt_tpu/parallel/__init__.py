@@ -5,6 +5,7 @@ README.md:34); see SURVEY.md §2.2/2.3 for the strategy mapping.
 """
 from . import packets
 from .anisotropic import fs_dwt, fs_idwt
+from .isotropic import istarlet, starlet
 from .halo import make_pad_fn, ring_wrap_pad
 from .mesh import init_distributed, make_mesh
 from .sharded import (
@@ -33,5 +34,5 @@ __all__ = [
     "dwt3d", "idwt3d", "swt3d", "iswt3d",
     "swt1d", "swt2d", "iswt1d", "iswt2d",
     "dwt2d_ns", "idwt2d_ns", "swt2d_ns", "iswt2d_ns",
-    "fs_dwt", "fs_idwt", "packets",
+    "fs_dwt", "fs_idwt", "packets", "starlet", "istarlet",
 ]

@@ -78,3 +78,33 @@ def test_starlet_energy_compaction_on_smooth_signal(rng):
     c = starlet(img, 3, ndim=2)
     e = [float(jnp.sum(w ** 2)) for w in c.details]
     assert e[0] < e[-1]  # finest plane has the least energy
+
+
+def test_sharded_starlet_bit_identical(rng):
+    """Sharded starlet over the 8-device CPU mesh == single-device,
+    2D (row+col rings) and 3D (three rings), fwd and inverse."""
+    import pdwt_tpu.parallel as par
+
+    mesh = par.make_mesh((2, 2, 2), ("data", "row", "col"))
+    x = jnp.asarray(rng.standard_normal((2, 64, 64)), jnp.float32)
+    ref = starlet(x, 3, ndim=2, backend="fma")  # match the sharded local backend
+    c = par.starlet(x, 3, mesh, data_axis="data",
+                    spatial_axes=("row", "col"))
+    for a, b in zip(jax.tree.leaves(ref), jax.tree.leaves(c)):
+        assert float(jnp.abs(a - b).max()) == 0.0
+    y = par.istarlet(c, mesh, data_axis="data",
+                     spatial_axes=("row", "col"))
+    assert float(jnp.abs(y - istarlet(ref, ndim=2,
+                                      backend="fma")).max()) == 0.0
+
+    # 3D: halo rings on all three axes (no data axis)
+    v = jnp.asarray(rng.standard_normal((16, 16, 16)), jnp.float32)
+    mesh3 = par.make_mesh((2, 2, 2), ("dep", "row", "col"))
+    ref3 = starlet(v, 2, ndim=3, backend="fma")
+    c3 = par.starlet(v, 2, mesh3, spatial_axes=("dep", "row", "col"))
+    for a, b in zip(jax.tree.leaves(ref3), jax.tree.leaves(c3)):
+        assert float(jnp.abs(a - b).max()) == 0.0
+
+    with pytest.raises(ValueError, match="divisible"):
+        par.starlet(jnp.zeros((2, 63, 64)), 2, mesh, data_axis="data",
+                    spatial_axes=("row", "col"))
