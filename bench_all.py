@@ -162,6 +162,13 @@ def main() -> None:
            lambda x: pk_mod.iwp2d(pk_mod.wp2d(x, w7, 3).nodes[3], w7,
                                   (2048, 2048)), img)
 
+    # 8b. starlet (isotropic à-trous) denoise: 4 full-res B3 smoothing
+    # levels + thresholds + gen-2 reconstruction — pure fma/VPU path
+    from pdwt_tpu.core import starlet_denoise
+
+    record("starlet gen2 4-level denoise 2048x2048", 2048 * 2048,
+           lambda x: starlet_denoise(x, 4, 1.0), img)
+
     # 9. continuous wavelet transform (beyond the reference): batched
     # FFT + broadcast scale bank — measures the XLA TPU FFT path
     from pdwt_tpu.core import cwt as cwt_fn  # the function (module: core.continuous)

@@ -28,6 +28,7 @@ core/conv.py's (periodic, centered).
 """
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple, Optional, Tuple
 
 import jax.numpy as jnp
@@ -108,6 +109,34 @@ def istarlet(coeffs: StarletCoeffs, *, ndim: int = 2, gen: int = 2,
         w, _ = _to_nc(coeffs.details[j], ndim)
         a = _smooth(a, ndim, 1 << j, backend, pad_fn) + w
     return a.reshape(batch + spatial)
+
+
+@functools.lru_cache(maxsize=None)
+def starlet_noise_gains(levels: int, ndim: int = 2,
+                        gen: int = 2) -> Tuple[float, ...]:
+    """L2 norm of each detail plane's equivalent filter — the factor
+    mapping white-noise sigma to the per-scale detail sigma (the
+    sigma_j table of Starck et al. §6.3, computed exactly for any
+    levels/ndim/gen instead of tabulated).
+
+    The scale-j ND detail kernel is the separable difference
+    ``K_{j-1}^{(x)ndim} - R_j^{(x)ndim}`` (R = K_j for gen 1,
+    h_j * K_j for gen 2), whose norm follows from 1D inner products:
+    ``||A - B||^2 = <K,K>^n + <R,R>^n - 2 <K,R>^n``."""
+    K = np.array([1.0])
+    gains = []
+    for j in range(levels):
+        h = np.zeros(4 * (1 << j) + 1)
+        h[:: 1 << j] = B3_SPLINE
+        nxt = np.convolve(K, h)
+        ref = nxt if gen == 1 else np.convolve(nxt, h)
+        pad = (len(ref) - len(K)) // 2  # both odd, centered
+        Kp = np.pad(K, pad)
+        kk, rr, kr = Kp @ Kp, ref @ ref, Kp @ ref
+        gains.append(float(np.sqrt(kk ** ndim + rr ** ndim
+                                   - 2 * kr ** ndim)))
+        K = nxt
+    return tuple(gains)
 
 
 def starlet_denoise(x: jnp.ndarray, levels: int, beta, *,

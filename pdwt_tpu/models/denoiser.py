@@ -165,6 +165,41 @@ def auto_denoise_3d(
     return sep3.idwt3d(coeffs, wav, (nd, nr, nc), backend=backend)
 
 
+def starlet_auto_denoise(
+    x: jnp.ndarray,
+    levels: int,
+    *,
+    k: float = 3.0,
+    ndim: int = 2,
+    gen: int = 2,
+    mode: str = "soft",
+    backend: Optional[str] = None,
+) -> jnp.ndarray:
+    """Knob-free starlet denoise (Starck's k-sigma rule): the white-noise
+    sigma is MAD-estimated from the finest detail plane divided by its
+    exact per-scale gain (core.starlet.starlet_noise_gains — the
+    sigma_j table computed, not tabulated), and every plane is
+    thresholded at ``k * sigma * gain_j`` before the exact gen-1/2
+    reconstruction.  ``k`` is a scalar or a per-level sequence
+    (finest first; astronomy practice often raises the finest to 4)."""
+    from ..core.starlet import (StarletCoeffs, istarlet, starlet,
+                                starlet_noise_gains)
+    from ..ops.threshold import THR_ELEM
+
+    thr = THR_ELEM[mode]
+    c = starlet(x, levels, ndim=ndim, gen=gen, backend=backend)
+    gains = starlet_noise_gains(levels, ndim, gen)
+    ks = list(k) if isinstance(k, (list, tuple)) else [k] * levels
+    if len(ks) != levels:
+        raise ValueError(f"need {levels} k values, got {len(ks)}")
+    w1 = c.details[0]
+    sigma = jnp.median(jnp.abs(w1)) / 0.6745 / gains[0]
+    details = tuple(thr(w, kj * sigma * g)
+                    for w, kj, g in zip(c.details, ks, gains))
+    return istarlet(StarletCoeffs(c.approx, details), ndim=ndim,
+                    gen=gen, backend=backend)
+
+
 def packet_denoise(
     img: jnp.ndarray,
     wav,
