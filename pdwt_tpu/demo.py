@@ -33,7 +33,8 @@ def main(argv=None) -> int:
                    help="depth for a 3D volume (.dat holds nd*nr*nc "
                         "float32); 0 = 2D image (beyond the reference: "
                         "it has no 3D)")
-    p.add_argument("--scenario", type=int, default=2, choices=(1, 2, 3, 4))
+    p.add_argument("--scenario", type=int, default=2,
+                   choices=(1, 2, 3, 4, 5))
     p.add_argument("--wavelet", default="haar")
     p.add_argument("--levels", type=int, default=1)
     p.add_argument("--swt", action="store_true")
@@ -89,6 +90,25 @@ def main(argv=None) -> int:
     shape = ((args.nd, args.nr, args.nc) if args.nd
              else (args.nr, args.nc))
     img = read_dat(args.image, shape)
+
+    if args.scenario == 5:
+        if args.native:
+            p.error("scenario 5 (starlet denoise) needs the JAX engine")
+        import jax.numpy as jnp
+
+        from pdwt_tpu.models import starlet_auto_denoise
+
+        rec = np.asarray(starlet_auto_denoise(jnp.asarray(img),
+                                              args.levels,
+                                              ndim=3 if args.nd else 2),
+                         dtype=np.float32)
+        print("starlet k-sigma auto denoise applied "
+              f"({args.levels} isotropic scales)")
+        err = float(np.abs(rec - img).max())
+        print(f"max |denoised - input| = {err:.3e} (expected nonzero)")
+        write_dat(args.out, rec)
+        print(f"result written to {args.out}")
+        return 0
 
     if args.scenario == 4:
         if args.native or args.nd:

@@ -122,3 +122,18 @@ def test_demo_scenario4_packet_denoise(tmp_path, image_dat):
     r = _run([path, "--nr", "64", "--nc", "64", "--scenario", "4",
               "--native"])
     assert r.returncode != 0
+
+
+def test_demo_scenario5_starlet_denoise(tmp_path, image_dat):
+    path, img = image_dat
+    out = str(tmp_path / "res5.dat")
+    r = _run([path, "--nr", "64", "--nc", "64", "--scenario", "5",
+              "--levels", "3", "--out", out])
+    assert r.returncode == 0, r.stderr
+    assert "starlet k-sigma auto denoise" in r.stdout
+    rec = np.fromfile(out, dtype=np.float32).reshape(64, 64)
+    assert np.isfinite(rec).all()
+    assert np.abs(rec - img).max() > 0
+    r = _run([path, "--nr", "64", "--nc", "64", "--scenario", "5",
+              "--native"])
+    assert r.returncode != 0
