@@ -169,6 +169,13 @@ def main() -> None:
     record("starlet gen2 4-level denoise 2048x2048", 2048 * 2048,
            lambda x: starlet_denoise(x, 4, 1.0), img)
 
+    # 8c. dual-tree complex WT: 4 row/col tree combos per level (the
+    # uniform two ride the fused kernels, the mixed two the fma passes)
+    from pdwt_tpu.core import dtcwt2d, idtcwt2d
+
+    record("DTCWT 2D 4-level fwd+inv 2048x2048", 2048 * 2048,
+           lambda x: idtcwt2d(dtcwt2d(x, 4), (2048, 2048)), img)
+
     # 9. continuous wavelet transform (beyond the reference): batched
     # FFT + broadcast scale bank — measures the XLA TPU FFT path
     from pdwt_tpu.core import cwt as cwt_fn  # the function (module: core.continuous)
