@@ -26,7 +26,8 @@ from .packets import (Packets1D, Packets2D, Packets3D, best_basis,
 from .anisotropic import fs_dwt, fs_idwt, fs_slices
 from .continuous import cwt, fourier_wavelength, icwt, log_scales
 from .dualtree import (DTCoeffs1D, DTCoeffs2D, dtcwt1d, dtcwt2d,
-                       dtcwt_denoise, dtcwt_wavelets, idtcwt1d, idtcwt2d)
+                       dtcwt_auto_denoise, dtcwt_denoise, dtcwt_wavelets,
+                       idtcwt1d, idtcwt2d)
 from .starlet import (B3_SPLINE, StarletCoeffs, istarlet, starlet,
                       starlet_denoise)
 from .nonseparable import dwt2d_ns, idwt2d_ns, iswt2d_ns, swt2d_ns
@@ -48,6 +49,7 @@ __all__ = [
     "cwt", "icwt", "log_scales", "fourier_wavelength",
     "DTCoeffs1D", "DTCoeffs2D", "dtcwt1d", "dtcwt2d", "idtcwt1d",
     "idtcwt2d", "dtcwt_wavelets", "dtcwt_denoise",
+    "dtcwt_auto_denoise",
     "B3_SPLINE", "StarletCoeffs", "starlet", "istarlet",
     "starlet_denoise",
     "haar_dwt1d", "haar_dwt2d", "haar_idwt1d", "haar_idwt2d",

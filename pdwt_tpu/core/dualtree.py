@@ -426,3 +426,33 @@ def dtcwt_denoise(x: jnp.ndarray, levels: int, beta, *,
     return (idtcwt2d(c, x.shape[-2:], order=order, backend=backend)
             if nd >= 2
             else idtcwt1d(c, x.shape[-1], order=order, backend=backend))
+
+
+def dtcwt_auto_denoise(x: jnp.ndarray, levels: int, *, k: float = 3.0,
+                       mode: str = "soft",
+                       order: Tuple[int, int] = (2, 4),
+                       backend: Optional[str] = None) -> jnp.ndarray:
+    """Knob-free dual-tree magnitude denoise: the white-noise sigma is
+    estimated from the finest complex band's magnitudes (the median of
+    |c| of circular complex noise is sigma*sqrt(ln 4)) and every level
+    is thresholded at ``k * sigma`` — the orthonormal trees make the
+    per-level gains 1, so one threshold serves all levels.  ``k`` is a
+    scalar or per-level sequence (finest first)."""
+    from ..ops.threshold import THR_ELEM
+
+    thr = THR_ELEM[mode]
+    nd = x.ndim
+    c = (dtcwt2d(x, levels, order=order, backend=backend) if nd >= 2
+         else dtcwt1d(x, levels, order=order, backend=backend))
+    m1 = jnp.abs(c.details[0])
+    sigma = jnp.median(m1) / np.sqrt(np.log(4.0))
+    ks = list(k) if isinstance(k, (list, tuple)) else [k] * levels
+    if len(ks) != levels:
+        raise ValueError(f"need {levels} k values, got {len(ks)}")
+    details = tuple(
+        thr(jnp.abs(z), kj * sigma) * jnp.exp(1j * jnp.angle(z))
+        for z, kj in zip(c.details, ks))
+    c = type(c)(c.approx, details)
+    return (idtcwt2d(c, x.shape[-2:], order=order, backend=backend)
+            if nd >= 2
+            else idtcwt1d(c, x.shape[-1], order=order, backend=backend))

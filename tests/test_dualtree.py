@@ -153,3 +153,27 @@ def test_dtcwt2d_gspmd_sharded(rng):
     xs = jax.device_put(img, spec)
     out = jax.jit(lambda v: dtcwt_denoise(v, 2, 1.0))(xs)
     assert float(jnp.abs(out - ref).max()) < 1e-5
+
+
+def test_dtcwt_auto_denoise(rng):
+    """k-sigma magnitude denoise with the Rayleigh-median sigma
+    estimate: the estimated sigma matches the truth on pure noise, and
+    the zero-knob call beats the noisy input on a smooth image."""
+    from pdwt_tpu.core.dualtree import dtcwt_auto_denoise
+
+    noise = jnp.asarray(np.random.default_rng(1)
+                        .standard_normal((256, 256)) * 7, jnp.float32)
+    c = dtcwt2d(noise, 1)
+    sigma_hat = float(jnp.median(jnp.abs(c.details[0]))
+                      / np.sqrt(np.log(4.0)))
+    assert abs(sigma_hat - 7) / 7 < 0.05     # orthonormal: gain == 1
+
+    t = np.linspace(0, 4 * np.pi, 128)
+    clean = np.sin(t)[:, None] * np.cos(t)[None, :] * 50
+    noisy = jnp.asarray(clean + rng.standard_normal((128, 128)) * 10,
+                        jnp.float32)
+    y = jax.jit(lambda v: dtcwt_auto_denoise(v, 3))(noisy)
+    assert float(jnp.mean((y - clean) ** 2)) \
+        < 0.35 * float(jnp.mean((noisy - clean) ** 2))
+    with pytest.raises(ValueError, match="k values"):
+        dtcwt_auto_denoise(noisy, 3, k=[1.0])
