@@ -34,7 +34,7 @@ def main(argv=None) -> int:
                         "float32); 0 = 2D image (beyond the reference: "
                         "it has no 3D)")
     p.add_argument("--scenario", type=int, default=2,
-                   choices=(1, 2, 3, 4, 5))
+                   choices=(1, 2, 3, 4, 5, 6))
     p.add_argument("--wavelet", default="haar")
     p.add_argument("--levels", type=int, default=1)
     p.add_argument("--swt", action="store_true")
@@ -90,6 +90,24 @@ def main(argv=None) -> int:
     shape = ((args.nd, args.nr, args.nc) if args.nd
              else (args.nr, args.nc))
     img = read_dat(args.image, shape)
+
+    if args.scenario == 6:
+        if args.native or args.nd:
+            p.error("scenario 6 (dual-tree denoise) needs the 2D JAX "
+                    "engine")
+        import jax.numpy as jnp
+
+        from pdwt_tpu.core import dtcwt_auto_denoise
+
+        rec = np.asarray(dtcwt_auto_denoise(jnp.asarray(img), args.levels),
+                         dtype=np.float32)
+        print("dual-tree complex magnitude denoise applied "
+              f"({args.levels} levels, 6 oriented bands)")
+        err = float(np.abs(rec - img).max())
+        print(f"max |denoised - input| = {err:.3e} (expected nonzero)")
+        write_dat(args.out, rec)
+        print(f"result written to {args.out}")
+        return 0
 
     if args.scenario == 5:
         if args.native:

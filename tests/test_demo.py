@@ -137,3 +137,14 @@ def test_demo_scenario5_starlet_denoise(tmp_path, image_dat):
     r = _run([path, "--nr", "64", "--nc", "64", "--scenario", "5",
               "--native"])
     assert r.returncode != 0
+
+
+def test_demo_scenario6_dtcwt_denoise(tmp_path, image_dat):
+    path, img = image_dat
+    out = str(tmp_path / "res6.dat")
+    r = _run([path, "--nr", "64", "--nc", "64", "--scenario", "6",
+              "--levels", "3", "--out", out])
+    assert r.returncode == 0, r.stderr
+    assert "dual-tree complex magnitude denoise" in r.stdout
+    rec = np.fromfile(out, dtype=np.float32).reshape(64, 64)
+    assert np.isfinite(rec).all()
