@@ -72,7 +72,7 @@ def main(argv=None) -> int:
                 return default
 
         print("Interactive configuration (empty line keeps the default)")
-        args.scenario = ask("Scenario (1=fwd, 2=fwd+inv, 3=fwd+thresh+inv)",
+        args.scenario = ask("Scenario (1=fwd, 2=fwd+inv, 3=fwd+thresh+inv, 4=packets, 5=starlet, 6=dual-tree)",
                             args.scenario, int)
         args.wavelet = ask("Wavelet name", args.wavelet, str)
         args.levels = ask("Number of levels", args.levels, int)
