@@ -105,20 +105,24 @@ def _depth_split(res, wav, b, d, *, dilation=1, decimate=True, mode=None,
     The A-chain (from subband a) and the details run as separate passes
     because in bf16 mode they carry different dtypes (f32 chain, bf16
     details); channel 1 (daa) is a detail and is downcast.  ``pad_fn``
-    lets the sharded engine ride its depth halo ring here."""
+    lets the sharded engine ride its depth halo ring here.
+
+    Each 2D subband gets its OWN 1-channel depth pass: the round-4 chip
+    probe measured the stacked 3-channel variant at 3.66 ms/level vs
+    1.23 ms for per-band calls at 64x512x512 — the jnp.stack of the
+    pallas outputs plus the channel re-slicing of the einsum result
+    tripled the HBM traffic (tools/ glue probes, CLAUDE.md round-4)."""
     r, c = res[0].shape[-2:]
     kw = dict(dilation=dilation, decimate=decimate, pad_fn=pad_fn)
     dec = (wav.dec_lo, wav.dec_hi)
-    za = _depth_analysis(
-        res[0].reshape(b, 1, d, r, c), dec, **kw)           # (B, 2, ...)
-    zd = _depth_analysis(
-        jnp.stack([t.reshape(b, d, r, c) for t in res[1:]], axis=1),
-        dec, **kw)                                          # (B, 6, ...)
-    daa = za[:, 1]
+    pairs = [_depth_analysis(t.reshape(b, 1, d, r, c), dec, **kw)
+             for t in res]                                  # (B, 2, ...)
+    daa = pairs[0][:, 1]
     if mode == "bf16":
         daa = daa.astype(jnp.bfloat16)
-    return (za[:, 0], daa, zd[:, 0], zd[:, 1], zd[:, 2], zd[:, 3],
-            zd[:, 4], zd[:, 5])
+    return (pairs[0][:, 0], daa, pairs[1][:, 0], pairs[1][:, 1],
+            pairs[2][:, 0], pairs[2][:, 1], pairs[3][:, 0],
+            pairs[3][:, 1])
 
 
 def _fwd_level_3d_pallas(a: jnp.ndarray, wav: Wavelet, lo_t, hi_t, mode):
