@@ -34,7 +34,8 @@ from .nonseparable import dwt2d_ns, idwt2d_ns, iswt2d_ns, swt2d_ns
 from .haar import haar_dwt1d, haar_dwt2d, haar_idwt1d, haar_idwt2d
 from .shapes import (coeff_shapes_1d, coeff_shapes_2d, coeff_shapes_3d,
                      div2, level_sizes, max_level)
-from . import conv
+from .modes import MODES, dec_len, extend, rec_len
+from . import conv, modes
 
 __all__ = [
     "Coeffs1D", "Coeffs2D", "Coeffs3D", "DETAIL_KEYS_3D",
@@ -55,5 +56,6 @@ __all__ = [
     "haar_dwt1d", "haar_dwt2d", "haar_idwt1d", "haar_idwt2d",
     "coeff_shapes_1d", "coeff_shapes_2d", "coeff_shapes_3d",
     "div2", "level_sizes", "max_level",
-    "conv",
+    "MODES", "dec_len", "rec_len", "extend",
+    "conv", "modes",
 ]

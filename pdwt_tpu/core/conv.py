@@ -231,7 +231,7 @@ def _fma_analysis(xp, taps, axis, *, decimate, dilation):
     return out.reshape((b, c * k) + out.shape[3:]).astype(xp.dtype)
 
 
-def _fma_synthesis_poly(x, taps, axis, *, pad_fn):
+def _fma_synthesis_poly(x, taps, axis, *, pad_fn, s=None):
     """Decimated synthesis WITHOUT materializing the zero-stuffed array.
 
     Output parity q of out[g] = sum_j t[j] * u[g - s + j] (u = zero-stuffed
@@ -241,11 +241,16 @@ def _fma_synthesis_poly(x, taps, axis, *, pad_fn):
     half the FLOPs and half the memory traffic of the stuffed form, and
     distributed halos stay in the (small) coefficient domain.  The two
     parities interleave to the final axis.
+
+    ``s`` overrides the synthesis shift: the periodization default is
+    :func:`inv_shift`; the pywt non-periodization inverse uses ``s=1``
+    with zero padding (see core/modes.py).
     """
     k, hlen = taps.shape
     ax = axis % x.ndim
     m = x.shape[ax]
-    s = inv_shift(hlen)
+    if s is None:
+        s = inv_shift(hlen)
     p = (s % 2, 1 - s % 2)
     o = (-(s // 2), (1 - s + (1 - s % 2)) // 2)
     nb = tuple(len(range(p[q], hlen, 2)) for q in (0, 1))
@@ -305,9 +310,10 @@ def analysis_pass(
     decimate: bool = True,
     backend: Optional[str] = None,
     pad_fn=None,
+    mode: str = "periodization",
 ) -> jnp.ndarray:
     """Filter every channel of ``x`` (B,C,H,W) with each 1D filter along
-    ``axis`` (periodic), optionally decimating by 2.
+    ``axis``, optionally decimating by 2.
 
     Returns (B, C*K, H', W') with output channel c*K + k = filter k applied
     to input channel c.  ``filters`` are the *forward-convention* taps
@@ -316,20 +322,42 @@ def analysis_pass(
     ``pad_fn(x, axis, lo, hi)`` overrides the periodic padding — the
     distributed engine substitutes an ICI ring halo exchange here so the
     same pass runs on spatially sharded arrays (see pdwt_tpu.parallel).
+
+    ``mode`` selects the boundary extension (core/modes.py).  The default
+    ``"periodization"`` is the reference scheme (odd-size virtual
+    extension + periodic wrap, ceil(N/2) outputs); every other pywt mode
+    applies to the decimated DWT only and yields floor((N+hlen-1)/2)
+    outputs per pywt's convolution semantics.
     """
     backend = backend or get_default_backend()
-    pad_fn = pad_fn or wrap_pad
     filters = [np.asarray(f, dtype=np.float64) for f in filters]
     hlen = len(filters[0])
     assert all(len(f) == hlen for f in filters)
-    c = fwd_center(hlen) * dilation
-    pad_hi = (hlen - 1) * dilation - c
     taps = np.stack([f[::-1] for f in filters])  # (K, hlen)
 
-    if decimate:
-        assert dilation == 1
-        x = odd_extend(x, axis)
-    xp = pad_fn(x, axis, c, pad_hi)
+    if mode != "periodization":
+        from . import modes as _modes
+
+        _modes.check_mode(mode)
+        if not decimate or dilation != 1:
+            raise ValueError(
+                "boundary modes other than 'periodization' apply to the "
+                "decimated DWT only (pywt's swt is periodic by definition)")
+        if pad_fn is not None:
+            raise ValueError(
+                "sharded halo exchange (pad_fn) requires mode='periodization'")
+        # out[m] = sum_j f[j] x_ext[2m+1-j]  (pywt downsampling_convolution)
+        # == valid correlation of reversed taps over x extended by
+        # (hlen-2, hlen-1); n_out = floor((N+hlen-1)/2) falls out.
+        xp = _modes.extend(x, axis, hlen - 2, hlen - 1, mode)
+    else:
+        pad_fn = pad_fn or wrap_pad
+        c = fwd_center(hlen) * dilation
+        pad_hi = (hlen - 1) * dilation - c
+        if decimate:
+            assert dilation == 1
+            x = odd_extend(x, axis)
+        xp = pad_fn(x, axis, c, pad_hi)
 
     k = len(filters)
     ch = x.shape[1]
@@ -371,6 +399,7 @@ def synthesis_pass(
     decimated: bool = True,
     backend: Optional[str] = None,
     pad_fn=None,
+    mode: str = "periodization",
 ) -> jnp.ndarray:
     """Synthesis: input (B, C*K, H, W) where each group of K consecutive
     channels is combined into one output channel:
@@ -383,24 +412,57 @@ def synthesis_pass(
 
     ``pad_fn`` — see :func:`analysis_pass`; applied to the (zero-stuffed)
     upsampled array.
+
+    ``mode`` — boundary extension of the matching forward pass.  Modes
+    other than ``"periodization"`` follow pywt's inverse: NO boundary
+    extension (a valid correlation of the zero-stuffed coefficients,
+    shift s=1), full output length ``2M - hlen + 2``, sliced to
+    ``out_len``.  Requires an even filter length, as pywt does.
     """
     backend = backend or get_default_backend()
-    pad_fn = pad_fn or wrap_pad
     filters = [np.asarray(f, dtype=np.float64) for f in filters]
     hlen = len(filters[0])
     k = len(filters)
     taps = np.stack([f[::-1] for f in filters])  # (K, hlen)
 
+    s_override = None
+    if mode != "periodization":
+        from . import modes as _modes
+
+        _modes.check_mode(mode)
+        if not decimated or dilation != 1:
+            raise ValueError(
+                "boundary modes other than 'periodization' apply to the "
+                "decimated inverse DWT only")
+        if pad_fn is not None:
+            raise ValueError(
+                "sharded halo exchange (pad_fn) requires mode='periodization'")
+        if hlen % 2:
+            raise ValueError(
+                "non-periodization inverse requires an even filter length "
+                "(pywt upsampling_convolution_valid_sf parity)")
+        full = _modes.rec_len(x.shape[axis % x.ndim], hlen, mode)
+        if out_len is None:
+            out_len = full
+        elif out_len > full:
+            raise ValueError(
+                f"out_len {out_len} exceeds the mode's full inverse length "
+                f"{full}")
+        pad_fn = _modes.zero_pad
+        s_override = 1
+    else:
+        pad_fn = pad_fn or wrap_pad
+
     if backend == "fma" and decimated:
         assert dilation == 1
-        out = _fma_synthesis_poly(x, taps, axis, pad_fn=pad_fn)
+        out = _fma_synthesis_poly(x, taps, axis, pad_fn=pad_fn, s=s_override)
         if out_len is not None:
             out = lax.slice_in_dim(out, 0, out_len, axis=axis)
         return out
 
     if decimated:
         assert dilation == 1
-        s = inv_shift(hlen)
+        s = inv_shift(hlen) if s_override is None else s_override
         u = zero_stuff(x, axis)
     else:
         s = swt_inv_center(hlen) * dilation

@@ -117,14 +117,30 @@ def _bf16_outs(mode):
     return norm
 
 
-def _auto_backend(backend: Optional[str], pad_fn) -> Optional[str]:
+def _auto_backend(backend: Optional[str], pad_fn,
+                  mode: str = "periodization") -> Optional[str]:
     """Resolve ``backend=None``: the PDWT_TPU_BACKEND env var /
     conv.set_default_backend override wins; otherwise the fused Pallas
     level kernels on TPU.  Distributed calls (pad_fn given) stay on the
     conv backends unless explicitly asked for pallas — the sharded
-    engine has its own pallas composition (parallel/sharded.py)."""
+    engine has its own pallas composition (parallel/sharded.py).
+
+    Boundary modes other than ``"periodization"`` ride the conv
+    backends: the fused Pallas kernels bake periodic phase arithmetic
+    into their tile slicing, so an explicit ``backend="pallas"`` with a
+    non-periodization mode is an error and the auto/override "pallas"
+    choices fall through to the fma formulation."""
     import jax
 
+    if mode != "periodization":
+        if backend == "pallas":
+            raise ValueError(
+                "backend='pallas' supports mode='periodization' only; "
+                "other boundary modes run on the conv backends")
+        if backend is not None:
+            return backend
+        override = conv._default_backend
+        return None if override == "pallas" else override
     if backend is not None:
         return backend
     override = conv._default_backend
@@ -289,9 +305,13 @@ def _idwt2d_pallas(coeffs: Coeffs2D, wav: Wavelet,
 
 
 def dwt2d(x: jnp.ndarray, wav: Wavelet, levels: int, *,
-          backend: Optional[str] = None, pad_fn=None) -> Coeffs2D:
-    """Multi-level separable 2D DWT over the trailing two axes."""
-    backend = _auto_backend(backend, pad_fn)
+          backend: Optional[str] = None, pad_fn=None,
+          mode: str = "periodization") -> Coeffs2D:
+    """Multi-level separable 2D DWT over the trailing two axes.
+
+    ``mode`` selects the boundary extension (core/modes.py; pywt mode
+    set).  The default ``"periodization"`` is the reference scheme."""
+    backend = _auto_backend(backend, pad_fn, mode)
     if backend == "pallas":
         if pad_fn is not None:
             raise ValueError("pallas backend does not support pad_fn")
@@ -301,8 +321,10 @@ def dwt2d(x: jnp.ndarray, wav: Wavelet, levels: int, *,
     details: List[Tuple[jnp.ndarray, ...]] = []
     a = arr
     for _ in range(levels):
-        t = conv.analysis_pass(a, dec, axis=-1, backend=backend, pad_fn=pad_fn)
-        z = conv.analysis_pass(t, dec, axis=-2, backend=backend, pad_fn=pad_fn)
+        t = conv.analysis_pass(a, dec, axis=-1, backend=backend,
+                               pad_fn=pad_fn, mode=mode)
+        z = conv.analysis_pass(t, dec, axis=-2, backend=backend,
+                               pad_fn=pad_fn, mode=mode)
         a = z[:, 0:1]
         details.append(tuple(
             _from_nchw(z[:, k:k + 1], batch, 2) for k in (1, 2, 3)
@@ -311,25 +333,30 @@ def dwt2d(x: jnp.ndarray, wav: Wavelet, levels: int, *,
 
 
 def idwt2d(coeffs: Coeffs2D, wav: Wavelet, shape: Tuple[int, int], *,
-           backend: Optional[str] = None, pad_fn=None) -> jnp.ndarray:
+           backend: Optional[str] = None, pad_fn=None,
+           mode: str = "periodization") -> jnp.ndarray:
     """Inverse of :func:`dwt2d`; ``shape`` = (Nr, Nc) of the original image."""
-    backend = _auto_backend(backend, pad_fn)
+    backend = _auto_backend(backend, pad_fn, mode)
     if backend == "pallas":
         if pad_fn is not None:
             raise ValueError("pallas backend does not support pad_fn")
         return _idwt2d_pallas(coeffs, wav, shape)
+    from .modes import level_sizes as _mode_sizes
+
     levels = coeffs.levels
-    rows = level_sizes(shape[0], levels)
-    cols = level_sizes(shape[1], levels)
+    rows = _mode_sizes(shape[0], levels, wav.hlen, mode)
+    cols = _mode_sizes(shape[1], levels, wav.hlen, mode)
     rec = (wav.rec_lo, wav.rec_hi)
     a, batch = _to_nchw(coeffs.approx, 2)
     for i in range(levels - 1, -1, -1):
         h, v, d = (_to_nchw(c, 2)[0] for c in coeffs.details[i])
         z = jnp.concatenate([a, h, v, d], axis=1)  # (B,4,mr,mc)
         t = conv.synthesis_pass(z, rec, axis=-2, out_len=rows[i],
-                                backend=backend, pad_fn=pad_fn)  # (B,2,Hr,mc)
+                                backend=backend, pad_fn=pad_fn,
+                                mode=mode)  # (B,2,Hr,mc)
         a = conv.synthesis_pass(t, rec, axis=-1, out_len=cols[i],
-                                backend=backend, pad_fn=pad_fn)  # (B,1,Hr,Wc)
+                                backend=backend, pad_fn=pad_fn,
+                                mode=mode)  # (B,1,Hr,Wc)
     return _from_nchw(a, batch, 2)
 
 
@@ -520,8 +547,9 @@ def _dwt1d_pallas(x: jnp.ndarray, wav: Wavelet, levels: int) -> Coeffs1D:
 
 
 def dwt1d(x: jnp.ndarray, wav: Wavelet, levels: int, *,
-          backend: Optional[str] = None, pad_fn=None) -> Coeffs1D:
-    backend = _auto_backend(backend, pad_fn)
+          backend: Optional[str] = None, pad_fn=None,
+          mode: str = "periodization") -> Coeffs1D:
+    backend = _auto_backend(backend, pad_fn, mode)
     if backend == "pallas":
         if pad_fn is not None:
             raise ValueError("pallas backend does not support pad_fn")
@@ -531,7 +559,8 @@ def dwt1d(x: jnp.ndarray, wav: Wavelet, levels: int, *,
     details: List[jnp.ndarray] = []
     a = arr
     for _ in range(levels):
-        z = conv.analysis_pass(a, dec, axis=-1, backend=backend, pad_fn=pad_fn)
+        z = conv.analysis_pass(a, dec, axis=-1, backend=backend,
+                               pad_fn=pad_fn, mode=mode)
         a = z[:, 0:1]
         details.append(_from_nchw(z[:, 1:2], batch, 1))
     return Coeffs1D(_from_nchw(a, batch, 1), tuple(details))
@@ -577,21 +606,24 @@ def _idwt1d_pallas(coeffs: Coeffs1D, wav: Wavelet, length: int) -> jnp.ndarray:
 
 
 def idwt1d(coeffs: Coeffs1D, wav: Wavelet, length: int, *,
-           backend: Optional[str] = None, pad_fn=None) -> jnp.ndarray:
-    backend = _auto_backend(backend, pad_fn)
+           backend: Optional[str] = None, pad_fn=None,
+           mode: str = "periodization") -> jnp.ndarray:
+    backend = _auto_backend(backend, pad_fn, mode)
     if backend == "pallas":
         if pad_fn is not None:
             raise ValueError("pallas backend does not support pad_fn")
         return _idwt1d_pallas(coeffs, wav, length)
+    from .modes import level_sizes as _mode_sizes
+
     levels = coeffs.levels
-    sizes = level_sizes(length, levels)
+    sizes = _mode_sizes(length, levels, wav.hlen, mode)
     rec = (wav.rec_lo, wav.rec_hi)
     a, batch = _to_nchw(coeffs.approx, 1)
     for i in range(levels - 1, -1, -1):
         d, _ = _to_nchw(coeffs.details[i], 1)
         z = jnp.concatenate([a, d], axis=1)
         a = conv.synthesis_pass(z, rec, axis=-1, out_len=sizes[i],
-                                backend=backend, pad_fn=pad_fn)
+                                backend=backend, pad_fn=pad_fn, mode=mode)
     return _from_nchw(a, batch, 1)
 
 

@@ -174,15 +174,17 @@ def _inv_level_3d_pallas(z: jnp.ndarray, wav: Wavelet, lo_t, hi_t,
 
 
 def dwt3d(x: jnp.ndarray, wav: Wavelet, levels: int, *,
-          backend: Optional[str] = None, pad_fn=None) -> Coeffs3D:
+          backend: Optional[str] = None, pad_fn=None,
+          mode: str = "periodization") -> Coeffs3D:
     """Multi-level separable 3D DWT over the trailing three axes.
 
     Semantics per axis are exactly core/conv.py's analysis spec
     (reference: src/separable.cu:91-131, generalized to the axis the
     reference does not have: its README lists "3D is not handled" as the
-    first limitation).
+    first limitation).  ``mode`` selects the boundary extension
+    (core/modes.py; non-periodization modes ride the conv backends).
     """
-    backend = _auto_backend(backend, pad_fn)
+    backend = _auto_backend(backend, pad_fn, mode)
     use_pallas = backend == "pallas"
     if use_pallas and pad_fn is not None:
         raise ValueError("pallas backend does not support pad_fn")
@@ -191,7 +193,7 @@ def dwt3d(x: jnp.ndarray, wav: Wavelet, levels: int, *,
     arr, batch = _to_ncs(x)
     dec = (wav.dec_lo, wav.dec_hi)
     lo_t, hi_t = _ftup(wav.dec_lo), _ftup(wav.dec_hi)
-    mode = _mxu_mode(x.dtype) if use_pallas else None
+    mxu = _mxu_mode(x.dtype) if use_pallas else None
     details: List[Tuple[jnp.ndarray, ...]] = []
     a = arr
     for _ in range(levels):
@@ -200,17 +202,17 @@ def dwt3d(x: jnp.ndarray, wav: Wavelet, levels: int, *,
             ae = a[:, 0]
             for ax in (-1, -2, -3):
                 ae = conv.odd_extend(ae, ax)
-            bands = _fwd_level_3d_pallas(ae, wav, lo_t, hi_t, mode)
+            bands = _fwd_level_3d_pallas(ae, wav, lo_t, hi_t, mxu)
         if bands is None:
-            af = _f32(a) if mode is not None else a
+            af = _f32(a) if mxu is not None else a
             t = conv.analysis_pass(af, dec, axis=-1, backend=backend,
-                                   pad_fn=pad_fn)
+                                   pad_fn=pad_fn, mode=mode)
             t = conv.analysis_pass(t, dec, axis=-2, backend=backend,
-                                   pad_fn=pad_fn)
+                                   pad_fn=pad_fn, mode=mode)
             z = conv.analysis_pass(t, dec, axis=-3, backend=backend,
-                                   pad_fn=pad_fn)
+                                   pad_fn=pad_fn, mode=mode)
             bands = tuple(z[:, k] for k in range(8))
-            if mode == "bf16":
+            if mxu == "bf16":
                 bands = (bands[0],) + tuple(t.astype(jnp.bfloat16)
                                             for t in bands[1:])
         a = bands[0][:, None]
@@ -277,43 +279,46 @@ def _inv_level_3d_pallas_mxu(a, bands7, wav, lo_t, hi_t, out_drc, mode,
 
 def idwt3d(coeffs: Coeffs3D, wav: Wavelet,
            shape: Tuple[int, int, int], *,
-           backend: Optional[str] = None, pad_fn=None) -> jnp.ndarray:
+           backend: Optional[str] = None, pad_fn=None,
+           mode: str = "periodization") -> jnp.ndarray:
     """Inverse of :func:`dwt3d`; ``shape`` = (Nd, Nr, Nc)."""
-    backend = _auto_backend(backend, pad_fn)
+    backend = _auto_backend(backend, pad_fn, mode)
     use_pallas = backend == "pallas"
     if use_pallas and pad_fn is not None:
         raise ValueError("pallas backend does not support pad_fn")
     if use_pallas:
         backend = "fma"
+    from .modes import level_sizes as _mode_sizes
+
     levels = coeffs.levels
-    deps = level_sizes(shape[0], levels)
-    rows = level_sizes(shape[1], levels)
-    cols = level_sizes(shape[2], levels)
+    deps = _mode_sizes(shape[0], levels, wav.hlen, mode)
+    rows = _mode_sizes(shape[1], levels, wav.hlen, mode)
+    cols = _mode_sizes(shape[2], levels, wav.hlen, mode)
     rec = (wav.rec_lo, wav.rec_hi)
     lo_t, hi_t = _ftup(wav.rec_lo), _ftup(wav.rec_hi)
     ddt = (coeffs.details[-1][0].dtype if coeffs.details
            else coeffs.approx.dtype)
-    mode = _mxu_mode(ddt) if use_pallas else None
+    mxu = _mxu_mode(ddt) if use_pallas else None
     a, batch = _to_ncs(coeffs.approx)
-    if mode == "bf16":
+    if mxu == "bf16":
         a = _f32(a)
     for i in range(levels - 1, -1, -1):
-        out_dt = (jnp.bfloat16 if (mode == "bf16" and i == 0)
+        out_dt = (jnp.bfloat16 if (mxu == "bf16" and i == 0)
                   else jnp.float32)
         drc = (deps[i], rows[i], cols[i])
         bands = [_to_ncs(c)[0] for c in coeffs.details[i]]
         y = None
-        if mode is not None:
+        if mxu is not None:
             y = _inv_level_3d_pallas_mxu(a[:, 0], [t[:, 0] for t in bands],
-                                         wav, lo_t, hi_t, drc, mode,
+                                         wav, lo_t, hi_t, drc, mxu,
                                          out_dt)
         if y is None and use_pallas:
-            if mode is not None:
+            if mxu is not None:
                 a = _f32(a)
                 bands = [_f32(t) for t in bands]
             z = jnp.concatenate([a] + bands, axis=1)  # (B, 8, d, r, c)
             y = _inv_level_3d_pallas(z, wav, lo_t, hi_t, drc)
-            if y is not None and mode is not None:
+            if y is not None and mxu is not None:
                 y = y.astype(out_dt)
         if y is not None:
             a = y[:, None]
@@ -321,17 +326,17 @@ def idwt3d(coeffs: Coeffs3D, wav: Wavelet,
         # synthesis in reverse analysis order: depth, rows, cols — each
         # pass combines groups of 2 consecutive channels (the k bit of
         # that axis is the least-significant one remaining).
-        if mode is not None:
+        if mxu is not None:
             a = _f32(a)
             bands = [_f32(t) for t in bands]
         z = jnp.concatenate([a] + bands, axis=1)
         t = conv.synthesis_pass(z, rec, axis=-3, out_len=deps[i],
-                                backend=backend, pad_fn=pad_fn)
+                                backend=backend, pad_fn=pad_fn, mode=mode)
         t = conv.synthesis_pass(t, rec, axis=-2, out_len=rows[i],
-                                backend=backend, pad_fn=pad_fn)
+                                backend=backend, pad_fn=pad_fn, mode=mode)
         a = conv.synthesis_pass(t, rec, axis=-1, out_len=cols[i],
-                                backend=backend, pad_fn=pad_fn)
-        if mode is not None:
+                                backend=backend, pad_fn=pad_fn, mode=mode)
+        if mxu is not None:
             a = a.astype(out_dt)
     return _from_ncs(a, batch)
 
