@@ -25,6 +25,8 @@ Layers:
 from . import core, filters, models, ops, parallel, utils
 from .api import Wavelets, WaveletSpec
 from .api_packets import WaveletPackets
+from .core.modes import MODES
+from .core.precision import TIERS, precision_scope
 from .filters import (
     Wavelet,
     get_wavelet,
@@ -40,5 +42,6 @@ __all__ = [
     "Wavelets", "WaveletSpec", "WaveletPackets", "Wavelet",
     "get_wavelet", "list_wavelets", "make_custom_wavelet",
     "register_wavelet", "quad_filters",
+    "MODES", "TIERS", "precision_scope",
     "core", "filters", "models", "ops", "parallel", "utils",
 ]

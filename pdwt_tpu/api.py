@@ -77,6 +77,11 @@ class WaveletSpec:
     dtype: str = "float32"
     hlen: int = 2
     nd: int = 1  # depth (ndim == 3 only; the reference has no 3D)
+    #: boundary extension (core/modes.py); "periodization" = the
+    #: reference scheme, the rest are the pywt modes (DWT only)
+    mode: str = "periodization"
+    #: precision tier (core/precision.py); "auto" = env-var defaults
+    precision: str = "auto"
 
     @property
     def shape(self):
@@ -113,10 +118,41 @@ class Wavelets:
         do_cycle_spinning: bool = False,
         do_swt: bool = False,
         ndim: int = 2,
-        dtype=jnp.float32,
+        dtype=None,
         seed: int = 0,
         backend: Optional[str] = None,
+        mode: str = "periodization",
+        precision: Optional[str] = None,
+        device=None,
     ):
+        from .core import modes as modes_mod
+        from .core import precision as prec_mod
+
+        modes_mod.check_mode(mode)
+        if dtype is None:
+            # bf16-* tiers imply bf16 arrays; everything else runs f32.
+            dtype = (jnp.bfloat16
+                     if precision is not None and precision.startswith("bf16-")
+                     else jnp.float32)
+        resolved_tier = ("auto" if precision is None
+                         else prec_mod.tier_for(jnp.dtype(dtype).name,
+                                                precision))
+        if mode != "periodization":
+            if do_swt:
+                raise ValueError(
+                    "the stationary transform is periodic by definition "
+                    "(pywt.swt has no mode either); non-periodization "
+                    "boundary modes apply to the decimated DWT only")
+            if not do_separable:
+                raise ValueError(
+                    "non-separable transforms support mode='periodization' "
+                    "only")
+            if do_cycle_spinning:
+                warnings.warn(
+                    "cycle spinning shifts circularly, which mixes opposite "
+                    "edges — with a non-periodization boundary mode the "
+                    "shifted transforms are not shift-consistent at the "
+                    "borders")
         nd = 1
         if img is not None:
             img = jnp.asarray(img, dtype=dtype)
@@ -194,9 +230,14 @@ class Wavelets:
             do_swt=do_swt, do_separable=do_separable,
             do_cycle_spinning=do_cycle_spinning,
             dtype=jnp.dtype(dtype).name, hlen=hlen, nd=nd,
+            mode=mode, precision=resolved_tier,
         )
         self._dtype = jnp.dtype(dtype)
         self._backend = backend
+        # device placement (the analogue of the reference TODO's
+        # "user-defined target CUDA device", reference: TODO.txt):
+        # a jax.Device or Sharding; jit follows the input placement.
+        self._device = device
         self.state = WState.INIT
         self.current_shift_r = 0
         self.current_shift_c = 0
@@ -206,6 +247,8 @@ class Wavelets:
         if img is None:
             img = jnp.zeros((nd, nr, nc) if ndim == 3 else (nr, nc),
                             dtype=self._dtype)
+        if device is not None:
+            img = jax.device_put(img, device)
         self.d_image = img if ndim in (2, 3) else img.reshape(nr, nc)
         self._coeffs = self._zero_coeffs()
         # jit cache for the transform pipelines: the reference launches
@@ -233,7 +276,19 @@ class Wavelets:
     def _jitted(self, key, make):
         fn = self._jit_cache.get(key)
         if fn is None:
-            fn = jax.jit(make())
+            base = jax.jit(make())
+            tier = self.spec.precision
+            if tier == "auto":
+                fn = base
+            else:
+                # the tier must be live while the program TRACES (first
+                # call); keys include the spec, so instances with
+                # different tiers retrace independently in one process.
+                from .core.precision import precision_scope
+
+                def fn(*args, _base=base, _tier=tier):
+                    with precision_scope(_tier):
+                        return _base(*args)
             self._jit_cache[key] = fn
         return fn
 
@@ -258,6 +313,32 @@ class Wavelets:
     def _zero_coeffs(self):
         s = self.spec
         z = partial(jnp.zeros, dtype=self._dtype)
+        if s.mode != "periodization":
+            # pywt size rule: per-level lengths depend on the filter
+            # support (core/modes.py dec_len); DWT only (ctor guards).
+            from .core.modes import level_sizes as _msizes
+
+            axes = ((s.nd, s.nr, s.nc) if s.ndim == 3
+                    else (s.nr, s.nc) if s.ndim == 2 else (s.nc,))
+            chains = [_msizes(n, s.nlevels, s.hlen, s.mode) for n in axes]
+            det_shapes = [tuple(ch[i + 1] for ch in chains)
+                          for i in range(s.nlevels)]
+            if s.ndim == 3:
+                from .core.separable3d import Coeffs3D
+
+                return Coeffs3D(
+                    z(det_shapes[-1]),
+                    tuple(tuple(z(d) for _ in range(7)) for d in det_shapes),
+                )
+            if s.ndim == 2:
+                return Coeffs2D(
+                    z(det_shapes[-1]),
+                    tuple((z(d), z(d), z(d)) for d in det_shapes),
+                )
+            return Coeffs1D(
+                z((s.nr, det_shapes[-1][0])),
+                tuple(z((s.nr, d[0])) for d in det_shapes),
+            )
         if s.ndim == 3:
             from .core.separable3d import Coeffs3D
             from .core.shapes import coeff_shapes_3d
@@ -311,6 +392,7 @@ class Wavelets:
         import jax as _jax
 
         haar_fast = s.hlen == 2 and not s.do_swt \
+            and s.mode == "periodization" \
             and _jax.default_backend() != "tpu"
 
         def fn(img, sd, sr, sc):
@@ -321,19 +403,22 @@ class Wavelets:
                 if haar_fast:
                     return haar_core.haar_dwt1d(img, s.nlevels)
                 if not s.do_swt:
-                    return sep_core.dwt1d(img, w, s.nlevels, backend=be)
+                    return sep_core.dwt1d(img, w, s.nlevels, backend=be,
+                                          mode=s.mode)
                 return sep_core.swt1d(img, w, s.nlevels, backend=be)
             if s.ndim == 3:
                 from .core import separable3d as sep3
 
                 if not s.do_swt:
-                    return sep3.dwt3d(img, w, s.nlevels, backend=be)
+                    return sep3.dwt3d(img, w, s.nlevels, backend=be,
+                                      mode=s.mode)
                 return sep3.swt3d(img, w, s.nlevels, backend=be)
             if haar_fast and s.do_separable:
                 return haar_core.haar_dwt2d(img, s.nlevels)
             if s.do_separable:
                 if not s.do_swt:
-                    return sep_core.dwt2d(img, w, s.nlevels, backend=be)
+                    return sep_core.dwt2d(img, w, s.nlevels, backend=be,
+                                          mode=s.mode)
                 return sep_core.swt2d(img, w, s.nlevels, backend=be)
             if quads is None:
                 raise ValueError("no forward quad filters set")
@@ -409,7 +494,8 @@ class Wavelets:
                     fwd = sep3.swt3d if s.do_swt else sep3.dwt3d
                 else:
                     fwd = sep_core.swt2d if s.do_swt else sep_core.dwt2d
-                c = fwd(img, w, s.nlevels, backend=be)
+                fwd_kw = {} if s.do_swt else {"mode": s.mode}
+                c = fwd(img, w, s.nlevels, backend=be, **fwd_kw)
                 if fuse:
                     n1 = ops.thresholded_norm1(
                         c, b, mode=mode, normalize=normalize,
@@ -428,17 +514,19 @@ class Wavelets:
                         out = (sep_core.iswt1d(c, w, backend=be)
                                if s.do_swt
                                else sep_core.idwt1d(c, w, s.nc,
-                                                    backend=be))
+                                                    backend=be,
+                                                    mode=s.mode))
                     elif s.ndim == 3:
                         out = (sep3.iswt3d(c, w, backend=be)
                                if s.do_swt
                                else sep3.idwt3d(c, w, (s.nd, s.nr, s.nc),
-                                                backend=be))
+                                                backend=be, mode=s.mode))
                     else:
                         out = (sep_core.iswt2d(c, w, backend=be)
                                if s.do_swt
                                else sep_core.idwt2d(c, w, (s.nr, s.nc),
-                                                    backend=be))
+                                                    backend=be,
+                                                    mode=s.mode))
                 if s.do_cycle_spinning:
                     out = (ops.circshift3d(out, -sd, -sr, -sc)
                            if s.ndim == 3
@@ -478,6 +566,7 @@ class Wavelets:
         import jax as _jax
 
         haar_fast = s.hlen == 2 and not s.do_swt \
+            and s.mode == "periodization" \
             and _jax.default_backend() != "tpu"
 
         def make():
@@ -486,14 +575,16 @@ class Wavelets:
                     if haar_fast:
                         img = haar_core.haar_idwt1d(c, s.nc)
                     elif not s.do_swt:
-                        img = sep_core.idwt1d(c, w, s.nc, backend=be)
+                        img = sep_core.idwt1d(c, w, s.nc, backend=be,
+                                              mode=s.mode)
                     else:
                         img = sep_core.iswt1d(c, w, backend=be)
                 elif s.ndim == 3:
                     from .core import separable3d as sep3
 
                     if not s.do_swt:
-                        img = sep3.idwt3d(c, w, s.shape, backend=be)
+                        img = sep3.idwt3d(c, w, s.shape, backend=be,
+                                          mode=s.mode)
                     else:
                         img = sep3.iswt3d(c, w, backend=be)
                 else:
@@ -501,7 +592,8 @@ class Wavelets:
                         img = haar_core.haar_idwt2d(c, s.shape)
                     elif s.do_separable:
                         if not s.do_swt:
-                            img = sep_core.idwt2d(c, w, s.shape, backend=be)
+                            img = sep_core.idwt2d(c, w, s.shape, backend=be,
+                                                  mode=s.mode)
                         else:
                             img = sep_core.iswt2d(c, w, backend=be)
                     else:
@@ -740,6 +832,8 @@ class Wavelets:
                                                           if self.spec.ndim == 3
                                                           else (self.spec.nr,
                                                                 self.spec.nc))
+        if self._device is not None:
+            img = jax.device_put(img, self._device)
         self.d_image = img
         self.state = WState.INIT
 
@@ -839,7 +933,13 @@ class Wavelets:
                           (filter1, filter2, filter3, filter4)])
             self._quads_fwd = q
             n = q.shape[-1]
+        hlen_changed = n != self.spec.hlen
         self.spec = dataclasses.replace(self.spec, wname=filtername, hlen=n)
+        if hlen_changed and self.spec.mode != "periodization":
+            # non-periodization coefficient shapes depend on the filter
+            # support (pywt size rule) — rebuild the zero pytree
+            self._coeffs = self._zero_coeffs()
+            self.state = WState.INIT
         return 0
 
     def set_filters_inverse(self, filter1, filter2, filter3=None, filter4=None):
@@ -884,6 +984,8 @@ class Wavelets:
             "cycle_spinning": s.do_cycle_spinning,
             "separable": s.do_separable,
             "dtype": s.dtype,
+            "mode": s.mode,
+            "precision": s.precision,
             "estimated_memory_mb": mem / 1e6,
             "device": f"{dev.platform}:{dev.device_kind}",
             "state": self.state.value,
@@ -905,6 +1007,8 @@ class Wavelets:
         print(f"Stationary WT : {yn[i['stationary']]}")
         print(f"Cycle spinning : {yn[i['cycle_spinning']]}")
         print(f"Separable transform : {yn[i['separable']]}")
+        print(f"Boundary mode : {i['mode']}")
+        print(f"Precision tier : {i['precision']}")
         print(f"Estimated memory footprint : {i['estimated_memory_mb']:.2f} MB")
         print(f"Running on device : {i['device']}")
         print("--------------------------------------------------")
@@ -914,4 +1018,5 @@ class Wavelets:
         return (f"Wavelets({s.wname!r}, shape=({s.nr}, {s.nc}), ndim={s.ndim}, "
                 f"levels={s.nlevels}, swt={s.do_swt}, separable={s.do_separable}, "
                 f"cycle_spinning={s.do_cycle_spinning}, dtype={s.dtype}, "
+                f"mode={s.mode}, precision={s.precision}, "
                 f"state={self.state.value})")

@@ -24,7 +24,8 @@ from .packets import (Packets1D, Packets2D, Packets3D, best_basis,
                       iwp1d, iwp2d, iwp3d, wp1d, wp2d, wp3d, wp_costs,
                       wp_reconstruct)
 from .anisotropic import fs_dwt, fs_idwt, fs_slices
-from .continuous import cwt, fourier_wavelength, icwt, log_scales
+from .continuous import (cone_of_influence, cwt, cwt2d,
+                         fourier_wavelength, icwt, log_scales)
 from .dualtree import (DTCoeffs1D, DTCoeffs2D, dtcwt1d, dtcwt2d,
                        dtcwt_auto_denoise, dtcwt_denoise, dtcwt_wavelets,
                        idtcwt1d, idtcwt2d)
@@ -35,7 +36,8 @@ from .haar import haar_dwt1d, haar_dwt2d, haar_idwt1d, haar_idwt2d
 from .shapes import (coeff_shapes_1d, coeff_shapes_2d, coeff_shapes_3d,
                      div2, level_sizes, max_level)
 from .modes import MODES, dec_len, extend, rec_len
-from . import conv, modes
+from .precision import TIERS, precision_scope
+from . import conv, modes, precision
 
 __all__ = [
     "Coeffs1D", "Coeffs2D", "Coeffs3D", "DETAIL_KEYS_3D",
@@ -47,7 +49,8 @@ __all__ = [
     "iwp1d", "iwp2d", "iwp3d",
     "wp_costs", "best_basis", "wp_reconstruct",
     "fs_dwt", "fs_idwt", "fs_slices",
-    "cwt", "icwt", "log_scales", "fourier_wavelength",
+    "cwt", "cwt2d", "icwt", "log_scales", "fourier_wavelength",
+    "cone_of_influence",
     "DTCoeffs1D", "DTCoeffs2D", "dtcwt1d", "dtcwt2d", "idtcwt1d",
     "idtcwt2d", "dtcwt_wavelets", "dtcwt_denoise",
     "dtcwt_auto_denoise",
@@ -57,5 +60,6 @@ __all__ = [
     "coeff_shapes_1d", "coeff_shapes_2d", "coeff_shapes_3d",
     "div2", "level_sizes", "max_level",
     "MODES", "dec_len", "rec_len", "extend",
-    "conv", "modes",
+    "TIERS", "precision_scope",
+    "conv", "modes", "precision",
 ]

@@ -38,6 +38,7 @@ from jax import lax
 from . import conv
 from .separable import Coeffs2D, _from_nchw, _to_nchw
 from .shapes import level_sizes
+from .precision import takes_precision
 
 
 def _accum(dtype):
@@ -127,6 +128,7 @@ def _inv_level(z, quads, out_shape):
     return out
 
 
+@takes_precision
 def dwt2d_ns(x: jnp.ndarray, quads, levels: int, *,
              backend=None, pad_fn=None) -> Coeffs2D:
     q = _check_quads(quads)
@@ -205,6 +207,7 @@ def _rank_inv_level(z, A, Bc, out_shape, pad_fn=None):
                                pad_fn=pad_fn)
 
 
+@takes_precision
 def idwt2d_ns(coeffs: Coeffs2D, quads_inv, shape: Tuple[int, int], *,
               backend=None, pad_fn=None) -> jnp.ndarray:
     q = _check_quads(quads_inv)
@@ -286,6 +289,7 @@ def _inv_swt_level(z, quads, factor):
     return _conv2d(u, kern, dilation=(factor, factor))
 
 
+@takes_precision
 def swt2d_ns(x: jnp.ndarray, quads, levels: int, *,
              backend=None, pad_fn=None) -> Coeffs2D:
     q = _check_quads(quads)
@@ -354,6 +358,7 @@ def swt2d_ns(x: jnp.ndarray, quads, levels: int, *,
     return Coeffs2D(_from_nchw(a, batch, 2), tuple(details))
 
 
+@takes_precision
 def iswt2d_ns(coeffs: Coeffs2D, quads_inv, *, backend=None,
               pad_fn=None) -> jnp.ndarray:
     q = _check_quads(quads_inv)

@@ -31,6 +31,7 @@ import numpy as np
 from ..filters import Wavelet
 from . import conv
 from .shapes import div2, level_sizes
+from .precision import takes_precision
 
 
 class Coeffs2D(NamedTuple):
@@ -87,16 +88,16 @@ def _ftup(f):
 def _mxu_mode(dtype) -> Optional[str]:
     """MXU kernel mode for the pallas 2D path: "bf16" for bf16 arrays
     (half-traffic serving; one bf16 matmul per pass, f32 accumulation),
-    "mixed" for f32 arrays when PDWT_TPU_PRECISION=mixed (bf16x3 compute,
-    ~1e-5 relative coefficient error, ~2.5x faster than exact), or None
-    for the exact-f32 VPU kernels."""
-    import os
+    "mixed" for f32 arrays under the "mixed" precision tier (bf16x3
+    compute, ~1e-5 relative coefficient error, ~2.5x faster than exact),
+    or None for the exact-f32 VPU kernels.  The tier comes from
+    core/precision.py: an active precision_scope / facade tier wins,
+    else the PDWT_TPU_PRECISION env default."""
+    from . import precision
 
     if dtype == jnp.bfloat16:
         return "bf16"
-    if (dtype == jnp.float32
-            and os.environ.get("PDWT_TPU_PRECISION", "").lower()
-            in ("mixed", "bf16x3")):
+    if dtype == jnp.float32 and precision.mixed_requested():
         return "mixed"
     return None
 
@@ -304,6 +305,7 @@ def _idwt2d_pallas(coeffs: Coeffs2D, wav: Wavelet,
     return a.reshape(batch + a.shape[1:])
 
 
+@takes_precision
 def dwt2d(x: jnp.ndarray, wav: Wavelet, levels: int, *,
           backend: Optional[str] = None, pad_fn=None,
           mode: str = "periodization") -> Coeffs2D:
@@ -332,6 +334,7 @@ def dwt2d(x: jnp.ndarray, wav: Wavelet, levels: int, *,
     return Coeffs2D(_from_nchw(a, batch, 2), tuple(details))
 
 
+@takes_precision
 def idwt2d(coeffs: Coeffs2D, wav: Wavelet, shape: Tuple[int, int], *,
            backend: Optional[str] = None, pad_fn=None,
            mode: str = "periodization") -> jnp.ndarray:
@@ -410,6 +413,7 @@ def _swt2d_pallas(x: jnp.ndarray, wav: Wavelet, levels: int,
     return (coeffs, tuple(approxs)) if keep_approx else coeffs
 
 
+@takes_precision
 def swt2d(x: jnp.ndarray, wav: Wavelet, levels: int, *,
           backend: Optional[str] = None, pad_fn=None,
           keep_approx: bool = False):
@@ -489,6 +493,7 @@ def _iswt2d_pallas(coeffs: Coeffs2D, wav: Wavelet) -> jnp.ndarray:
     return a.reshape(batch + a.shape[1:])
 
 
+@takes_precision
 def iswt2d(coeffs: Coeffs2D, wav: Wavelet, *,
            backend: Optional[str] = None, pad_fn=None) -> jnp.ndarray:
     backend = _auto_backend(backend, pad_fn)
@@ -546,6 +551,7 @@ def _dwt1d_pallas(x: jnp.ndarray, wav: Wavelet, levels: int) -> Coeffs1D:
     return Coeffs1D(a.reshape(batch + a.shape[1:]), tuple(details))
 
 
+@takes_precision
 def dwt1d(x: jnp.ndarray, wav: Wavelet, levels: int, *,
           backend: Optional[str] = None, pad_fn=None,
           mode: str = "periodization") -> Coeffs1D:
@@ -605,6 +611,7 @@ def _idwt1d_pallas(coeffs: Coeffs1D, wav: Wavelet, length: int) -> jnp.ndarray:
     return a.reshape(batch + a.shape[1:])
 
 
+@takes_precision
 def idwt1d(coeffs: Coeffs1D, wav: Wavelet, length: int, *,
            backend: Optional[str] = None, pad_fn=None,
            mode: str = "periodization") -> jnp.ndarray:
@@ -627,6 +634,7 @@ def idwt1d(coeffs: Coeffs1D, wav: Wavelet, length: int, *,
     return _from_nchw(a, batch, 1)
 
 
+@takes_precision
 def iswt2d_denoise(coeffs: Coeffs2D, wav: Wavelet, beta, *,
                    mode: str = "soft", normalize: bool = False,
                    do_thresh_appcoeffs: bool = False,
@@ -746,6 +754,7 @@ def _swt1d_pallas(x: jnp.ndarray, wav: Wavelet, levels: int,
     return (coeffs, tuple(approxs)) if keep_approx else coeffs
 
 
+@takes_precision
 def swt1d(x: jnp.ndarray, wav: Wavelet, levels: int, *,
           backend: Optional[str] = None, pad_fn=None,
           keep_approx: bool = False):
@@ -811,6 +820,7 @@ def _iswt1d_pallas(coeffs: Coeffs1D, wav: Wavelet) -> jnp.ndarray:
     return a.reshape(batch + a.shape[1:])
 
 
+@takes_precision
 def iswt1d(coeffs: Coeffs1D, wav: Wavelet, *,
            backend: Optional[str] = None, pad_fn=None) -> jnp.ndarray:
     backend = _auto_backend(backend, pad_fn)

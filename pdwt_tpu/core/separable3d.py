@@ -37,6 +37,7 @@ from . import conv
 from .depth_matmul import depth_analysis_mm, depth_synthesis_mm, use_depth_mm
 from .separable import _auto_backend, _f32, _ftup, _mxu_mode
 from .shapes import level_sizes
+from .precision import takes_precision
 
 
 def _depth_analysis(x, filters, *, dilation=1, decimate=True, pad_fn=None):
@@ -173,6 +174,7 @@ def _inv_level_3d_pallas(z: jnp.ndarray, wav: Wavelet, lo_t, hi_t,
     return y.reshape(b, dd, y.shape[-2], y.shape[-1])
 
 
+@takes_precision
 def dwt3d(x: jnp.ndarray, wav: Wavelet, levels: int, *,
           backend: Optional[str] = None, pad_fn=None,
           mode: str = "periodization") -> Coeffs3D:
@@ -277,6 +279,7 @@ def _inv_level_3d_pallas_mxu(a, bands7, wav, lo_t, hi_t, out_drc, mode,
     return None if out is None else out.astype(out_dtype)
 
 
+@takes_precision
 def idwt3d(coeffs: Coeffs3D, wav: Wavelet,
            shape: Tuple[int, int, int], *,
            backend: Optional[str] = None, pad_fn=None,
@@ -394,6 +397,7 @@ def _swt_inv_level_3d_pallas(z: jnp.ndarray, wav: Wavelet, lo_t, hi_t,
         return None
     return y.reshape(b, d, r, c)
 
+@takes_precision
 def swt3d(x: jnp.ndarray, wav: Wavelet, levels: int, *,
           backend: Optional[str] = None, pad_fn=None,
           keep_approx: bool = False):
@@ -443,6 +447,7 @@ def swt3d(x: jnp.ndarray, wav: Wavelet, levels: int, *,
     return (coeffs, tuple(approxs)) if keep_approx else coeffs
 
 
+@takes_precision
 def iswt3d(coeffs: Coeffs3D, wav: Wavelet, *,
            backend: Optional[str] = None, pad_fn=None) -> jnp.ndarray:
     """Inverse stationary 3D transform.  Each separable synthesis pass
@@ -505,6 +510,7 @@ def iswt3d(coeffs: Coeffs3D, wav: Wavelet, *,
     return _from_ncs(a, batch)
 
 
+@takes_precision
 def iswt3d_denoise(coeffs: Coeffs3D, wav: Wavelet, beta, *,
                    mode: str = "soft", normalize: bool = False,
                    do_thresh_appcoeffs: bool = False,

@@ -167,56 +167,41 @@ def main(argv=None) -> int:
             coeffs = type(coeffs)(coeffs.approx, det)
         rec = inv(coeffs, w, shape, swt=args.swt)
     else:
-        import os
-
-        import jax.numpy as jnp
-
         from pdwt_tpu import Wavelets
 
-        dtype = jnp.float32
-        prior_prec = os.environ.get("PDWT_TPU_PRECISION")
-        if args.precision == "mixed":
-            os.environ["PDWT_TPU_PRECISION"] = "mixed"
-        elif args.precision == "bf16":
-            dtype = jnp.bfloat16
-        try:
-            W = Wavelets(img, wname=args.wavelet, levels=args.levels,
-                         do_swt=args.swt,
-                         do_separable=not args.nonseparable,
-                         do_cycle_spinning=args.cycle_spinning,
-                         dtype=dtype)
-            W.print_informations()
-            W.forward()
-            print(f"norm1(coeffs) = {W.norm1():.6e}")
-            if args.scenario == 1:
-                write_dat(args.out, W.get_coeff(0))
-                print(f"approximation written to {args.out}")
-                return 0
-            if args.scenario == 3:
-                if args.auto_beta == "bayes":
-                    sigma = W.noise_sigma()
-                    W.bayes_shrink()
-                    print(f"BayesShrink applied (sigma~{sigma:.4g}); "
-                          f"norm1 = {W.norm1():.6e}")
-                else:
-                    beta = (W.universal_threshold()
-                            if args.auto_beta == "universal"
-                            else args.beta)
-                    W.soft_threshold(beta)
-                    print(f"soft threshold beta={beta:.6g} applied; "
-                          f"norm1 = {W.norm1():.6e}")
-            # prove reconstruction comes from the coefficients alone
-            # (reference: src/demo.cpp:208-214)
-            W.set_image(np.zeros_like(img))
-            rec = np.asarray(W.inverse(), dtype=np.float32)
-        finally:
-            # main() is importable — don't leak the precision override
-            # into the caller's process
-            if args.precision == "mixed":
-                if prior_prec is None:
-                    os.environ.pop("PDWT_TPU_PRECISION", None)
-                else:
-                    os.environ["PDWT_TPU_PRECISION"] = prior_prec
+        # first-class precision tiers (core/precision.py) — per-instance,
+        # nothing leaks into the caller's process
+        tier = {"exact": "exact", "mixed": "mixed",
+                "bf16": "bf16-fast"}[args.precision]
+        W = Wavelets(img, wname=args.wavelet, levels=args.levels,
+                     do_swt=args.swt,
+                     do_separable=not args.nonseparable,
+                     do_cycle_spinning=args.cycle_spinning,
+                     precision=tier)
+        W.print_informations()
+        W.forward()
+        print(f"norm1(coeffs) = {W.norm1():.6e}")
+        if args.scenario == 1:
+            write_dat(args.out, W.get_coeff(0))
+            print(f"approximation written to {args.out}")
+            return 0
+        if args.scenario == 3:
+            if args.auto_beta == "bayes":
+                sigma = W.noise_sigma()
+                W.bayes_shrink()
+                print(f"BayesShrink applied (sigma~{sigma:.4g}); "
+                      f"norm1 = {W.norm1():.6e}")
+            else:
+                beta = (W.universal_threshold()
+                        if args.auto_beta == "universal"
+                        else args.beta)
+                W.soft_threshold(beta)
+                print(f"soft threshold beta={beta:.6g} applied; "
+                      f"norm1 = {W.norm1():.6e}")
+        # prove reconstruction comes from the coefficients alone
+        # (reference: src/demo.cpp:208-214)
+        W.set_image(np.zeros_like(img))
+        rec = np.asarray(W.inverse(), dtype=np.float32)
 
     err = float(np.abs(rec - img).max())
     note = " (thresholded: expected nonzero)" if args.scenario == 3 else ""

@@ -173,16 +173,15 @@ _BF16_TIERS = {"fast": ("b1", "fd"), "balanced": ("b2f", "b2f"),
 
 def _bf16_l1_schemes() -> Tuple[str, str]:
     """(forward, inverse) compute scheme for the bf16-mode L1 passes:
-    PDWT_TPU_BF16_ACCURACY selects a measured tier; the raw
-    PDWT_TPU_BF16_L1FWD / _L1INV knobs override individually (sweeps)."""
+    the active precision tier (core/precision.py — facade kwarg /
+    precision_scope, else the PDWT_TPU_BF16_ACCURACY env default)
+    selects a measured rung; the raw PDWT_TPU_BF16_L1FWD / _L1INV knobs
+    override individually (sweeps)."""
     import os
 
-    tier = os.environ.get("PDWT_TPU_BF16_ACCURACY", "fast")
-    if tier not in _BF16_TIERS:
-        raise ValueError(
-            f"PDWT_TPU_BF16_ACCURACY={tier!r}: pick from "
-            f"{sorted(_BF16_TIERS)}")
-    f, i = _BF16_TIERS[tier]
+    from ..core import precision
+
+    f, i = _BF16_TIERS[precision.bf16_accuracy()]
     return (os.environ.get("PDWT_TPU_BF16_L1FWD", f),
             os.environ.get("PDWT_TPU_BF16_L1INV", i))
 

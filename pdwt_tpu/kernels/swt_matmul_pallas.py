@@ -149,10 +149,12 @@ def _swt_bf16_scheme(default: str) -> str:
     f32 arrays."""
     import os
 
+    from ..core import precision
+
     ov = os.environ.get("PDWT_TPU_SWT_BF16_SCHEME")
     if ov:
         return ov
-    if os.environ.get("PDWT_TPU_BF16_ACCURACY", "fast") != "fast":
+    if precision.bf16_accuracy() != "fast":
         return "b2f"
     return default
 

@@ -10,9 +10,15 @@ their lists straight to this framework and back:
 * 2D: ``[cA_n, (cH_n, cV_n, cD_n), ..., lvl 1]`` (``pywt.wavedec2``)
 * 3D: ``[cA_n, {'add': ...}, ..., lvl 1]``       (``pywt.wavedecn``)
 
-Convention notes (structure only — numerical values additionally match
-pywt only for its ``mode='periodization'`` up to each wavelet's phase
-convention):
+Convention notes.  Numerical equality with pywt holds for
+``mode='periodization'`` (up to each wavelet's phase convention) AND —
+since the core grew the full pywt extension-mode set (core/modes.py) —
+for every non-periodization mode (``pywt.wavedec*(..., mode=
+'symmetric'|'zero'|...)`` ↔ ``dwt*( ..., mode=...)``), for every
+wavelet whose filter bank matches pywt's published coefficients
+(verified against the pywt-algorithm oracle in tests/test_modes.py;
+pywt itself is not installable in this environment).  Structure
+conventions:
 
 * pywt orders levels coarsest-first; ``Coeffs*`` pytrees are
   finest-first (``details[0]`` = level 1).

@@ -178,3 +178,111 @@ def test_mode_errors(rng):
         # pywt parity rule: non-periodization inverse needs even hlen
         conv.synthesis_pass(jnp.ones((1, 2, 1, 8)), (wc.rec_lo, wc.rec_hi),
                             axis=-1, mode="symmetric")
+
+
+# ---------------------------------------------------------------------------
+# Facade integration (Wavelets mode= / precision= / device=)
+# ---------------------------------------------------------------------------
+
+def test_facade_mode_roundtrip(rng):
+    from pdwt_tpu import Wavelets
+
+    img = rng.standard_normal((37, 29)).astype(np.float32)
+    W = Wavelets(img, wname="db4", levels=2, mode="symmetric")
+    W.forward()
+    # coefficient shapes follow the pywt rule
+    w = get_wavelet("db4")
+    sizes_r = modes.level_sizes(37, 2, w.hlen, "symmetric")
+    sizes_c = modes.level_sizes(29, 2, w.hlen, "symmetric")
+    assert W.get_coeff(0).shape == (sizes_r[2], sizes_c[2])
+    assert W.get_coeff(1).shape == (sizes_r[1], sizes_c[1])
+    rec = W.inverse()
+    np.testing.assert_allclose(np.asarray(rec), img, atol=1e-4)
+    assert W.info()["mode"] == "symmetric"
+    # zeroed-coeffs geometry matches the forward's
+    W2 = Wavelets(nr=37, nc=29, wname="db4", levels=2, mode="symmetric")
+    assert W2.coeffs.approx.shape == W.coeffs.approx.shape
+
+
+def test_facade_mode_denoise(rng):
+    from pdwt_tpu import Wavelets
+
+    img = rng.standard_normal((32, 32)).astype(np.float32)
+    W = Wavelets(img, wname="sym4", levels=2, mode="reflect")
+    out, n1 = W.run_denoise(0.1)
+    assert out.shape == (32, 32)
+    assert float(n1) > 0
+
+
+def test_facade_mode_errors():
+    from pdwt_tpu import Wavelets
+
+    with pytest.raises(ValueError):
+        Wavelets(nr=16, nc=16, wname="db2", mode="symmetric", do_swt=True)
+    with pytest.raises(ValueError):
+        Wavelets(nr=16, nc=16, wname="db2", mode="symmetric",
+                 do_separable=False)
+    with pytest.raises(ValueError):
+        Wavelets(nr=16, nc=16, wname="db2", mode="symmetrical")
+    with pytest.warns(UserWarning):
+        Wavelets(nr=16, nc=16, wname="db2", mode="zero",
+                 do_cycle_spinning=True)
+
+
+def test_facade_precision_tiers_coexist(rng):
+    """Two instances with different tiers in ONE process (the round-4
+    env-var staleness hazard this API closes).  On CPU the tiers don't
+    change the kernels (pallas is TPU-only), so assert the spec/info
+    plumbing and per-instance jit keys instead of numerics."""
+    from pdwt_tpu import Wavelets
+
+    img = rng.standard_normal((16, 16)).astype(np.float32)
+    We = Wavelets(img, wname="db2", levels=2, precision="exact")
+    Wm = Wavelets(img, wname="db2", levels=2, precision="mixed")
+    assert We.spec.precision == "exact" and Wm.spec.precision == "mixed"
+    assert We.spec != Wm.spec  # distinct jit keys
+    ce, cm = We.forward(), Wm.forward()
+    np.testing.assert_allclose(np.asarray(ce.approx), np.asarray(cm.approx),
+                               atol=1e-6)
+    assert We.info()["precision"] == "exact"
+    # bf16 tier implies bf16 arrays when dtype is unset
+    Wb = Wavelets(img, wname="db2", levels=2, precision="bf16-balanced")
+    assert Wb.spec.dtype == "bfloat16"
+    assert Wb.spec.precision == "bf16-balanced"
+    import jax.numpy as jnp
+    with pytest.raises(ValueError):
+        Wavelets(img, wname="db2", precision="bf16-fast", dtype=jnp.float32)
+    with pytest.raises(ValueError):
+        Wavelets(img, wname="db2", precision="exactly")
+
+
+def test_facade_device_kwarg(rng):
+    import jax
+
+    from pdwt_tpu import Wavelets
+
+    dev = jax.devices()[-1]  # conftest forces 8 virtual CPU devices
+    img = rng.standard_normal((16, 16)).astype(np.float32)
+    W = Wavelets(img, wname="db2", levels=2, device=dev)
+    assert W.d_image.devices() == {dev}
+    W.forward()
+    assert W.coeffs.approx.devices() == {dev}
+    rec = W.inverse()
+    np.testing.assert_allclose(np.asarray(rec), img, atol=1e-5)
+    W.set_image(img)
+    assert W.d_image.devices() == {dev}
+
+
+def test_custom_filter_rezero_under_mode(rng):
+    from pdwt_tpu import Wavelets
+
+    W = Wavelets(nr=20, nc=20, wname="db2", levels=2, mode="symmetric")
+    shape_before = W.coeffs.approx.shape
+    w8 = get_wavelet("db8")
+    W.set_filters_forward("db8", w8.dec_lo, w8.dec_hi)
+    W.set_filters_inverse(w8.rec_lo, w8.rec_hi)
+    assert W.coeffs.approx.shape != shape_before  # pywt sizes track hlen
+    img = rng.standard_normal((20, 20)).astype(np.float32)
+    W.set_image(img)
+    W.forward()
+    np.testing.assert_allclose(np.asarray(W.inverse()), img, atol=1e-4)
