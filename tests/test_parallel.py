@@ -4,6 +4,8 @@ Runs on the 8-virtual-device CPU backend configured in conftest.py — the
 standard way to validate pjit/shard_map meshes without a pod
 (SURVEY.md §4).
 """
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -553,3 +555,22 @@ def test_sharded_packets_1d_and_3d(mesh, rng):
     leaves, _ = PK.best_basis(pk3, "l1")
     y3 = PPK.wp_reconstruct(pk3, leaves, w, mesh, **ax3)
     assert float(jnp.abs(y3 - jnp.asarray(v)).max()) < 5e-5
+
+
+@pytest.mark.skipif(os.environ.get("PDWT_TPU_MULTIHOST") != "1",
+                    reason="opt-in: spawns 2 jax.distributed processes "
+                           "(PDWT_TPU_MULTIHOST=1); the same script runs "
+                           "standalone as tools/multihost_smoke.py")
+def test_multihost_two_process_smoke():
+    """parallel.init_distributed + a GLOBAL 2-process mesh: one sharded
+    SWT denoise step whose ring halos cross the process boundary,
+    asserted bit-identical to the single-process step (VERDICT r4 #4)."""
+    import subprocess
+    import sys
+
+    script = os.path.join(os.path.dirname(__file__), "..", "tools",
+                          "multihost_smoke.py")
+    out = subprocess.run([sys.executable, script], capture_output=True,
+                         text=True, timeout=600)
+    assert out.returncode == 0, out.stdout + out.stderr
+    assert "MULTIHOST SMOKE OK (2 processes)" in out.stdout
