@@ -20,6 +20,7 @@ def _vol(rng, shape=(16, 24, 32)):
     return jnp.asarray(rng.standard_normal(shape))
 
 
+@pytest.mark.slow
 def test_dwt3d_perfect_reconstruction(rng):
     w = get_wavelet("db4")
     for shape in [(16, 24, 32), (15, 21, 33)]:  # incl. odd sizes
@@ -42,6 +43,7 @@ def test_dwt3d_backend_equality(rng):
                                        rtol=0, atol=1e-12)
 
 
+@pytest.mark.slow
 def test_swt3d_perfect_reconstruction(rng):
     w = get_wavelet("db3")
     for shape in [(12, 20, 24), (11, 19, 23)]:
@@ -114,6 +116,7 @@ def test_3d_multilevel_sizes(rng):
         (12, 12, 20), (6, 6, 10), (3, 3, 5)]
 
 
+@pytest.mark.slow
 def test_3d_batched(rng):
     w = get_wavelet("db3")
     x = _vol(rng, (2, 12, 16, 24))  # leading batch axis
@@ -175,6 +178,7 @@ def test_3d_gradients(rng):
                                rtol=0, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_3d_pallas_composition_interpret(rng, monkeypatch):
     """backend="pallas" (fused 2D level kernel + fma depth pass) matches
     the fma composition bit-for-bit-ish in interpret mode."""
@@ -315,6 +319,7 @@ def test_3d_denoise_step(rng):
         assert float(jnp.abs(out0 - vol).max()) < 1e-5
 
 
+@pytest.mark.slow
 def test_3d_mxu_modes_interpret(rng, monkeypatch):
     """3D precision modes (interpret mode): mixed = bf16x3 MXU compute
     on f32 arrays; bf16 arrays = f32 A-chain + bf16 details with the
@@ -368,6 +373,7 @@ def test_3d_mxu_fallback_small_shapes(rng, monkeypatch):
     assert float(jnp.abs(yb.astype(jnp.float32) - x).max()) < 8.0
 
 
+@pytest.mark.slow
 def test_3d_iswt_denoise_fused_matches_unfused(rng, monkeypatch):
     """iswt3d_denoise (fused threshold-in-inverse via the depth-bit
     regrouping; daa pre-thresholded in the hi group's a-slot) equals

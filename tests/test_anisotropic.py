@@ -44,6 +44,7 @@ def test_fs_one_level_equals_mallat(rng):
                                np.asarray(d), atol=1e-10)
 
 
+@pytest.mark.slow
 def test_fs_energy_and_batch_and_grad(rng):
     """Orthogonal bank conserves energy (even sizes); leading batch
     axes ride along; the packed transform is differentiable."""

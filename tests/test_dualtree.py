@@ -118,6 +118,7 @@ def test_dtcwt2d_orientation_selectivity():
     assert (p1 > p2) != (m1 > m2)
 
 
+@pytest.mark.slow
 def test_dtcwt_denoise_and_grad(rng):
     t = np.linspace(0, 4 * np.pi, 128)
     clean = np.sin(t)[:, None] * np.cos(t)[None, :] * 50

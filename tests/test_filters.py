@@ -79,6 +79,7 @@ def test_custom_wavelet_roundtrip():
     assert get_wavelet("MyDB4") == c
 
 
+@pytest.mark.slow
 def test_custom_wavelet_longer_than_reference_cap():
     """Filters beyond the reference's 40-tap constant-memory cap are
     accepted (reference TODO.txt: "Should allow > 40 coeffs") and keep

@@ -17,6 +17,7 @@ _WAVS = ["haar", "db2", "db7", "db16", "sym5", "coif3", "bior2.6",
 _BACKENDS = ["fma", "xla", "gather"]
 
 
+@pytest.mark.slow
 def test_fuzz_roundtrips():
     rng = np.random.default_rng(20260818)
     for trial in range(30):

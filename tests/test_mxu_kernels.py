@@ -142,6 +142,7 @@ def test_bf16_1d_families(rng):
     assert float(jnp.abs(ys.astype(jnp.float32) - x).max()) < 0.3
 
 
+@pytest.mark.slow
 def test_mixed_deep_levels_tail_and_small_tiles(rng, monkeypatch):
     """5 levels at 512^2: levels 1-2 on (128,256)/(128,128) MXU tiles,
     level 3+ through the exact f32 fused tail — the round-2 depth gap."""
@@ -385,6 +386,7 @@ def test_ns_mxu_gated_off_non_pallas(rng, monkeypatch):
         conv_mod.set_default_backend(None)
 
 
+@pytest.mark.slow
 def test_ns_mxu_grad(rng, monkeypatch):
     """jax.grad through the NS MXU custom VJPs (decimated + à-trous)
     matches the exact rank path."""

@@ -100,6 +100,7 @@ def test_native_extra_ops(rng):
                - nrm_a.astype(np.float64).sum()) < 1e-2
 
 
+@pytest.mark.slow
 def test_native_double_precision_build(rng):
     """The double-precision library (libpdwt_cpud.so, the analogue of
     the reference's libpdwtd.so, Makefile:36-39) round-trips at f64

@@ -34,6 +34,7 @@ AXES = dict(data_axis="data", row_axis="row", col_axis="col")
 
 @pytest.mark.parametrize("wname", ["haar", "db7", "bior4.4"])
 @pytest.mark.parametrize("swt", [False, True])
+@pytest.mark.slow
 def test_sharded_2d_matches_single_device(mesh, rng, wname, swt):
     w = get_wavelet(wname)
     levels = 3
@@ -53,6 +54,7 @@ def test_sharded_2d_matches_single_device(mesh, rng, wname, swt):
     assert float(jnp.abs(y_sh - x).max()) < 5e-5
 
 
+@pytest.mark.slow
 def test_sharded_swt_halo_wider_than_shard(mesh, rng):
     """Deep-level SWT: dilated halo (hlen-1)*2^(level-1) exceeds the local
     shard -> exercises the multi-hop ring exchange."""
@@ -115,6 +117,7 @@ def test_norms_on_sharded_coeffs(mesh, rng):
     assert abs(n_sh - n_ref) / n_ref < 1e-5
 
 
+@pytest.mark.slow
 def test_sharded_pallas_matches_single_device(mesh, rng, monkeypatch):
     """The multi-chip fast path: ring halo exchange feeding the fused
     Pallas level kernels (interpret mode on the virtual mesh)."""
@@ -129,6 +132,7 @@ def test_sharded_pallas_matches_single_device(mesh, rng, monkeypatch):
     assert float(jnp.abs(y - x).max()) < 1e-5
 
 
+@pytest.mark.slow
 def test_sharded_pallas_swt_matches_single_device(mesh, rng, monkeypatch):
     monkeypatch.setenv("PDWT_PALLAS_INTERPRET", "1")
     w = get_wavelet("db7")
@@ -142,6 +146,7 @@ def test_sharded_pallas_swt_matches_single_device(mesh, rng, monkeypatch):
 
 
 @pytest.mark.parametrize("swt", [False, True])
+@pytest.mark.slow
 def test_sharded_pallas_1d_matches_single_device(mesh, rng, swt,
                                                  monkeypatch):
     """Sharded batched-1D x Pallas composition (ring halos along the
@@ -196,6 +201,7 @@ def test_sharded_mxu_bf16_bit_identical(mesh, rng, monkeypatch, swt):
                     y_ref.astype(jnp.float32)) == 0.0
 
 
+@pytest.mark.slow
 def test_sharded_mxu_modes_recon(mesh, rng, monkeypatch):
     """Deeper sharded bf16/mixed runs (tile fallbacks engaged per shard)
     still reconstruct within the modes' error contracts."""
@@ -233,6 +239,7 @@ def test_sharded_mxu_1d_modes(mesh, rng, monkeypatch):
 
 
 @pytest.mark.parametrize("swt", [False, True])
+@pytest.mark.slow
 def test_sharded_nonseparable_matches_single_device(mesh, rng, swt):
     """Sharded rank-r non-separable transforms (new in round 3): the
     rank-decomposed passes run per shard with ring halos and must be
@@ -264,6 +271,7 @@ def test_sharded_nonseparable_matches_single_device(mesh, rng, swt):
 
 
 @pytest.mark.parametrize("swt", [False, True])
+@pytest.mark.slow
 def test_sharded_3d_matches_single_device(mesh, rng, swt):
     """Volumes sharded over (depth, row, col) — halos ride all three
     rings; results must be bit-identical to the single-device engine."""
@@ -287,6 +295,7 @@ def test_sharded_3d_matches_single_device(mesh, rng, swt):
     assert float(jnp.abs(y_sh - x).max()) < 5e-5
 
 
+@pytest.mark.slow
 def test_sharded_3d_batched_data_axis(mesh, rng):
     """Batch over data, volume over (row, col) only — depth unsharded."""
     from pdwt_tpu.core import separable3d as sep3
@@ -313,6 +322,7 @@ def test_sharded_3d_divisibility_error(mesh, rng):
                   col_axis="col")
 
 
+@pytest.mark.slow
 def test_sharded_3d_pallas_matches_single_device(mesh, rng, monkeypatch):
     """Sharded-3D fast path (round 3): ring halos feeding the fused 2D
     level kernels with depth as batch + the depth pass over the depth
@@ -331,6 +341,7 @@ def test_sharded_3d_pallas_matches_single_device(mesh, rng, monkeypatch):
     assert float(jnp.abs(y - x).max()) < 1e-4
 
 
+@pytest.mark.slow
 def test_sharded_3d_pallas_swt_matches_single_device(mesh, rng,
                                                      monkeypatch):
     monkeypatch.setenv("PDWT_PALLAS_INTERPRET", "1")
@@ -347,6 +358,7 @@ def test_sharded_3d_pallas_swt_matches_single_device(mesh, rng,
     assert float(jnp.abs(y - x).max()) < 1e-4
 
 
+@pytest.mark.slow
 def test_sharded_3d_mxu_modes(mesh, rng, monkeypatch):
     """3D precision modes per shard: bf16 volumes keep the f32 A-chain /
     bf16 details contract through the ring halos (half ICI traffic);
@@ -395,6 +407,7 @@ def test_sharded_denoise_step_3d_jits(mesh, rng):
     assert float(jnp.abs(out0 - x).max()) < 5e-5
 
 
+@pytest.mark.slow
 def test_sharded_pallas_odd_unsharded_axes(mesh, rng, monkeypatch):
     """Odd sizes on UNSHARDED axes flow through the local-pallas
     compositions: per-level sizes must follow the conv spec's round-up
@@ -459,6 +472,7 @@ def test_data_parallel_packets_and_anisotropic(rng):
 
 
 @pytest.mark.parametrize("backend", [None, "pallas"])
+@pytest.mark.slow
 def test_sharded_anisotropic_matches_single_device(mesh, rng, backend):
     """Spatially sharded fs_dwt/fs_idwt: each axis pass exchanges its
     ring halo, the pack/unpack relayouts happen on the global arrays —
@@ -482,6 +496,7 @@ def test_sharded_anisotropic_matches_single_device(mesh, rng, backend):
     assert float(jnp.abs(r_sh - jnp.asarray(x)).max()) < 5e-5
 
 
+@pytest.mark.slow
 def test_sharded_anisotropic_mixed_axes(mesh, rng):
     """Unsharded (odd-size) axis + sharded axis + a skipped (level-0)
     leading axis all compose; halo rides only the sharded ring."""
@@ -502,6 +517,7 @@ def test_sharded_anisotropic_mixed_axes(mesh, rng):
     assert float(jnp.abs(r_sh - jnp.asarray(x)).max()) < 5e-5
 
 
+@pytest.mark.slow
 def test_sharded_packets_match_single_device(mesh, rng):
     """Spatially sharded wavelet packets: per-depth ring-halo batched
     single-level DWTs (node axis rides batch) — the full tree, the
@@ -530,6 +546,7 @@ def test_sharded_packets_match_single_device(mesh, rng):
     assert float(jnp.abs(full - jnp.asarray(x)).max()) < 5e-5
 
 
+@pytest.mark.slow
 def test_sharded_packets_1d_and_3d(mesh, rng):
     from pdwt_tpu.core import packets as PK
     from pdwt_tpu.parallel import packets as PPK

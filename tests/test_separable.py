@@ -33,6 +33,7 @@ def test_dwt2d_perfect_reconstruction(wname, shape, rng):
     assert err < 1e-7, (wname, shape, err)
 
 
+@pytest.mark.slow
 def test_dwt1d_perfect_reconstruction_all72(rng):
     """Every wavelet in the bank, odd and even lengths, multi-level 1D."""
     x_even = jnp.asarray(rng.standard_normal((2, 256)))
@@ -141,6 +142,7 @@ def test_float32_accuracy_on_image_range(rng):
     assert err < 5e-3, err  # ~2e-5 relative to the 255 range
 
 
+@pytest.mark.slow
 def test_tail_fusion_halo_wider_than_level(rng, monkeypatch):
     """Deep fused levels where the periodic halo exceeds the level size
     (long wavelet, tiny deepest level) must tile the wrap instead of

@@ -80,6 +80,7 @@ def test_starlet_energy_compaction_on_smooth_signal(rng):
     assert e[0] < e[-1]  # finest plane has the least energy
 
 
+@pytest.mark.slow
 def test_sharded_starlet_bit_identical(rng):
     """Sharded starlet over the 8-device CPU mesh == single-device,
     2D (row+col rings) and 3D (three rings), fwd and inverse."""

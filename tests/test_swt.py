@@ -109,6 +109,7 @@ def test_iswt2d_denoise_fused_matches_unfused(rng, monkeypatch):
             assert abs(n_fast - n_ref) / max(n_ref, 1) < 1e-6
 
 
+@pytest.mark.slow
 def test_iswt2d_denoise_fused_grad(rng, monkeypatch):
     """jax.grad through the fused threshold+inverse (custom VJP, ADVICE
     r2) equals grad through the unfused threshold->iswt2d composition —
