@@ -24,6 +24,7 @@ Layers:
 """
 from . import core, filters, models, ops, parallel, utils
 from .api import Wavelets, WaveletSpec
+from .api_extras import DualTree, Starlet
 from .api_packets import WaveletPackets
 from .core.modes import MODES
 from .core.precision import TIERS, precision_scope
@@ -39,7 +40,8 @@ from .filters import (
 __version__ = "0.2.0"
 
 __all__ = [
-    "Wavelets", "WaveletSpec", "WaveletPackets", "Wavelet",
+    "Wavelets", "WaveletSpec", "WaveletPackets", "Starlet", "DualTree",
+    "Wavelet",
     "get_wavelet", "list_wavelets", "make_custom_wavelet",
     "register_wavelet", "quad_filters",
     "MODES", "TIERS", "precision_scope",
