@@ -196,21 +196,39 @@ def main() -> None:
         log(f"CWT morlet {len(scales9)}-scale 64x4096: {t9*1e3:.3f} ms = "
             f"{64 * 4096 / t9 / 1e6:.0f} Mpix/s")
 
-    # precision-mode variants of the headline configs (round 3): bf16 =
-    # MXU serving mode (bf16 details, f32 A-chain), mixed = f32 arrays
-    # with bf16x3 compute (~1e-5 rel; SWT routes mixed to exact kernels,
-    # which are faster than b3 on undecimated levels)
-    import os
+    # 9b. oriented 2D Morlet scaleogram (fft2 + (scale,angle) bank)
+    if want("CWT2D"):
+        from pdwt_tpu.core import cwt2d as cwt2d_fn
 
+        scales9b = np.asarray([2.0, 4.0, 8.0, 16.0])
+        img9b = arr((512, 512))()
+        t9b = device_time_any(
+            lambda x: jnp.abs(cwt2d_fn(x, scales9b)) ** 2, img9b)
+        results.append({"config": "CWT2D morlet 4-scale 4-angle 512x512",
+                        "value": round(512 * 512 / t9b / 1e6, 1),
+                        "unit": "Mpix/s", "ms": round(t9b * 1e3, 3)})
+        log(f"CWT2D morlet 4-scale 4-angle 512x512: {t9b*1e3:.3f} ms")
+
+    # 10. pywt boundary mode on the decimated DWT (round 5): the
+    # non-periodization modes ride the fma formulation (pallas is the
+    # periodization fast path), so this measures that fallback cost
+    record("db7 2D 5-level fwd+inv 2048x2048 [symmetric]", 2048 * 2048,
+           lambda x: sep.idwt2d(sep.dwt2d(x, w7, 5, mode="symmetric"),
+                                w7, (2048, 2048), mode="symmetric"), img)
+
+    # precision-tier variants of the headline configs (round 3; tiers
+    # promoted to first-class API in round 5): bf16 = MXU serving mode
+    # (bf16 details, f32 A-chain), mixed = f32 arrays with bf16x3
+    # compute (~1e-5 rel; SWT routes mixed to exact kernels, which are
+    # faster than b3 on undecimated levels)
     imgb = lambda: img().astype(jnp.bfloat16)
     record("db7 2D 5-level fwd+inv 2048x2048 [bf16]", 2048 * 2048,
            lambda x: sep.idwt2d(sep.dwt2d(x, w7, 5), w7, (2048, 2048)),
            imgb)
-    os.environ["PDWT_TPU_PRECISION"] = "mixed"
     record("db7 2D 5-level fwd+inv 2048x2048 [mixed]", 2048 * 2048,
-           lambda x: sep.idwt2d(sep.dwt2d(x, w7, 5), w7,
-                                (2048, 2048)) * 1.0, img)
-    del os.environ["PDWT_TPU_PRECISION"]
+           lambda x: sep.idwt2d(sep.dwt2d(x, w7, 5, precision="mixed"),
+                                w7, (2048, 2048),
+                                precision="mixed") * 1.0, img)
 
     sigb = lambda: sig().astype(jnp.bfloat16)
 

@@ -150,14 +150,60 @@ def _shaped(v: np.ndarray, ndim: int, axis: int, dtype) -> jnp.ndarray:
     return jnp.asarray(v.reshape(shape), dtype=dtype)
 
 
+def _rev_slice(x, axis, start, stop):
+    """Reversed contiguous slice along ``axis`` (flip of a tiny edge
+    strip — lowers as rev+slice, no gather)."""
+    return lax.rev(lax.slice_in_dim(x, start, stop, axis=axis), (axis,))
+
+
 def _ext_block(x: jnp.ndarray, axis: int, pos: np.ndarray,
                mode: str) -> jnp.ndarray:
     n = x.shape[axis]
-    s, idx, a, b = _ext_maps(n, pos, mode)
+    w = pos.shape[0]
+    left = bool(pos[0] < 0)
     dt = x.dtype
+
+    # Gather-free fast paths for single-cycle widths: on the TPU a
+    # jnp.take along an array axis lowers as a relayout-heavy gather
+    # (measured 3x on the 2048^2 db7 roundtrip) while the equivalent
+    # flip/slice/broadcast of the tiny edge strip is nearly free.
+    if mode == "constant" or (mode == "smooth" and n == 1):
+        edge = lax.slice_in_dim(x, 0, 1, axis=axis) if left \
+            else lax.slice_in_dim(x, n - 1, n, axis=axis)
+        reps = [1] * x.ndim
+        reps[axis] = w
+        return jnp.tile(edge, reps)
+    if mode in ("symmetric", "antisymmetric") and w <= n:
+        strip = (_rev_slice(x, axis, 0, w) if left
+                 else _rev_slice(x, axis, n - w, n))
+        return -strip if mode == "antisymmetric" else strip
+    if mode in ("reflect", "antireflect") and w <= n - 1:
+        strip = (_rev_slice(x, axis, 1, w + 1) if left
+                 else _rev_slice(x, axis, n - 1 - w, n - 1))
+        if mode == "antireflect":
+            edge = (lax.slice_in_dim(x, 0, 1, axis=axis) if left
+                    else lax.slice_in_dim(x, n - 1, n, axis=axis))
+            return 2.0 * edge.astype(dt) - strip
+        return strip
+    if mode == "periodic" and w <= n:
+        return (lax.slice_in_dim(x, n - w, n, axis=axis) if left
+                else lax.slice_in_dim(x, 0, w, axis=axis))
+    if mode == "smooth":
+        x0 = lax.slice_in_dim(x, 0, 1, axis=axis)
+        x1 = lax.slice_in_dim(x, 1, 2, axis=axis)
+        xm = lax.slice_in_dim(x, n - 1, n, axis=axis)
+        xp = lax.slice_in_dim(x, n - 2, n - 1, axis=axis)
+        k = _shaped(np.arange(1, w + 1, dtype=np.float64)[::-1] if left
+                    else np.arange(1, w + 1, dtype=np.float64),
+                    x.ndim, axis, dt)
+        return (x0 + k * (x0 - x1)) if left else (xm + k * (xm - xp))
+
+    # general case (pads wider than the signal: reflection cycling,
+    # antireflect offset accumulation) — closed-form gather + affine
+    s, idx, a, b = _ext_maps(n, pos, mode)
     if not s.any() and not a.any() and not b.any():
         shape = list(x.shape)
-        shape[axis] = pos.shape[0]
+        shape[axis] = w
         return jnp.zeros(shape, dt)
     out = None
     if s.any():
