@@ -12,6 +12,11 @@ synthesis as one program.
     >>> den = S.denoise()                 # k-sigma, knob-free
     >>> D = DualTree(img, levels=4)
     >>> den = D.denoise(k=3.0)            # complex magnitude k-sigma
+
+The CWT (core/continuous.py) stays functional-only BY DESIGN: a
+scaleogram is an analysis product (one call, no state to mutate, no
+threshold/invert cycle), matching the scipy/pywt ``cwt()`` shape users
+expect — a stateful wrapper would add a class with one method.
 """
 from __future__ import annotations
 

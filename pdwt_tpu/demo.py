@@ -51,6 +51,11 @@ def main(argv=None) -> int:
     p.add_argument("--out", default="res.dat")
     p.add_argument("--native", action="store_true",
                    help="use the C++ CPU engine instead of JAX")
+    p.add_argument("--mode", default="periodization",
+                   help="boundary extension (round 5): periodization "
+                        "(reference scheme) or any pywt mode — zero, "
+                        "constant, symmetric, reflect, periodic, smooth, "
+                        "antisymmetric, antireflect (DWT only)")
     p.add_argument("--precision", default="exact",
                    choices=("exact", "mixed", "bf16"),
                    help="compute mode (round 3): mixed = bf16x3 MXU "
@@ -61,6 +66,13 @@ def main(argv=None) -> int:
                         "demo does when run without arguments "
                         "(reference: src/demo.cpp:48-78)")
     args = p.parse_args(argv)
+
+    if args.mode != "periodization" and (args.native or args.swt
+                                         or args.nonseparable):
+        p.error("--mode (pywt boundary extensions) applies to the "
+                "separable decimated DWT on the JAX engine; the native "
+                "C++ engine, SWT and non-separable paths are "
+                "periodization-only")
 
     if args.interactive:
         def ask(label, default, cast):
@@ -177,6 +189,7 @@ def main(argv=None) -> int:
                      do_swt=args.swt,
                      do_separable=not args.nonseparable,
                      do_cycle_spinning=args.cycle_spinning,
+                     mode=args.mode,
                      precision=tier)
         W.print_informations()
         W.forward()
