@@ -84,3 +84,161 @@ def from_pywt(clist) -> Any:
         return Coeffs2D(approx, levels)
     return Coeffs1D(approx,
                     tuple(jnp.asarray(d) for d in reversed(dets)))
+
+
+# ---------------------------------------------------------------------------
+# One-call pywt-compatible API (wavedec/waverec family)
+#
+# Drop-in entry points with pywt's signatures, DEFAULTS (mode="symmetric"
+# is pywt's default, not the reference's periodization) and container
+# formats, so `import pdwt_tpu.utils.interop as pywt`-style migration
+# works for the decomposition workhorses.  Transforms run over the
+# trailing axes (pywt's default axes); outputs stay on device.
+# ---------------------------------------------------------------------------
+
+def _wav(wavelet):
+    from ..filters import get_wavelet
+
+    return get_wavelet(wavelet) if isinstance(wavelet, str) else wavelet
+
+
+def dwt_max_level(data_len: int, filter_len) -> int:
+    """pywt.dwt_max_level: floor(log2(data_len / (filter_len - 1)))."""
+    from ..core.shapes import max_level
+
+    if not isinstance(filter_len, int):
+        filter_len = _wav(filter_len).hlen
+    return max_level(int(data_len), filter_len)
+
+
+def _levels(shape, wav, level, ndim):
+    if level is None:
+        level = dwt_max_level(min(shape[-ndim:]), wav.hlen)
+    if level < 0:
+        raise ValueError(f"level must be >= 0, got {level}")
+    return level
+
+
+def wavedec(data, wavelet, mode: str = "symmetric", level=None, *,
+            backend=None) -> List[Any]:
+    """pywt.wavedec over the trailing axis: [cA_n, cD_n, ..., cD_1]."""
+    from ..core.separable import dwt1d
+
+    data = jnp.asarray(data)
+    wav = _wav(wavelet)
+    level = _levels(data.shape, wav, level, 1)
+    if level == 0:
+        return [data]
+    return to_pywt(dwt1d(data, wav, level, mode=mode, backend=backend))
+
+
+def wavedec2(data, wavelet, mode: str = "symmetric", level=None, *,
+             backend=None) -> List[Any]:
+    """pywt.wavedec2 over the trailing two axes:
+    [cA_n, (cH_n, cV_n, cD_n), ..., level 1]."""
+    from ..core.separable import dwt2d
+
+    data = jnp.asarray(data)
+    wav = _wav(wavelet)
+    level = _levels(data.shape, wav, level, 2)
+    if level == 0:
+        return [data]
+    return to_pywt(dwt2d(data, wav, level, mode=mode, backend=backend))
+
+
+def wavedecn(data, wavelet, mode: str = "symmetric", level=None, *,
+             backend=None) -> List[Any]:
+    """pywt.wavedecn for 3D volumes (trailing three axes):
+    [cA_n, {'daa': ..., ..., 'ddd': ...}, ..., level 1].  For 1D/2D use
+    :func:`wavedec`/:func:`wavedec2` (pywt's per-axis dict keys map to
+    the tuple containers there)."""
+    from ..core.separable3d import dwt3d
+
+    data = jnp.asarray(data)
+    if data.ndim < 3:
+        raise ValueError("wavedecn here is the 3D entry point; use "
+                         "wavedec/wavedec2 for 1D/2D")
+    wav = _wav(wavelet)
+    level = _levels(data.shape, wav, level, 3)
+    if level == 0:
+        return [data]
+    return to_pywt(dwt3d(data, wav, level, mode=mode, backend=backend))
+
+
+def _crop_like(a, shape, ndim):
+    """pywt waverec cA/cD alignment: per trailing axis, a reconstructed
+    cA may overshoot the stored cD by exactly one sample — crop it."""
+    from jax import lax
+
+    for ax in range(-ndim, 0):
+        if a.shape[ax] == shape[ax] + 1:
+            a = lax.slice_in_dim(a, 0, shape[ax], axis=ax)
+        elif a.shape[ax] != shape[ax]:
+            raise ValueError(
+                f"coefficient shape mismatch on axis {ax}: approx "
+                f"{a.shape[ax]} vs detail {shape[ax]} (corrupt list?)")
+    return a
+
+
+def waverec(coeffs, wavelet, mode: str = "symmetric", *,
+            backend=None) -> jnp.ndarray:
+    """pywt.waverec: inverse of :func:`wavedec`.  Output length is the
+    full ``2M - F + 2`` (or ``2M`` for periodization) of the finest
+    level, exactly like pywt — slice to the original length if it was
+    odd."""
+    from ..core.modes import rec_len
+    from ..core.separable import Coeffs1D as C1
+    from ..core.separable import idwt1d
+
+    wav = _wav(wavelet)
+    if len(coeffs) == 1:
+        return jnp.asarray(coeffs[0])
+    a = jnp.asarray(coeffs[0])
+    for d in coeffs[1:]:  # coarsest -> finest
+        d = jnp.asarray(d)
+        a = _crop_like(a, d.shape, 1)
+        a = idwt1d(C1(a, (d,)), wav,
+                   rec_len(d.shape[-1], wav.hlen, mode), mode=mode,
+                   backend=backend)
+    return a
+
+
+def waverec2(coeffs, wavelet, mode: str = "symmetric", *,
+             backend=None) -> jnp.ndarray:
+    """pywt.waverec2: inverse of :func:`wavedec2`."""
+    from ..core.modes import rec_len
+    from ..core.separable import Coeffs2D as C2
+    from ..core.separable import idwt2d
+
+    wav = _wav(wavelet)
+    if len(coeffs) == 1:
+        return jnp.asarray(coeffs[0])
+    a = jnp.asarray(coeffs[0])
+    for lvl in coeffs[1:]:
+        h, v, d = (jnp.asarray(t) for t in lvl)
+        a = _crop_like(a, h.shape, 2)
+        shape = tuple(rec_len(n, wav.hlen, mode) for n in h.shape[-2:])
+        a = idwt2d(C2(a, ((h, v, d),)), wav, shape, mode=mode,
+                   backend=backend)
+    return a
+
+
+def waverecn(coeffs, wavelet, mode: str = "symmetric", *,
+             backend=None) -> jnp.ndarray:
+    """pywt.waverecn (3D): inverse of :func:`wavedecn`."""
+    from ..core.modes import rec_len
+    from ..core.separable3d import Coeffs3D as C3
+    from ..core.separable3d import idwt3d
+
+    wav = _wav(wavelet)
+    if len(coeffs) == 1:
+        return jnp.asarray(coeffs[0])
+    a = jnp.asarray(coeffs[0])
+    for lvl in coeffs[1:]:
+        bands = tuple(jnp.asarray(lvl[k]) for k in DETAIL_KEYS_3D)
+        a = _crop_like(a, bands[0].shape, 3)
+        shape = tuple(rec_len(n, wav.hlen, mode)
+                      for n in bands[0].shape[-3:])
+        a = idwt3d(C3(a, (bands,)), wav, shape, mode=mode,
+                   backend=backend)
+    return a

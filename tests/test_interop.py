@@ -66,3 +66,64 @@ def test_interop_errors(rng):
         from_pywt([np.zeros((4, 4)), (np.zeros((4, 4)),)])
     with pytest.raises(ValueError, match="missing"):
         from_pywt([np.zeros((4, 4)), {"daa": np.zeros((4, 4))}])
+
+
+# ---------------------------------------------------------------------------
+# One-call pywt-compatible API (round 5): wavedec/waverec family with
+# pywt's signatures, defaults (mode='symmetric') and container formats
+# ---------------------------------------------------------------------------
+
+def test_wavedec_waverec_1d_defaults(rng):
+    from pdwt_tpu.utils import dwt_max_level, wavedec, waverec
+
+    x = rng.standard_normal(103).astype(np.float64)
+    cl = wavedec(x, "db3", level=3)  # pywt default mode='symmetric'
+    assert len(cl) == 4
+    # pywt size rule per level
+    n, F = 103, 6
+    for d in reversed(cl[1:]):
+        n = (n + F - 1) // 2
+        assert d.shape[-1] == n
+    y = np.asarray(waverec(cl, "db3"))
+    # full inverse length >= original (odd input -> +1); slice like pywt
+    assert y.shape[-1] in (103, 104)
+    np.testing.assert_allclose(y[:103], x, atol=1e-10)
+    assert dwt_max_level(103, 6) == dwt_max_level(103, "db3")
+
+
+def test_wavedec2_waverecn_roundtrips(rng):
+    from pdwt_tpu.utils import (wavedec2, wavedecn, waverec2, waverecn)
+
+    img = rng.standard_normal((2, 45, 38))  # leading batch axis
+    cl = wavedec2(img, "sym4", mode="reflect", level=2)
+    assert isinstance(cl[1], tuple) and len(cl[1]) == 3
+    y = np.asarray(waverec2(cl, "sym4", mode="reflect"))
+    np.testing.assert_allclose(y[..., :45, :38], img, atol=1e-9)
+
+    vol = rng.standard_normal((13, 10, 11))
+    cn = wavedecn(vol, "db2", mode="zero", level=2)
+    assert set(cn[1].keys()) == set("daa ada dda aad dad add ddd".split())
+    yv = np.asarray(waverecn(cn, "db2", mode="zero"))
+    np.testing.assert_allclose(yv[:13, :10, :11], vol, atol=1e-9)
+
+
+def test_wavedec_periodization_and_level0(rng):
+    from pdwt_tpu.utils import wavedec, waverec
+
+    x = rng.standard_normal(64)
+    cl = wavedec(x, "db7", mode="periodization", level=None)  # auto depth
+    y = np.asarray(waverec(cl, "db7", mode="periodization"))
+    np.testing.assert_allclose(y[:64], x, atol=1e-10)
+    assert len(wavedec(x, "db7", level=0)) == 1
+    with pytest.raises(ValueError):
+        wavedec(x, "db7", level=-1)
+
+
+def test_waverec_corrupt_list_raises(rng):
+    from pdwt_tpu.utils import wavedec, waverec
+
+    x = rng.standard_normal(64)
+    cl = wavedec(x, "db3", level=2)
+    cl[1] = cl[1][..., :-3]  # truncate a detail band
+    with pytest.raises(ValueError):
+        waverec(cl, "db3")
