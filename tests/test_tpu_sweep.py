@@ -195,3 +195,36 @@ def test_fourth_session_features_on_chip(rng):
                                - y_r.astype(jnp.float32)))
     errb = float(run_b(x.astype(jnp.bfloat16)))
     assert errb < 8.0, errb  # bf16 storage rounding on [0,255]
+
+
+def test_round5_modes_and_tiers_on_chip(rng):
+    """Round-5 features on the real chip: (a) pywt boundary modes ride
+    the fma formulation and reconstruct; (b) the precision= kwarg
+    selects distinct compiled tiers from one process."""
+    img = jnp.asarray(rng.standard_normal((256, 256)), jnp.float32)
+    w = get_wavelet("db4")
+
+    @jax.jit
+    def rt_modes(x):
+        outs = []
+        for mode in ("symmetric", "reflect", "zero"):
+            c = sep.dwt2d(x, w, 3, mode=mode)
+            outs.append(jnp.max(jnp.abs(
+                sep.idwt2d(c, w, (256, 256), mode=mode) - x)))
+        return jnp.stack(outs)
+
+    errs = np.asarray(rt_modes(img))
+    assert (errs < 1e-4).all(), errs
+
+    xb = img.astype(jnp.bfloat16)
+
+    def rt(p):
+        return jax.jit(lambda a: sep.idwt2d(
+            sep.dwt2d(a, w, 3, precision=p), w, (256, 256), precision=p))
+
+    y_fast = np.asarray(rt("bf16-fast")(xb), np.float32)
+    y_bal = np.asarray(rt("bf16-balanced")(xb), np.float32)
+    # distinct compute schemes -> different roundings; both reconstruct
+    assert np.abs(y_fast - y_bal).max() > 0
+    ref = np.asarray(img)
+    assert np.abs(y_bal - ref).max() <= np.abs(y_fast - ref).max() + 1e-3
