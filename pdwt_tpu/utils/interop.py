@@ -242,3 +242,43 @@ def waverecn(coeffs, wavelet, mode: str = "symmetric", *,
         a = idwt3d(C3(a, (bands,)), wav, shape, mode=mode,
                    backend=backend)
     return a
+
+
+def dwt(data, wavelet, mode: str = "symmetric", *, backend=None):
+    """pywt.dwt: single-level 1D decomposition → ``(cA, cD)``."""
+    cl = wavedec(data, wavelet, mode, level=1, backend=backend)
+    return cl[0], cl[1]
+
+
+def idwt(cA, cD, wavelet, mode: str = "symmetric", *, backend=None):
+    """pywt.idwt: single-level 1D reconstruction.  Either of ``cA``/
+    ``cD`` may be None (pywt semantics: the missing branch is zeros)."""
+    if cA is None and cD is None:
+        raise ValueError("at least one of cA/cD is required")
+    if cA is None:
+        cA = jnp.zeros_like(jnp.asarray(cD))
+    if cD is None:
+        cD = jnp.zeros_like(jnp.asarray(cA))
+    return waverec([cA, cD], wavelet, mode, backend=backend)
+
+
+def dwt2(data, wavelet, mode: str = "symmetric", *, backend=None):
+    """pywt.dwt2: single-level 2D decomposition → ``(cA, (cH, cV, cD))``."""
+    cl = wavedec2(data, wavelet, mode, level=1, backend=backend)
+    return cl[0], cl[1]
+
+
+def idwt2(coeffs, wavelet, mode: str = "symmetric", *, backend=None):
+    """pywt.idwt2: inverse of :func:`dwt2`; ``coeffs = (cA, (cH, cV,
+    cD))`` with None entries treated as zeros (pywt semantics)."""
+    cA, hvd = coeffs
+    bands = [None if b is None else jnp.asarray(b) for b in hvd]
+    ref = next((b for b in [cA] + bands if b is not None), None)
+    if ref is None:
+        raise ValueError("all coefficients are None")
+    ref = jnp.asarray(ref)
+    if cA is None:
+        cA = jnp.zeros_like(ref)
+    bands = [jnp.zeros_like(ref) if b is None else b for b in bands]
+    return waverec2([jnp.asarray(cA), tuple(bands)], wavelet, mode,
+                    backend=backend)

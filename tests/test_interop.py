@@ -127,3 +127,26 @@ def test_waverec_corrupt_list_raises(rng):
     cl[1] = cl[1][..., :-3]  # truncate a detail band
     with pytest.raises(ValueError):
         waverec(cl, "db3")
+
+
+def test_single_level_dwt_idwt(rng):
+    from pdwt_tpu.utils import dwt, dwt2, idwt, idwt2
+
+    x = rng.standard_normal(50)
+    cA, cD = dwt(x, "db2")
+    y = np.asarray(idwt(cA, cD, "db2"))
+    np.testing.assert_allclose(y[:50], x, atol=1e-10)
+    # None branches (pywt semantics: missing branch = zeros)
+    approx_only = np.asarray(idwt(cA, None, "db2"))
+    detail_only = np.asarray(idwt(None, cD, "db2"))
+    np.testing.assert_allclose(approx_only + detail_only, y, atol=1e-10)
+
+    img = rng.standard_normal((31, 27))
+    cA2, hvd = dwt2(img, "sym4", mode="reflect")
+    y2 = np.asarray(idwt2((cA2, hvd), "sym4", mode="reflect"))
+    np.testing.assert_allclose(y2[:31, :27], img, atol=1e-9)
+    smooth = np.asarray(idwt2((cA2, (None, None, None)), "sym4",
+                              mode="reflect"))
+    assert smooth.shape == y2.shape
+    with pytest.raises(ValueError):
+        idwt(None, None, "db2")
