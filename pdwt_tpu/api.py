@@ -32,6 +32,7 @@ from .core import haar as haar_core
 from .core import nonseparable as ns_core
 from .core import separable as sep_core
 from .core.separable import Coeffs1D, Coeffs2D
+from .core.separable import _all_periodization
 from .core.shapes import coeff_shapes_1d, coeff_shapes_2d, div2, max_level
 from .filters import (
     Wavelet,
@@ -78,8 +79,9 @@ class WaveletSpec:
     hlen: int = 2
     nd: int = 1  # depth (ndim == 3 only; the reference has no 3D)
     #: boundary extension (core/modes.py); "periodization" = the
-    #: reference scheme, the rest are the pywt modes (DWT only)
-    mode: str = "periodization"
+    #: reference scheme, the rest are the pywt modes (DWT only); a
+    #: per-axis tuple follows pywt's tuple-of-modes semantics
+    mode: Union[str, Tuple[str, ...]] = "periodization"
     #: precision tier (core/precision.py); "auto" = env-var defaults
     precision: str = "auto"
 
@@ -127,8 +129,14 @@ class Wavelets:
     ):
         from .core import modes as modes_mod
         from .core import precision as prec_mod
+        from .core.separable import _all_periodization
 
-        modes_mod.check_mode(mode)
+        if isinstance(mode, str):
+            modes_mod.check_mode(mode)
+        else:
+            # pywt per-axis semantics: one mode per transformed axis
+            # (length checked against ndim below, once geometry is known)
+            mode = tuple(modes_mod.check_mode(m) for m in mode)
         if dtype is None:
             # bf16-* tiers imply bf16 arrays; everything else runs f32.
             dtype = (jnp.bfloat16
@@ -137,7 +145,7 @@ class Wavelets:
         resolved_tier = ("auto" if precision is None
                          else prec_mod.tier_for(jnp.dtype(dtype).name,
                                                 precision))
-        if mode != "periodization":
+        if not _all_periodization(mode):
             if do_swt:
                 raise ValueError(
                     "the stationary transform is periodic by definition "
@@ -225,6 +233,8 @@ class Wavelets:
             )
             levels = max(wmax, 1)
 
+        if not isinstance(mode, str):
+            mode = modes_mod.per_axis(mode, ndim)  # length vs geometry
         self.spec = WaveletSpec(
             wname=wname, nr=nr, nc=nc, nlevels=levels, ndim=ndim,
             do_swt=do_swt, do_separable=do_separable,
@@ -313,14 +323,19 @@ class Wavelets:
     def _zero_coeffs(self):
         s = self.spec
         z = partial(jnp.zeros, dtype=self._dtype)
-        if s.mode != "periodization":
+        from .core.separable import _all_periodization
+
+        if not _all_periodization(s.mode):
             # pywt size rule: per-level lengths depend on the filter
             # support (core/modes.py dec_len); DWT only (ctor guards).
             from .core.modes import level_sizes as _msizes
+            from .core.modes import per_axis
 
             axes = ((s.nd, s.nr, s.nc) if s.ndim == 3
                     else (s.nr, s.nc) if s.ndim == 2 else (s.nc,))
-            chains = [_msizes(n, s.nlevels, s.hlen, s.mode) for n in axes]
+            per = per_axis(s.mode, len(axes))
+            chains = [_msizes(n, s.nlevels, s.hlen, m)
+                      for n, m in zip(axes, per)]
             det_shapes = [tuple(ch[i + 1] for ch in chains)
                           for i in range(s.nlevels)]
             if s.ndim == 3:
@@ -392,7 +407,7 @@ class Wavelets:
         import jax as _jax
 
         haar_fast = s.hlen == 2 and not s.do_swt \
-            and s.mode == "periodization" \
+            and _all_periodization(s.mode) \
             and _jax.default_backend() != "tpu"
 
         def fn(img, sd, sr, sc):
@@ -566,7 +581,7 @@ class Wavelets:
         import jax as _jax
 
         haar_fast = s.hlen == 2 and not s.do_swt \
-            and s.mode == "periodization" \
+            and _all_periodization(s.mode) \
             and _jax.default_backend() != "tpu"
 
         def make():
@@ -935,7 +950,7 @@ class Wavelets:
             n = q.shape[-1]
         hlen_changed = n != self.spec.hlen
         self.spec = dataclasses.replace(self.spec, wname=filtername, hlen=n)
-        if hlen_changed and self.spec.mode != "periodization":
+        if hlen_changed and not _all_periodization(self.spec.mode):
             # non-periodization coefficient shapes depend on the filter
             # support (pywt size rule) — rebuild the zero pytree
             self._coeffs = self._zero_coeffs()

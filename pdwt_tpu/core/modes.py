@@ -69,6 +69,21 @@ def check_mode(mode: str) -> str:
     return mode
 
 
+def per_axis(mode, ndim: int):
+    """Normalize a mode argument to one mode per spatial axis (pywt
+    semantics: a single string applies to every axis, a tuple/list
+    gives one mode per transformed axis, in axis order — e.g. 2D
+    ``(row_mode, col_mode)``)."""
+    if isinstance(mode, str):
+        return (check_mode(mode),) * ndim
+    modes = tuple(mode)
+    if len(modes) != ndim:
+        raise ValueError(
+            f"expected {ndim} boundary modes (one per transformed axis), "
+            f"got {len(modes)}: {modes!r}")
+    return tuple(check_mode(m) for m in modes)
+
+
 def dec_len(n: int, hlen: int, mode: str = "periodization") -> int:
     """Per-level coefficient length.  ``periodization``: ``ceil(N/2)``
     (reference: src/utils.cu:23-27); every other mode uses the pywt rule

@@ -118,8 +118,16 @@ def _bf16_outs(mode):
     return norm
 
 
+def _all_periodization(mode) -> bool:
+    """True when ``mode`` (a string or per-axis tuple) is entirely the
+    reference's periodization scheme (the Pallas fast-path condition)."""
+    if isinstance(mode, str):
+        return mode == "periodization"
+    return all(m == "periodization" for m in mode)
+
+
 def _auto_backend(backend: Optional[str], pad_fn,
-                  mode: str = "periodization") -> Optional[str]:
+                  mode="periodization") -> Optional[str]:
     """Resolve ``backend=None``: the PDWT_TPU_BACKEND env var /
     conv.set_default_backend override wins; otherwise the fused Pallas
     level kernels on TPU.  Distributed calls (pad_fn given) stay on the
@@ -133,7 +141,7 @@ def _auto_backend(backend: Optional[str], pad_fn,
     choices fall through to the fma formulation."""
     import jax
 
-    if mode != "periodization":
+    if not _all_periodization(mode):
         if backend == "pallas":
             raise ValueError(
                 "backend='pallas' supports mode='periodization' only; "
@@ -308,11 +316,16 @@ def _idwt2d_pallas(coeffs: Coeffs2D, wav: Wavelet,
 @takes_precision
 def dwt2d(x: jnp.ndarray, wav: Wavelet, levels: int, *,
           backend: Optional[str] = None, pad_fn=None,
-          mode: str = "periodization") -> Coeffs2D:
+          mode="periodization") -> Coeffs2D:
     """Multi-level separable 2D DWT over the trailing two axes.
 
     ``mode`` selects the boundary extension (core/modes.py; pywt mode
-    set).  The default ``"periodization"`` is the reference scheme."""
+    set) — a string for both axes or a ``(row_mode, col_mode)`` tuple
+    (pywt per-axis semantics).  The default ``"periodization"`` is the
+    reference scheme."""
+    from .modes import per_axis
+
+    mode_r, mode_c = per_axis(mode, 2)
     backend = _auto_backend(backend, pad_fn, mode)
     if backend == "pallas":
         if pad_fn is not None:
@@ -324,9 +337,9 @@ def dwt2d(x: jnp.ndarray, wav: Wavelet, levels: int, *,
     a = arr
     for _ in range(levels):
         t = conv.analysis_pass(a, dec, axis=-1, backend=backend,
-                               pad_fn=pad_fn, mode=mode)
+                               pad_fn=pad_fn, mode=mode_c)
         z = conv.analysis_pass(t, dec, axis=-2, backend=backend,
-                               pad_fn=pad_fn, mode=mode)
+                               pad_fn=pad_fn, mode=mode_r)
         a = z[:, 0:1]
         details.append(tuple(
             _from_nchw(z[:, k:k + 1], batch, 2) for k in (1, 2, 3)
@@ -337,7 +350,7 @@ def dwt2d(x: jnp.ndarray, wav: Wavelet, levels: int, *,
 @takes_precision
 def idwt2d(coeffs: Coeffs2D, wav: Wavelet, shape: Tuple[int, int], *,
            backend: Optional[str] = None, pad_fn=None,
-           mode: str = "periodization") -> jnp.ndarray:
+           mode="periodization") -> jnp.ndarray:
     """Inverse of :func:`dwt2d`; ``shape`` = (Nr, Nc) of the original image."""
     backend = _auto_backend(backend, pad_fn, mode)
     if backend == "pallas":
@@ -345,10 +358,12 @@ def idwt2d(coeffs: Coeffs2D, wav: Wavelet, shape: Tuple[int, int], *,
             raise ValueError("pallas backend does not support pad_fn")
         return _idwt2d_pallas(coeffs, wav, shape)
     from .modes import level_sizes as _mode_sizes
+    from .modes import per_axis
 
+    mode_r, mode_c = per_axis(mode, 2)
     levels = coeffs.levels
-    rows = _mode_sizes(shape[0], levels, wav.hlen, mode)
-    cols = _mode_sizes(shape[1], levels, wav.hlen, mode)
+    rows = _mode_sizes(shape[0], levels, wav.hlen, mode_r)
+    cols = _mode_sizes(shape[1], levels, wav.hlen, mode_c)
     rec = (wav.rec_lo, wav.rec_hi)
     a, batch = _to_nchw(coeffs.approx, 2)
     for i in range(levels - 1, -1, -1):
@@ -356,10 +371,10 @@ def idwt2d(coeffs: Coeffs2D, wav: Wavelet, shape: Tuple[int, int], *,
         z = jnp.concatenate([a, h, v, d], axis=1)  # (B,4,mr,mc)
         t = conv.synthesis_pass(z, rec, axis=-2, out_len=rows[i],
                                 backend=backend, pad_fn=pad_fn,
-                                mode=mode)  # (B,2,Hr,mc)
+                                mode=mode_r)  # (B,2,Hr,mc)
         a = conv.synthesis_pass(t, rec, axis=-1, out_len=cols[i],
                                 backend=backend, pad_fn=pad_fn,
-                                mode=mode)  # (B,1,Hr,Wc)
+                                mode=mode_c)  # (B,1,Hr,Wc)
     return _from_nchw(a, batch, 2)
 
 
@@ -554,7 +569,10 @@ def _dwt1d_pallas(x: jnp.ndarray, wav: Wavelet, levels: int) -> Coeffs1D:
 @takes_precision
 def dwt1d(x: jnp.ndarray, wav: Wavelet, levels: int, *,
           backend: Optional[str] = None, pad_fn=None,
-          mode: str = "periodization") -> Coeffs1D:
+          mode="periodization") -> Coeffs1D:
+    from .modes import per_axis
+
+    (mode,) = per_axis(mode, 1)
     backend = _auto_backend(backend, pad_fn, mode)
     if backend == "pallas":
         if pad_fn is not None:
@@ -614,7 +632,10 @@ def _idwt1d_pallas(coeffs: Coeffs1D, wav: Wavelet, length: int) -> jnp.ndarray:
 @takes_precision
 def idwt1d(coeffs: Coeffs1D, wav: Wavelet, length: int, *,
            backend: Optional[str] = None, pad_fn=None,
-           mode: str = "periodization") -> jnp.ndarray:
+           mode="periodization") -> jnp.ndarray:
+    from .modes import per_axis
+
+    (mode,) = per_axis(mode, 1)
     backend = _auto_backend(backend, pad_fn, mode)
     if backend == "pallas":
         if pad_fn is not None:

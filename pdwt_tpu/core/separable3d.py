@@ -177,15 +177,19 @@ def _inv_level_3d_pallas(z: jnp.ndarray, wav: Wavelet, lo_t, hi_t,
 @takes_precision
 def dwt3d(x: jnp.ndarray, wav: Wavelet, levels: int, *,
           backend: Optional[str] = None, pad_fn=None,
-          mode: str = "periodization") -> Coeffs3D:
+          mode="periodization") -> Coeffs3D:
     """Multi-level separable 3D DWT over the trailing three axes.
 
     Semantics per axis are exactly core/conv.py's analysis spec
     (reference: src/separable.cu:91-131, generalized to the axis the
     reference does not have: its README lists "3D is not handled" as the
     first limitation).  ``mode`` selects the boundary extension
-    (core/modes.py; non-periodization modes ride the conv backends).
+    (core/modes.py; non-periodization modes ride the conv backends) —
+    a string or a ``(depth, row, col)`` tuple (pywt per-axis semantics).
     """
+    from .modes import per_axis
+
+    mode_d, mode_r, mode_c = per_axis(mode, 3)
     backend = _auto_backend(backend, pad_fn, mode)
     use_pallas = backend == "pallas"
     if use_pallas and pad_fn is not None:
@@ -208,11 +212,11 @@ def dwt3d(x: jnp.ndarray, wav: Wavelet, levels: int, *,
         if bands is None:
             af = _f32(a) if mxu is not None else a
             t = conv.analysis_pass(af, dec, axis=-1, backend=backend,
-                                   pad_fn=pad_fn, mode=mode)
+                                   pad_fn=pad_fn, mode=mode_c)
             t = conv.analysis_pass(t, dec, axis=-2, backend=backend,
-                                   pad_fn=pad_fn, mode=mode)
+                                   pad_fn=pad_fn, mode=mode_r)
             z = conv.analysis_pass(t, dec, axis=-3, backend=backend,
-                                   pad_fn=pad_fn, mode=mode)
+                                   pad_fn=pad_fn, mode=mode_d)
             bands = tuple(z[:, k] for k in range(8))
             if mxu == "bf16":
                 bands = (bands[0],) + tuple(t.astype(jnp.bfloat16)
@@ -283,7 +287,7 @@ def _inv_level_3d_pallas_mxu(a, bands7, wav, lo_t, hi_t, out_drc, mode,
 def idwt3d(coeffs: Coeffs3D, wav: Wavelet,
            shape: Tuple[int, int, int], *,
            backend: Optional[str] = None, pad_fn=None,
-           mode: str = "periodization") -> jnp.ndarray:
+           mode="periodization") -> jnp.ndarray:
     """Inverse of :func:`dwt3d`; ``shape`` = (Nd, Nr, Nc)."""
     backend = _auto_backend(backend, pad_fn, mode)
     use_pallas = backend == "pallas"
@@ -292,11 +296,13 @@ def idwt3d(coeffs: Coeffs3D, wav: Wavelet,
     if use_pallas:
         backend = "fma"
     from .modes import level_sizes as _mode_sizes
+    from .modes import per_axis
 
+    mode_d, mode_r, mode_c = per_axis(mode, 3)
     levels = coeffs.levels
-    deps = _mode_sizes(shape[0], levels, wav.hlen, mode)
-    rows = _mode_sizes(shape[1], levels, wav.hlen, mode)
-    cols = _mode_sizes(shape[2], levels, wav.hlen, mode)
+    deps = _mode_sizes(shape[0], levels, wav.hlen, mode_d)
+    rows = _mode_sizes(shape[1], levels, wav.hlen, mode_r)
+    cols = _mode_sizes(shape[2], levels, wav.hlen, mode_c)
     rec = (wav.rec_lo, wav.rec_hi)
     lo_t, hi_t = _ftup(wav.rec_lo), _ftup(wav.rec_hi)
     ddt = (coeffs.details[-1][0].dtype if coeffs.details
@@ -334,11 +340,11 @@ def idwt3d(coeffs: Coeffs3D, wav: Wavelet,
             bands = [_f32(t) for t in bands]
         z = jnp.concatenate([a] + bands, axis=1)
         t = conv.synthesis_pass(z, rec, axis=-3, out_len=deps[i],
-                                backend=backend, pad_fn=pad_fn, mode=mode)
+                                backend=backend, pad_fn=pad_fn, mode=mode_d)
         t = conv.synthesis_pass(t, rec, axis=-2, out_len=rows[i],
-                                backend=backend, pad_fn=pad_fn, mode=mode)
+                                backend=backend, pad_fn=pad_fn, mode=mode_r)
         a = conv.synthesis_pass(t, rec, axis=-1, out_len=cols[i],
-                                backend=backend, pad_fn=pad_fn, mode=mode)
+                                backend=backend, pad_fn=pad_fn, mode=mode_c)
         if mxu is not None:
             a = a.astype(out_dt)
     return _from_ncs(a, batch)

@@ -286,3 +286,53 @@ def test_custom_filter_rezero_under_mode(rng):
     W.set_image(img)
     W.forward()
     np.testing.assert_allclose(np.asarray(W.inverse()), img, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Per-axis modes (pywt tuple-of-modes semantics)
+# ---------------------------------------------------------------------------
+
+def test_per_axis_modes_2d_matches_composed_oracle(rng):
+    """mode=(row, col) applies independent extensions per axis; checked
+    against the 1D oracle composed with different modes per axis."""
+    w = get_wavelet("db3")
+    x = rng.standard_normal((14, 17))
+    c = S.dwt2d(jnp.asarray(x), w, 1, mode=("symmetric", "zero"))
+    lo_x, hi_x = O.dwt1_level_mode(x, w.dec_lo, w.dec_hi, "zero")  # cols
+    a, h = O.dwt1_level_mode(lo_x.T, w.dec_lo, w.dec_hi, "symmetric")
+    v, d = O.dwt1_level_mode(hi_x.T, w.dec_lo, w.dec_hi, "symmetric")
+    np.testing.assert_allclose(np.asarray(c.approx), a.T, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(c.details[0][2]), d.T, atol=1e-9)
+    y = S.idwt2d(c, w, (14, 17), mode=("symmetric", "zero"))
+    np.testing.assert_allclose(np.asarray(y), x, atol=1e-9)
+
+
+def test_per_axis_modes_3d_and_mixed_periodization(rng):
+    w = get_wavelet("db2")
+    x = rng.standard_normal((8, 10, 12))
+    m = ("periodization", "symmetric", "reflect")
+    c = S3.dwt3d(jnp.asarray(x), w, 2, mode=m)
+    # per-axis size rules
+    assert c.details[0][0].shape == (4, modes.dec_len(10, 4, "symmetric"),
+                                     modes.dec_len(12, 4, "reflect"))
+    y = S3.idwt3d(c, w, (8, 10, 12), mode=m)
+    np.testing.assert_allclose(np.asarray(y), x, atol=1e-9)
+
+
+def test_per_axis_modes_facade_and_errors(rng):
+    from pdwt_tpu import Wavelets
+
+    img = rng.standard_normal((24, 20)).astype(np.float32)
+    W = Wavelets(img, wname="db2", levels=2, mode=("reflect", "zero"))
+    W.forward()
+    rec = W.inverse()
+    np.testing.assert_allclose(np.asarray(rec), img, atol=1e-4)
+    assert W.spec.mode == ("reflect", "zero")
+    with pytest.raises(ValueError):
+        Wavelets(img, wname="db2", mode=("reflect",))  # wrong arity
+    with pytest.raises(ValueError):
+        S.dwt1d(jnp.asarray(img), get_wavelet("db2"), 1,
+                mode=("zero", "zero"))
+    with pytest.raises(ValueError):
+        S.dwt2d(jnp.asarray(img), get_wavelet("db2"), 1,
+                mode=("zero", "sym"))
