@@ -28,6 +28,8 @@ from typing import Dict, Optional, Sequence, Tuple, Union
 import jax.numpy as jnp
 
 from ..filters import Wavelet
+from .modes import level_sizes as _mode_sizes
+from .modes import per_axis
 from .separable import Coeffs1D, dwt1d, idwt1d
 from .shapes import level_sizes
 
@@ -42,14 +44,18 @@ def _per_axis_levels(levels: Levels, ndim_spatial: Optional[int]):
     return tuple(int(l) for l in levels)
 
 
-def _axis_blocks(n: int, lv: int) -> Tuple[int, ...]:
+def _axis_blocks(n: int, lv: int, hlen: int = 2,
+                 mode: str = "periodization") -> Tuple[int, ...]:
     """Packed block lengths along one axis, coarsest first:
-    (s_L, s_L, s_{L-1}, ..., s_1)."""
-    s = level_sizes(n, lv)
+    (s_L, s_L, s_{L-1}, ..., s_1).  Non-periodization modes follow the
+    pywt size rule, which depends on the filter length."""
+    s = (level_sizes(n, lv) if mode == "periodization"
+         else _mode_sizes(n, lv, hlen, mode))
     return (s[lv],) + tuple(s[l] for l in range(lv, 0, -1))
 
 
-def fs_slices(shape: Sequence[int], levels: Levels
+def fs_slices(shape: Sequence[int], levels: Levels, *,
+              mode="periodization", hlen: int = 2
               ) -> Tuple[Dict[str, slice], ...]:
     """Per-axis block slices of the packed array: key ``"a"`` is the
     depth-``L`` approximation block, ``"d<l>"`` the level-``l`` detail
@@ -57,9 +63,10 @@ def fs_slices(shape: Sequence[int], levels: Levels
     approximation along every axis is
     ``arr[..., sl[0]['a'], sl[1]['a'], ...]``."""
     lvls = _per_axis_levels(levels, len(shape))
+    modes_ax = per_axis(mode, len(shape))
     out = []
-    for n, lv in zip(shape, lvls):
-        blocks = _axis_blocks(n, lv)
+    for n, lv, m in zip(shape, lvls, modes_ax):
+        blocks = _axis_blocks(n, lv, hlen, m)
         keys = ["a"] + [f"d{l}" for l in range(lv, 0, -1)]
         d, pos = {}, 0
         for k, b in zip(keys, blocks):
@@ -75,8 +82,9 @@ def _pack1d(c: Coeffs1D) -> jnp.ndarray:
     return jnp.concatenate(parts, axis=-1)
 
 
-def _unpack1d(arr: jnp.ndarray, n: int, lv: int) -> Coeffs1D:
-    blocks = _axis_blocks(n, lv)
+def _unpack1d(arr: jnp.ndarray, n: int, lv: int, hlen: int = 2,
+              mode: str = "periodization") -> Coeffs1D:
+    blocks = _axis_blocks(n, lv, hlen, mode)
     pos = 0
     parts = []
     for b in blocks:
@@ -88,7 +96,8 @@ def _unpack1d(arr: jnp.ndarray, n: int, lv: int) -> Coeffs1D:
 
 def fs_dwt(x: jnp.ndarray, wav: Wavelet, levels: Levels, *,
            ndim_spatial: Optional[int] = None,
-           backend: Optional[str] = None) -> jnp.ndarray:
+           backend: Optional[str] = None,
+           mode="periodization") -> jnp.ndarray:
     """Fully separable forward transform over the trailing
     ``len(levels)`` axes (or ``ndim_spatial`` with a scalar ``levels``;
     a per-axis level of 0 leaves that axis untransformed).  Returns the
@@ -96,6 +105,7 @@ def fs_dwt(x: jnp.ndarray, wav: Wavelet, levels: Levels, *,
     odd sizes — block sizes from :func:`fs_slices`)."""
     lvls = _per_axis_levels(levels, ndim_spatial)
     nd = len(lvls)
+    modes_ax = per_axis(mode, nd)
     if nd > x.ndim:
         raise ValueError(f"{nd} spatial axes but input is {x.ndim}-D")
     y = x
@@ -104,18 +114,20 @@ def fs_dwt(x: jnp.ndarray, wav: Wavelet, levels: Levels, *,
             continue
         axis = k - nd  # negative index among the trailing axes
         y = jnp.moveaxis(y, axis, -1)
-        y = _pack1d(dwt1d(y, wav, lv, backend=backend))
+        y = _pack1d(dwt1d(y, wav, lv, backend=backend, mode=modes_ax[k]))
         y = jnp.moveaxis(y, -1, axis)
     return y
 
 
 def fs_idwt(arr: jnp.ndarray, wav: Wavelet, shape: Sequence[int],
             levels: Levels, *,
-            backend: Optional[str] = None) -> jnp.ndarray:
+            backend: Optional[str] = None,
+            mode="periodization") -> jnp.ndarray:
     """Inverse of :func:`fs_dwt`; ``shape`` is the original size of the
     trailing spatial axes."""
     lvls = _per_axis_levels(levels, len(shape))
     nd = len(lvls)
+    modes_ax = per_axis(mode, nd)
     y = arr
     for k in range(nd - 1, -1, -1):
         lv = lvls[k]
@@ -123,7 +135,7 @@ def fs_idwt(arr: jnp.ndarray, wav: Wavelet, shape: Sequence[int],
             continue
         axis = k - nd
         y = jnp.moveaxis(y, axis, -1)
-        y = idwt1d(_unpack1d(y, shape[k], lv), wav, shape[k],
-                   backend=backend)
+        y = idwt1d(_unpack1d(y, shape[k], lv, wav.hlen, modes_ax[k]),
+                   wav, shape[k], backend=backend, mode=modes_ax[k])
         y = jnp.moveaxis(y, -1, axis)
     return y

@@ -336,3 +336,21 @@ def test_per_axis_modes_facade_and_errors(rng):
     with pytest.raises(ValueError):
         S.dwt2d(jnp.asarray(img), get_wavelet("db2"), 1,
                 mode=("zero", "sym"))
+
+
+def test_fs_dwt_modes(rng):
+    """Fully separable (anisotropic) transform with pywt boundary modes,
+    including per-axis mixes and per-axis level counts."""
+    from pdwt_tpu.core.anisotropic import fs_dwt, fs_idwt, fs_slices
+
+    w = get_wavelet("db3")
+    x = rng.standard_normal((2, 19, 26))
+    for mode in ("symmetric", ("zero", "reflect")):
+        y = fs_dwt(jnp.asarray(x), w, (2, 3), mode=mode)
+        back = fs_idwt(y, w, (19, 26), (2, 3), mode=mode)
+        np.testing.assert_allclose(np.asarray(back), x, atol=1e-9)
+    # block addressing matches the pywt size rule
+    sl = fs_slices((19, 26), (2, 3), mode="symmetric", hlen=w.hlen)
+    sizes = modes.level_sizes(19, 2, w.hlen, "symmetric")
+    assert sl[0]["a"] == slice(0, sizes[2])
+    assert sl[0]["d1"].stop - sl[0]["d1"].start == sizes[1]
