@@ -53,14 +53,24 @@ def denoise_step(
     mode: str = "soft",
     normalize: bool = False,
     backend: Optional[str] = None,
+    boundary="periodization",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """One denoising step: (random shift) → DWT/SWT → threshold → inverse
     → (unshift).  Returns ``(denoised, norm1_of_thresholded_coeffs)``.
 
     ``key=None`` disables cycle spinning (deterministic step).
+    ``boundary`` selects the DWT's boundary extension (core/modes.py;
+    ``mode`` here is the THRESHOLD type, following the reference's
+    naming) — non-periodization boundaries avoid the periodic wrap's
+    edge artifacts on non-periodic images; DWT only, and incompatible
+    with cycle spinning (circular shifts mix opposite edges).
     """
     wav = _resolve(wav)
     nr, nc = img.shape[-2:]
+    if boundary != "periodization" and (swt or key is not None):
+        raise ValueError(
+            "boundary modes other than 'periodization' apply to the "
+            "decimated DWT without cycle spinning")
     if key is not None:
         kr, kc = jax.random.split(key)
         sr = jax.random.randint(kr, (), 0, nr)
@@ -85,10 +95,12 @@ def denoise_step(
             n1 = ops.norm1(coeffs)
             out = sep_core.iswt2d(coeffs, wav, backend=backend)
     else:
-        coeffs = sep_core.dwt2d(img, wav, levels, backend=backend)
+        coeffs = sep_core.dwt2d(img, wav, levels, backend=backend,
+                                mode=boundary)
         coeffs = _THRESH[mode](coeffs, beta, normalize=normalize)
         n1 = ops.norm1(coeffs)
-        out = sep_core.idwt2d(coeffs, wav, (nr, nc), backend=backend)
+        out = sep_core.idwt2d(coeffs, wav, (nr, nc), backend=backend,
+                              mode=boundary)
     if key is not None:
         out = jnp.roll(out, shift=(-sr, -sc), axis=(-2, -1))
     return out, n1
@@ -116,6 +128,7 @@ def auto_denoise(
     mode: str = "soft",
     swt: bool = False,
     backend: Optional[str] = None,
+    boundary="periodization",
 ) -> jnp.ndarray:
     """Fully data-driven 2D denoise: estimate the noise level and the
     thresholds from the coefficients themselves, threshold, invert — one
@@ -123,11 +136,15 @@ def auto_denoise(
     (BayesShrink per-band thresholds), ``"sure"`` (hybrid SureShrink),
     or ``"universal"`` (VisuShrink σ·sqrt(2 ln N)).  The reference
     leaves β to the user (its demo hard-codes 10.0, reference:
-    src/demo.cpp:38)."""
+    src/demo.cpp:38).  ``boundary`` = DWT boundary extension
+    (core/modes.py; DWT only — avoids periodic edge artifacts)."""
     wav = _resolve(wav)
     nr, nc = img.shape[-2:]
+    if boundary != "periodization" and swt:
+        raise ValueError("boundary modes apply to the decimated DWT only")
     fwd = sep_core.swt2d if swt else sep_core.dwt2d
-    coeffs = fwd(img, wav, levels, backend=backend)
+    fkw = {} if swt else {"mode": boundary}
+    coeffs = fwd(img, wav, levels, backend=backend, **fkw)
     beta = _auto_betas(coeffs, method)
     if (swt and mode in ("soft", "hard", "garrote")
             and not isinstance(beta, list)):
@@ -136,7 +153,8 @@ def auto_denoise(
     coeffs = _THRESH[mode](coeffs, beta)
     if swt:
         return sep_core.iswt2d(coeffs, wav, backend=backend)
-    return sep_core.idwt2d(coeffs, wav, (nr, nc), backend=backend)
+    return sep_core.idwt2d(coeffs, wav, (nr, nc), backend=backend,
+                           mode=boundary)
 
 
 def auto_denoise_3d(
