@@ -282,3 +282,49 @@ def idwt2(coeffs, wavelet, mode: str = "symmetric", *, backend=None):
     bands = [jnp.zeros_like(ref) if b is None else b for b in bands]
     return waverec2([jnp.asarray(cA), tuple(bands)], wavelet, mode,
                     backend=backend)
+
+
+def swt(data, wavelet, level: int, *, backend=None) -> List[Any]:
+    """pywt.swt-shaped stationary transform: coarsest-first
+    ``[(cA_n, cD_n), ..., (cA_1, cD_1)]`` pairs (the per-level
+    approximation stack is the framework's ``keep_approx=True``).
+    Container compatibility — coefficient values follow THIS
+    framework's à-trous phase convention (core/conv.py), which may
+    differ from pywt's by a per-level shift."""
+    from ..core.separable import swt1d
+
+    c, approxs = swt1d(jnp.asarray(data), _wav(wavelet), level,
+                       backend=backend, keep_approx=True)
+    return [(approxs[i], c.details[i]) for i in range(level - 1, -1, -1)]
+
+
+def iswt(coeffs, wavelet, *, backend=None) -> jnp.ndarray:
+    """Inverse of :func:`swt` (uses the deepest approximation + all
+    details, like pywt.iswt)."""
+    from ..core.separable import Coeffs1D, iswt1d
+
+    details = tuple(d for _, d in reversed(coeffs))  # finest-first
+    return iswt1d(Coeffs1D(jnp.asarray(coeffs[0][0]), details),
+                  _wav(wavelet), backend=backend)
+
+
+def swt2(data, wavelet, level: int, *, backend=None) -> List[Any]:
+    """pywt.swt2-shaped 2D stationary transform: coarsest-first
+    ``[(cA_i, (cH_i, cV_i, cD_i)), ...]`` (phase note: see
+    :func:`swt`)."""
+    from ..core.separable import swt2d
+
+    c, approxs = swt2d(jnp.asarray(data), _wav(wavelet), level,
+                       backend=backend, keep_approx=True)
+    return [(approxs[i], tuple(c.details[i]))
+            for i in range(level - 1, -1, -1)]
+
+
+def iswt2(coeffs, wavelet, *, backend=None) -> jnp.ndarray:
+    """Inverse of :func:`swt2`."""
+    from ..core.separable import Coeffs2D, iswt2d
+
+    details = tuple(tuple(jnp.asarray(b) for b in hvd)
+                    for _, hvd in reversed(coeffs))
+    return iswt2d(Coeffs2D(jnp.asarray(coeffs[0][0]), details),
+                  _wav(wavelet), backend=backend)

@@ -150,3 +150,21 @@ def test_single_level_dwt_idwt(rng):
     assert smooth.shape == y2.shape
     with pytest.raises(ValueError):
         idwt(None, None, "db2")
+
+
+def test_swt_drop_ins(rng):
+    from pdwt_tpu.utils import iswt, iswt2, swt, swt2
+
+    x = rng.standard_normal(64)
+    cl = swt(x, "db2", 3)
+    assert len(cl) == 3 and cl[0][0].shape == (64,)
+    np.testing.assert_allclose(np.asarray(iswt(cl, "db2")), x, atol=1e-10)
+
+    img = rng.standard_normal((32, 32))
+    c2 = swt2(img, "sym4", 2)
+    assert len(c2) == 2 and len(c2[0][1]) == 3
+    np.testing.assert_allclose(np.asarray(iswt2(c2, "sym4")), img,
+                               atol=1e-9)
+    # coarsest-first ordering: level-n approx is smoother than level-1
+    tv = lambda a: float(np.abs(np.diff(np.asarray(a), axis=-1)).mean())
+    assert tv(c2[0][0]) < tv(c2[-1][0])
