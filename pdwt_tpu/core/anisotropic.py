@@ -55,7 +55,7 @@ def _axis_blocks(n: int, lv: int, hlen: int = 2,
 
 
 def fs_slices(shape: Sequence[int], levels: Levels, *,
-              mode="periodization", hlen: int = 2
+              mode="periodization", hlen: Optional[int] = None
               ) -> Tuple[Dict[str, slice], ...]:
     """Per-axis block slices of the packed array: key ``"a"`` is the
     depth-``L`` approximation block, ``"d<l>"`` the level-``l`` detail
@@ -64,6 +64,12 @@ def fs_slices(shape: Sequence[int], levels: Levels, *,
     ``arr[..., sl[0]['a'], sl[1]['a'], ...]``."""
     lvls = _per_axis_levels(levels, len(shape))
     modes_ax = per_axis(mode, len(shape))
+    if hlen is None:
+        if any(m != "periodization" for m in modes_ax):
+            raise ValueError(
+                "non-periodization block sizes depend on the filter "
+                "length — pass hlen= (the wavelet's .hlen)")
+        hlen = 2  # unused by the periodization size rule
     out = []
     for n, lv, m in zip(shape, lvls, modes_ax):
         blocks = _axis_blocks(n, lv, hlen, m)

@@ -239,7 +239,14 @@ def _ext_block(x: jnp.ndarray, axis: int, pos: np.ndarray,
 def extend(x: jnp.ndarray, axis: int, lo: int, hi: int,
            mode: str) -> jnp.ndarray:
     """Pad ``x`` along ``axis`` by ``lo``/``hi`` samples of the mode's
-    boundary extension (pywt ``common.c`` semantics, any width)."""
+    boundary extension (pywt ``common.c`` semantics, any width).
+
+    ``"periodization"`` pads periodically here (its odd-size virtual
+    extension is the TRANSFORM's concern — conv.py applies odd_extend
+    before padding), so the helper works generically over ``MODES``."""
+    check_mode(mode)
+    if mode == "periodization":
+        mode = "periodic"
     axis = axis % x.ndim
     n = x.shape[axis]
     parts = []

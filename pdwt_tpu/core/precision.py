@@ -104,6 +104,25 @@ def takes_precision(fn):
     def wrapper(*args, precision: Optional[str] = None, **kwargs):
         if precision is None:
             return fn(*args, **kwargs)
+        check_tier(precision)
+        # a tier/dtype mismatch would otherwise silently no-op (the MXU
+        # mode is keyed on the array dtype): bf16-* rungs need bf16
+        # arrays somewhere in the inputs, exact/mixed need none (the
+        # bf16 contract carries an f32 approximation chain, so inverse
+        # pytrees legitimately mix dtypes — presence is the invariant)
+        import jax
+
+        import jax.numpy as jnp
+
+        has_bf16 = any(
+            getattr(leaf, "dtype", None) == jnp.bfloat16
+            for leaf in jax.tree_util.tree_leaves(args))
+        if precision.startswith("bf16-") != has_bf16:
+            raise ValueError(
+                f"precision {precision!r} does not match the input "
+                f"dtypes ({'some' if has_bf16 else 'no'} bfloat16 "
+                "arrays): bf16-* tiers need bf16 arrays, exact/mixed "
+                "need float arrays")
         with precision_scope(precision):
             return fn(*args, **kwargs)
 
@@ -122,12 +141,16 @@ def tier_for(dtype_name: str, tier: Optional[str]) -> str:
     if tier is not None:
         check_tier(tier)
     if dtype_name == "bfloat16":
-        if tier in (None, "exact"):
-            return "bf16-fast" if tier is None else "exact"
+        if tier is None:
+            return "bf16-fast"
         if not tier.startswith("bf16-"):
+            # 'exact'/'mixed' cannot be honored on bf16 storage (the MXU
+            # bf16 kernels always run) — reject rather than silently
+            # reporting a tier the compute does not deliver
             raise ValueError(
                 f"precision {tier!r} needs float32 arrays; bf16 arrays "
-                "take 'bf16-fast'/'bf16-balanced'/'bf16-accurate'")
+                "take 'bf16-fast'/'bf16-balanced'/'bf16-accurate' "
+                "(cast to float32 for the exact/mixed tiers)")
         return tier
     if tier is not None and tier.startswith("bf16-"):
         raise ValueError(

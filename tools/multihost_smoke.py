@@ -100,7 +100,15 @@ def main() -> int:
         env=env,
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
         for i in range(2)]
-    rcs = [p.wait(timeout=600) for p in procs]
+    try:
+        rcs = [p.wait(timeout=600) for p in procs]
+    finally:
+        # a hung worker (wedged coordinator handshake) must not leave
+        # orphaned jax.distributed processes spinning on this 1-CPU box
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.wait()
     if any(rcs):
         print(f"FAILED: worker rcs {rcs}", flush=True)
         return 1
