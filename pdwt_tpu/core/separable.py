@@ -314,6 +314,222 @@ def _idwt2d_pallas(coeffs: Coeffs2D, wav: Wavelet,
 
 
 @takes_precision
+# ---------------------------------------------------------------------------
+# Non-periodization modes on the fused Pallas kernels (round 5).
+#
+# The padded kernel entry points (built for the distributed halo path)
+# read ONLY the array they are given — no wrap arithmetic — so the pywt
+# boundary extension can ride as the pad itself.  Phase algebra for the
+# forward (even hlen F, c = F/2 - 1, so the pywt analysis left width
+# F - 2 = 2c): the kernel computes out[n] = Σ frev[j]·x'[2n - c + j]
+# over the signal x' it is given; presenting x' = extend(x, c, ..., mode)
+# (the extension treated AS signal, sized 2·L'' with L'' the tile-
+# friendly round-up of the pywt L) makes that exactly the pywt window
+# x_ext[2m - 2c + j] at n = m — all L outputs per axis come out
+# directly, garbage tails beyond L are prefix-sliced (measured free).
+# The inverse needs NO boundary extension (zero pads) and the periodic
+# kernel's synthesis shift s = inv_shift(F) relates to the pywt shift 1
+# by a pure output offset: out_pywt[g] = out_kernel[g + s - 1].
+#
+# Chip A/B (tools/mode_pallas_probe*.py, db7 symmetric L1 2048²):
+# 1.77x over the fma formulation incl. slices (0.69 vs 1.22 ms); at
+# tile-divisible sizes 7.2x (0.40 ms, no garbage work).  The tile
+# round-up must be 64/128-friendly: a bare 8-multiple can leave the
+# picker only TR=8 (1032 = 8·129) and measured 3.8 ms.
+#
+# Both directions are linear, so the custom VJPs compute the exact
+# adjoint via jax.linear_transpose over the (bit-equivalent) fma
+# formulation — the backward pass costs fma speed, the forward runs
+# the kernels.
+# ---------------------------------------------------------------------------
+
+def _ceil_to(n: int, q: int) -> int:
+    return -(-n // q) * q
+
+
+def _mode_fma_level_fwd(af, wav, mode_r, mode_c):
+    dec = (wav.dec_lo, wav.dec_hi)
+    z = conv.analysis_pass(af[:, None], dec, axis=-1, backend="fma",
+                           mode=mode_c)
+    z = conv.analysis_pass(z, dec, axis=-2, backend="fma", mode=mode_r)
+    return z[:, 0], z[:, 1], z[:, 2], z[:, 3]
+
+
+def _mode_fwd_level_pallas_raw(af, wav, mode_r, mode_c):
+    """One f32 mode-analysis level on (B, r, c) via the padded Pallas
+    kernel; None when the geometry is unsupported (caller falls back to
+    the fma formulation)."""
+    from .. import kernels
+    from .modes import dec_len, extend
+
+    hlen = wav.hlen
+    if hlen % 2 or af.dtype != jnp.float32:
+        return None
+    r, c = af.shape[-2:]
+    if min(r, c) < 2:
+        return None
+    cc = conv.fwd_center(hlen)
+    lr, lc = dec_len(r, hlen, mode_r), dec_len(c, hlen, mode_c)
+    lr2, lc2 = _ceil_to(lr, 64), _ceil_to(lc, 128)
+    geo = kernels.fwd_geometry(2 * lr2, 2 * lc2, hlen)
+    if geo is None:
+        return None
+    lo_r, lo_c, hi_r, hi_c = geo
+    tl = tuple(float(v) for v in wav.dec_lo)
+    th = tuple(float(v) for v in wav.dec_hi)
+    xq = extend(af, -1, cc + lo_c, (2 * lc2 - c - cc) + hi_c, mode_c)
+    xq = extend(xq, -2, cc + lo_r, (2 * lr2 - r - cc) + hi_r, mode_r)
+    bands = kernels.fwd_level_2d_padded(xq, tl, th, (lr2, lc2))
+    return tuple(b[:, :lr, :lc] for b in bands)
+
+
+def _mode_inv_level_pallas_raw(a, h, v, d, wav, out_r, out_c):
+    """One f32 mode-synthesis level; subbands (B, mr, mc) ->
+    (B, out_r, out_c) via the padded Pallas kernel with ZERO pads (the
+    pywt inverse has no boundary extension) and the s-1 output offset;
+    None when unsupported."""
+    from .. import kernels
+    from .modes import zero_pad
+
+    hlen = wav.hlen
+    if hlen % 2 or a.dtype != jnp.float32:
+        return None
+    s = conv.inv_shift(hlen)
+    mr, mc = a.shape[-2:]
+    mr2, mc2 = _ceil_to(mr, 64), _ceil_to(mc, 128)
+    if s - 1 + out_r > 2 * mr2 or s - 1 + out_c > 2 * mc2:
+        return None
+    geo = kernels.inv_geometry(mr2, mc2, hlen)
+    if geo is None:
+        return None
+    lo_r, lo_c, hi_r, hi_c = geo
+    rl = tuple(float(v) for v in wav.rec_lo)
+    rh = tuple(float(v) for v in wav.rec_hi)
+
+    def zp(t):
+        t = zero_pad(t, -1, lo_c, (mc2 - mc) + hi_c)
+        return zero_pad(t, -2, lo_r, (mr2 - mr) + hi_r)
+
+    y = kernels.inv_level_2d_padded(zp(a), zp(h), zp(v), zp(d), rl, rh,
+                                    (mr2, mc2))
+    return y[:, s - 1:s - 1 + out_r, s - 1:s - 1 + out_c]
+
+
+import functools as _functools
+
+import jax as _jax
+
+
+@_functools.partial(_jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def _mode_fwd_level_pallas(af, wav, mode_r, mode_c):
+    res = _mode_fwd_level_pallas_raw(af, wav, mode_r, mode_c)
+    if res is None:
+        res = _mode_fma_level_fwd(af, wav, mode_r, mode_c)
+    return res
+
+
+def _mode_fwd_vjp_fwd(af, wav, mode_r, mode_c):
+    # residual: the input array itself (custom_vjp residual leaves must
+    # be JAX types; only its aval is used — the analysis is linear)
+    return _mode_fwd_level_pallas(af, wav, mode_r, mode_c), af
+
+
+def _mode_fwd_vjp_bwd(wav, mode_r, mode_c, af, ct):
+    aval = _jax.ShapeDtypeStruct(af.shape, af.dtype)
+    # exact adjoint of the LINEAR analysis via the fma formulation
+    (grad,) = _jax.linear_transpose(
+        lambda x: _mode_fma_level_fwd(x, wav, mode_r, mode_c), aval)(ct)
+    return (grad,)
+
+
+_mode_fwd_level_pallas.defvjp(_mode_fwd_vjp_fwd, _mode_fwd_vjp_bwd)
+
+
+def _mode_fma_level_inv(a, h, v, d, wav, out_r, out_c, mode_r, mode_c):
+    rec = (wav.rec_lo, wav.rec_hi)
+    z = jnp.stack([a, h, v, d], axis=1)
+    t = conv.synthesis_pass(z, rec, axis=-2, out_len=out_r,
+                            backend="fma", mode=mode_r)
+    return conv.synthesis_pass(t, rec, axis=-1, out_len=out_c,
+                               backend="fma", mode=mode_c)[:, 0]
+
+
+@_functools.partial(_jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+def _mode_inv_level_pallas(a, h, v, d, wav, out_r, out_c, mode_r, mode_c):
+    y = _mode_inv_level_pallas_raw(a, h, v, d, wav, out_r, out_c)
+    if y is None:
+        y = _mode_fma_level_inv(a, h, v, d, wav, out_r, out_c,
+                                mode_r, mode_c)
+    return y
+
+
+def _mode_inv_vjp_fwd(a, h, v, d, wav, out_r, out_c, mode_r, mode_c):
+    out = _mode_inv_level_pallas(a, h, v, d, wav, out_r, out_c,
+                                 mode_r, mode_c)
+    return out, a
+
+
+def _mode_inv_vjp_bwd(wav, out_r, out_c, mode_r, mode_c, a, ct):
+    avals = tuple(_jax.ShapeDtypeStruct(a.shape, a.dtype)
+                  for _ in range(4))
+    return _jax.linear_transpose(
+        lambda aa, h, v, d: _mode_fma_level_inv(aa, h, v, d, wav, out_r,
+                                                out_c, mode_r, mode_c),
+        *avals)(ct)
+
+
+_mode_inv_level_pallas.defvjp(_mode_inv_vjp_fwd, _mode_inv_vjp_bwd)
+
+
+def _use_mode_pallas(backend, pad_fn, dtype) -> bool:
+    """Route the non-periodization mode path onto the fused kernels:
+    auto backend (or an explicit/env 'pallas' preference), no sharding
+    pad_fn, f32 arrays, real TPU."""
+    import os
+
+    import jax
+
+    if pad_fn is not None or dtype != jnp.float32:
+        return False
+    if os.environ.get("PDWT_TPU_MODE_PALLAS") == "0":
+        return False
+    pref = backend if backend is not None else conv._default_backend
+    if pref not in (None, "pallas"):
+        return False
+    return jax.default_backend() == "tpu"
+
+
+def _dwt2d_pallas_mode(x, wav, levels, mode_r, mode_c) -> Coeffs2D:
+    """Multi-level mode-analysis on the fused kernels (per-level fma
+    fallback inside _mode_fwd_level_pallas)."""
+    batch = x.shape[:-2]
+    b = int(np.prod(batch, dtype=np.int64)) if batch else 1
+    a = x.reshape((b,) + x.shape[-2:])
+    details = []
+    for _ in range(levels):
+        a, h, v, d = _mode_fwd_level_pallas(a, wav, mode_r, mode_c)
+        details.append(tuple(t.reshape(batch + t.shape[1:])
+                             for t in (h, v, d)))
+    return Coeffs2D(a.reshape(batch + a.shape[1:]), tuple(details))
+
+
+def _idwt2d_pallas_mode(coeffs, wav, shape, mode_r, mode_c):
+    from .modes import level_sizes as _msizes
+
+    levels = coeffs.levels
+    rows = _msizes(shape[0], levels, wav.hlen, mode_r)
+    cols = _msizes(shape[1], levels, wav.hlen, mode_c)
+    batch = coeffs.approx.shape[:-2]
+    b = int(np.prod(batch, dtype=np.int64)) if batch else 1
+    flat = lambda t: t.reshape((b,) + t.shape[len(batch):])
+    a = flat(coeffs.approx)
+    for i in range(levels - 1, -1, -1):
+        h, v, d = (flat(t) for t in coeffs.details[i])
+        a = _mode_inv_level_pallas(a, h, v, d, wav, rows[i], cols[i],
+                                   mode_r, mode_c)
+    return a.reshape(batch + a.shape[1:])
+
+
 def dwt2d(x: jnp.ndarray, wav: Wavelet, levels: int, *,
           backend: Optional[str] = None, pad_fn=None,
           mode="periodization") -> Coeffs2D:
@@ -322,10 +538,15 @@ def dwt2d(x: jnp.ndarray, wav: Wavelet, levels: int, *,
     ``mode`` selects the boundary extension (core/modes.py; pywt mode
     set) — a string for both axes or a ``(row_mode, col_mode)`` tuple
     (pywt per-axis semantics).  The default ``"periodization"`` is the
-    reference scheme."""
+    reference scheme.  On TPU, f32 non-periodization transforms ride
+    the fused Pallas kernels (extension-as-pad, 1.8-7x measured; see
+    the mode-kernel block above) with per-level fma fallback."""
     from .modes import per_axis
 
     mode_r, mode_c = per_axis(mode, 2)
+    if (not _all_periodization(mode)
+            and _use_mode_pallas(backend, pad_fn, x.dtype)):
+        return _dwt2d_pallas_mode(x, wav, levels, mode_r, mode_c)
     backend = _auto_backend(backend, pad_fn, mode)
     if backend == "pallas":
         if pad_fn is not None:
@@ -352,6 +573,12 @@ def idwt2d(coeffs: Coeffs2D, wav: Wavelet, shape: Tuple[int, int], *,
            backend: Optional[str] = None, pad_fn=None,
            mode="periodization") -> jnp.ndarray:
     """Inverse of :func:`dwt2d`; ``shape`` = (Nr, Nc) of the original image."""
+    from .modes import per_axis as _per_axis
+
+    if not _all_periodization(mode):
+        m_r, m_c = _per_axis(mode, 2)
+        if _use_mode_pallas(backend, pad_fn, coeffs.approx.dtype):
+            return _idwt2d_pallas_mode(coeffs, wav, shape, m_r, m_c)
     backend = _auto_backend(backend, pad_fn, mode)
     if backend == "pallas":
         if pad_fn is not None:

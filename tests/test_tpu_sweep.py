@@ -228,3 +228,45 @@ def test_round5_modes_and_tiers_on_chip(rng):
     assert np.abs(y_fast - y_bal).max() > 0
     ref = np.asarray(img)
     assert np.abs(y_bal - ref).max() <= np.abs(y_fast - ref).max() + 1e-3
+
+
+def test_mode_pallas_path_on_chip(rng):
+    """Round-5 late: non-periodization modes ride the fused kernels
+    (extension-as-pad, see core/separable.py mode-kernel block) — the
+    auto path must match the fma formulation at f32 roundoff across odd
+    sizes, per-axis mixes and deep levels, and the linear-transpose VJP
+    must be exact."""
+    from pdwt_tpu.core.separable import _use_mode_pallas
+
+    assert _use_mode_pallas(None, None, jnp.float32)
+    for wname, n, m, mode, lv in [("db7", 1024, 512, "symmetric", 4),
+                                  ("db2", 250, 198, "reflect", 3),
+                                  ("db4", 96, 160,
+                                   ("smooth", "antireflect"), 2)]:
+        w = get_wavelet(wname)
+        x = jnp.asarray(rng.standard_normal((n, m)), jnp.float32)
+
+        @jax.jit
+        def both(a, w=w, lv=lv, mode=mode, n=n, m=m):
+            y1 = sep.idwt2d(sep.dwt2d(a, w, lv, mode=mode), w, (n, m),
+                            mode=mode)
+            y2 = sep.idwt2d(sep.dwt2d(a, w, lv, mode=mode,
+                                      backend="fma"), w, (n, m),
+                            mode=mode, backend="fma")
+            return jnp.max(jnp.abs(y1 - y2)), jnp.max(jnp.abs(y1 - a))
+
+        dev, pr = (float(t) for t in both(x))
+        assert dev < 2e-5 and pr < 2e-5, (wname, mode, dev, pr)
+
+    w = get_wavelet("db3")
+    x = jnp.asarray(rng.standard_normal((128, 128)), jnp.float32)
+
+    def loss(a, backend=None):
+        c = sep.dwt2d(a, w, 2, mode="symmetric", backend=backend)
+        return jnp.sum(jnp.abs(sep.idwt2d(c, w, (128, 128),
+                                          mode="symmetric",
+                                          backend=backend)))
+
+    g1 = jax.jit(jax.grad(loss))(x)
+    g2 = jax.jit(jax.grad(lambda a: loss(a, "fma")))(x)
+    np.testing.assert_array_equal(np.asarray(g1), np.asarray(g2))
