@@ -481,6 +481,115 @@ def _mode_inv_vjp_bwd(wav, out_r, out_c, mode_r, mode_c, a, ct):
 _mode_inv_level_pallas.defvjp(_mode_inv_vjp_fwd, _mode_inv_vjp_bwd)
 
 
+def _mode_fma_level_fwd_1d(af, wav, mode):
+    dec = (wav.dec_lo, wav.dec_hi)
+    z = conv.analysis_pass(af[:, None, None], dec, axis=-1, backend="fma",
+                           mode=mode)
+    return z[:, 0, 0], z[:, 1, 0]
+
+
+def _mode_fma_level_inv_1d(lo, hi, wav, out_len, mode):
+    rec = (wav.rec_lo, wav.rec_hi)
+    z = jnp.stack([lo, hi], axis=1)[:, :, None, :]
+    return conv.synthesis_pass(z, rec, axis=-1, out_len=out_len,
+                               backend="fma", mode=mode)[:, 0, 0]
+
+
+def _mode_fwd_level_pallas_1d_raw(af, wav, mode):
+    """One f32 batched-1D mode-analysis level on (B, n) via the padded
+    Pallas kernel (extension-as-pad, lane axis; same phase algebra as
+    the 2D block above); None when unsupported."""
+    from .. import kernels
+    from .modes import dec_len, extend
+
+    hlen = wav.hlen
+    if hlen % 2 or af.dtype != jnp.float32:
+        return None
+    b, n = af.shape
+    if n < 2:
+        return None
+    cc = conv.fwd_center(hlen)
+    ln = dec_len(n, hlen, mode)
+    ln2 = _ceil_to(ln, 128)
+    geo = kernels.fwd1d_geometry(b, 2 * ln2, hlen)
+    if geo is None:
+        return None
+    lo_c, hi_c = geo
+    tl = tuple(float(v) for v in wav.dec_lo)
+    th = tuple(float(v) for v in wav.dec_hi)
+    xq = extend(af, -1, cc + lo_c, (2 * ln2 - n - cc) + hi_c, mode)
+    lo, hi = kernels.fwd_level_1d_padded(xq, tl, th, ln2)
+    return lo[:, :ln], hi[:, :ln]
+
+
+def _mode_inv_level_pallas_1d_raw(lo, hi, wav, out_len):
+    from .. import kernels
+    from .modes import zero_pad
+
+    hlen = wav.hlen
+    if hlen % 2 or lo.dtype != jnp.float32:
+        return None
+    s = conv.inv_shift(hlen)
+    b, m = lo.shape
+    m2 = _ceil_to(m, 128)
+    if s - 1 + out_len > 2 * m2:
+        return None
+    geo = kernels.inv1d_geometry(b, m2, hlen)
+    if geo is None:
+        return None
+    lo_c, hi_c = geo
+    rl = tuple(float(v) for v in wav.rec_lo)
+    rh = tuple(float(v) for v in wav.rec_hi)
+    zp = lambda t: zero_pad(t, -1, lo_c, (m2 - m) + hi_c)
+    y = kernels.inv_level_1d_padded(zp(lo), zp(hi), rl, rh, m2)
+    return y[:, s - 1:s - 1 + out_len]
+
+
+@_functools.partial(_jax.custom_vjp, nondiff_argnums=(1, 2))
+def _mode_fwd_level_pallas_1d(af, wav, mode):
+    res = _mode_fwd_level_pallas_1d_raw(af, wav, mode)
+    if res is None:
+        res = _mode_fma_level_fwd_1d(af, wav, mode)
+    return res
+
+
+def _mode_fwd1d_vjp_fwd(af, wav, mode):
+    return _mode_fwd_level_pallas_1d(af, wav, mode), af
+
+
+def _mode_fwd1d_vjp_bwd(wav, mode, af, ct):
+    aval = _jax.ShapeDtypeStruct(af.shape, af.dtype)
+    (grad,) = _jax.linear_transpose(
+        lambda x: _mode_fma_level_fwd_1d(x, wav, mode), aval)(ct)
+    return (grad,)
+
+
+_mode_fwd_level_pallas_1d.defvjp(_mode_fwd1d_vjp_fwd, _mode_fwd1d_vjp_bwd)
+
+
+@_functools.partial(_jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _mode_inv_level_pallas_1d(lo, hi, wav, out_len, mode):
+    y = _mode_inv_level_pallas_1d_raw(lo, hi, wav, out_len)
+    if y is None:
+        y = _mode_fma_level_inv_1d(lo, hi, wav, out_len, mode)
+    return y
+
+
+def _mode_inv1d_vjp_fwd(lo, hi, wav, out_len, mode):
+    return _mode_inv_level_pallas_1d(lo, hi, wav, out_len, mode), lo
+
+
+def _mode_inv1d_vjp_bwd(wav, out_len, mode, lo, ct):
+    avals = tuple(_jax.ShapeDtypeStruct(lo.shape, lo.dtype)
+                  for _ in range(2))
+    return _jax.linear_transpose(
+        lambda l, h: _mode_fma_level_inv_1d(l, h, wav, out_len, mode),
+        *avals)(ct)
+
+
+_mode_inv_level_pallas_1d.defvjp(_mode_inv1d_vjp_fwd, _mode_inv1d_vjp_bwd)
+
+
 def _use_mode_pallas(backend, pad_fn, dtype) -> bool:
     """Route the non-periodization mode path onto the fused kernels:
     auto backend (or an explicit/env 'pallas' preference), no sharding
@@ -800,6 +909,16 @@ def dwt1d(x: jnp.ndarray, wav: Wavelet, levels: int, *,
     from .modes import per_axis
 
     (mode,) = per_axis(mode, 1)
+    if (mode != "periodization"
+            and _use_mode_pallas(backend, pad_fn, x.dtype)):
+        batch = x.shape[:-1]
+        b = int(np.prod(batch, dtype=np.int64)) if batch else 1
+        a = x.reshape(b, x.shape[-1])
+        details = []
+        for _ in range(levels):
+            a, d = _mode_fwd_level_pallas_1d(a, wav, mode)
+            details.append(d.reshape(batch + d.shape[1:]))
+        return Coeffs1D(a.reshape(batch + a.shape[1:]), tuple(details))
     backend = _auto_backend(backend, pad_fn, mode)
     if backend == "pallas":
         if pad_fn is not None:
@@ -863,6 +982,19 @@ def idwt1d(coeffs: Coeffs1D, wav: Wavelet, length: int, *,
     from .modes import per_axis
 
     (mode,) = per_axis(mode, 1)
+    if (mode != "periodization"
+            and _use_mode_pallas(backend, pad_fn, coeffs.approx.dtype)):
+        from .modes import level_sizes as _msizes
+
+        sizes = _msizes(length, coeffs.levels, wav.hlen, mode)
+        batch = coeffs.approx.shape[:-1]
+        b = int(np.prod(batch, dtype=np.int64)) if batch else 1
+        flat = lambda t: t.reshape(b, t.shape[-1])
+        a = flat(coeffs.approx)
+        for i in range(coeffs.levels - 1, -1, -1):
+            a = _mode_inv_level_pallas_1d(a, flat(coeffs.details[i]),
+                                          wav, sizes[i], mode)
+        return a.reshape(batch + a.shape[1:])
     backend = _auto_backend(backend, pad_fn, mode)
     if backend == "pallas":
         if pad_fn is not None:

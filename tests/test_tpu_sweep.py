@@ -270,3 +270,22 @@ def test_mode_pallas_path_on_chip(rng):
     g1 = jax.jit(jax.grad(loss))(x)
     g2 = jax.jit(jax.grad(lambda a: loss(a, "fma")))(x)
     np.testing.assert_array_equal(np.asarray(g1), np.asarray(g2))
+
+
+def test_mode_pallas_1d_on_chip(rng):
+    """Batched-1D boundary modes on the fused kernels (round-5 late):
+    bit-identical to the fma formulation, exact VJP."""
+    w = get_wavelet("sym8")
+    x = jnp.asarray(rng.standard_normal((16, 1000)), jnp.float32)
+
+    @jax.jit
+    def both(a):
+        y1 = sep.idwt1d(sep.dwt1d(a, w, 2, mode="symmetric"), w, 1000,
+                        mode="symmetric")
+        y2 = sep.idwt1d(sep.dwt1d(a, w, 2, mode="symmetric",
+                                  backend="fma"), w, 1000,
+                        mode="symmetric", backend="fma")
+        return jnp.max(jnp.abs(y1 - y2)), jnp.max(jnp.abs(y1 - a))
+
+    dev, pr = (float(t) for t in both(x))
+    assert dev < 1e-6 and pr < 1e-5, (dev, pr)
